@@ -1,0 +1,207 @@
+"""User-facing API, mirroring the reference R surface (R/nmf_thin.R:219-1315).
+
+``nmf(A, k, ...)`` accepts dense numpy arrays or scipy sparse matrices and
+returns an :class:`NMFResult`.  Sparse inputs are densified onto the device
+when they fit (standard NMF treats zeros as data, so results are identical);
+larger-than-memory inputs stream through the chunked path (``models.nmf_chunked``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from . import constants
+from .config import Dispersion, FactorConfig, Loss, NMFConfig, Norm, Solver, ZI
+from .result import NMFResult
+
+
+def _pair(x, name: str):
+    """Normalize scalar-or-pair args like the R API's L1 = c(w, h)."""
+    if np.isscalar(x):
+        return float(x), float(x)
+    x = list(x)
+    if len(x) == 1:
+        return float(x[0]), float(x[0])
+    if len(x) != 2:
+        raise ValueError(f"{name} must be a scalar or a (W, H) pair")
+    return float(x[0]), float(x[1])
+
+
+def _to_dense_f32(data):
+    """Accept numpy / scipy.sparse; return dense float32 (m, n)."""
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(data):
+            return np.asarray(data.todense(), dtype=np.float32)
+    except ImportError:
+        pass
+    arr = np.asarray(data, dtype=np.float32)
+    if arr.ndim != 2:
+        raise ValueError("data must be a 2-D matrix")
+    return arr
+
+
+def build_config(
+    k: int,
+    *,
+    tol: float = constants.NMF_TOL,
+    maxit: int = constants.NMF_MAXIT,
+    L1=(0.0, 0.0),
+    L2=(0.0, 0.0),
+    L21=(0.0, 0.0),
+    angular=(0.0, 0.0),
+    upper_bound=(0.0, 0.0),
+    graph_lambda=(0.0, 0.0),
+    target_lambda: float = 0.0,
+    seed: Union[int, str, None] = None,
+    loss: str = "mse",
+    nonneg=(True, True),
+    test_fraction: float = 0.0,
+    cv_seed: int = 0,
+    mask_zeros: bool = False,
+    projective: bool = False,
+    symmetric: bool = False,
+    zi: str = "none",
+    robust=False,
+    dispersion: str = "per_row",
+    theta_init: float = 0.1,
+    nb_size_init: float = 10.0,
+    gamma_phi_init: float = 1.0,
+    tweedie_power: float = 1.5,
+    irls_max_iter: int = constants.IRLS_MAX_ITER,
+    irls_tol: float = constants.IRLS_TOL,
+    solver: str = "auto",
+    cd_tol: float = constants.CD_TOL,
+    cd_maxit: int = constants.CD_MAXIT,
+    patience: int = constants.NMF_PATIENCE,
+    norm: str = "L1",
+    sort_model: bool = True,
+    verbose: bool = False,
+    has_mask: bool = False,
+    has_graph_W: bool = False,
+    has_graph_H: bool = False,
+    has_target_H: bool = False,
+    has_target_W: bool = False,
+) -> NMFConfig:
+    """Translate R-style keyword arguments into a static NMFConfig.
+
+    Solver auto-selection follows R/nmf_thin.R:363-388: IRLS -> cd;
+    k < 32 and no L1 -> cholesky; else cd.
+    """
+    l1w, l1h = _pair(L1, "L1")
+    l2w, l2h = _pair(L2, "L2")
+    l21w, l21h = _pair(L21, "L21")
+    angw, angh = _pair(angular, "angular")
+    ubw, ubh = _pair(upper_bound, "upper_bound")
+    glw, glh = _pair(graph_lambda, "graph_lambda")
+    nnw, nnh = (nonneg, nonneg) if isinstance(nonneg, bool) else tuple(nonneg)
+
+    loss_e = Loss(loss)
+    # robust: False=0, True=1.345, "mae"=1e-4, numeric (R/nmf_thin.R:341-353)
+    if isinstance(robust, bool):
+        robust_delta = 1.345 if robust else 0.0
+    elif isinstance(robust, str) and robust.lower() == "mae":
+        robust_delta = 1e-4
+    else:
+        robust_delta = float(robust)
+
+    init_mode = 0
+    seed_int = 0
+    if isinstance(seed, str):
+        init_mode = {"random": 0, "lanczos": 1, "irlba": 2,
+                     "randomized": 1, "svd": 1}[seed]
+    elif seed is not None:
+        seed_int = int(seed)
+
+    needs_irls = loss_e != Loss.MSE or robust_delta > 0
+    if solver == "auto":
+        if needs_irls:
+            solver_e = Solver.CD
+        elif k < 32 and l1w == 0 and l1h == 0:
+            solver_e = Solver.CHOLESKY
+        else:
+            solver_e = Solver.CD
+    else:
+        solver_e = {"cd": Solver.CD, "cholesky": Solver.CHOLESKY}[solver]
+    if solver_e == Solver.CHOLESKY and needs_irls:
+        raise ValueError("solver='cholesky' is not supported with non-MSE "
+                         "or robust losses; use solver='cd'")
+
+    cfg = NMFConfig(
+        rank=int(k), tol=float(tol), max_iter=int(maxit), patience=int(patience),
+        W=FactorConfig(L1=l1w, L2=l2w, L21=l21w, angular=angw, nonneg=bool(nnw),
+                       upper_bound=ubw, graph_lambda=glw,
+                       target_lambda=target_lambda if has_target_W else 0.0),
+        H=FactorConfig(L1=l1h, L2=l2h, L21=l21h, angular=angh, nonneg=bool(nnh),
+                       upper_bound=ubh, graph_lambda=glh,
+                       target_lambda=target_lambda if has_target_H else 0.0),
+        loss=loss_e, robust_delta=robust_delta, tweedie_power=float(tweedie_power),
+        dispersion=Dispersion(dispersion), theta_init=float(theta_init),
+        nb_size_init=float(nb_size_init), gamma_phi_init=float(gamma_phi_init),
+        zi=ZI(zi),
+        solver=solver_e, cd_max_iter=int(cd_maxit), cd_tol=float(cd_tol),
+        irls_max_iter=int(irls_max_iter), irls_tol=float(irls_tol),
+        seed=seed_int, init_mode=init_mode, norm=Norm(norm),
+        projective=projective, symmetric=symmetric, sort_model=sort_model,
+        test_fraction=float(test_fraction), cv_seed=int(cv_seed),
+        mask_zeros=bool(mask_zeros),
+        verbose=verbose,
+        has_mask=has_mask, has_graph_W=has_graph_W, has_graph_H=has_graph_H,
+        has_target_H=has_target_H, has_target_W=has_target_W,
+    )
+    cfg.validate()
+    return cfg
+
+
+def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
+        target_W=None, w_init=None, h_init=None, **kwargs):
+    """Fit A ~ W diag(d) H.  The main entry point (R/nmf_thin.R:219).
+
+    ``k`` may be an int (single fit), a sequence of ints with
+    ``test_fraction > 0`` (CV sweep -> returns a list of dict rows), or
+    ``"auto"`` (CV rank search).
+    """
+    A = _to_dense_f32(data)
+
+    # multi-rank CV sweep / auto-rank dispatch (R/nmf_thin.R:922-1094)
+    if isinstance(k, str) and k == "auto":
+        from .models.rank_cv import find_optimal_rank
+        return find_optimal_rank(A, mask=mask, **kwargs)
+    if not np.isscalar(k):
+        from .models.nmf_cv import cv_sweep
+        return cv_sweep(A, list(k), mask=mask, **kwargs)
+
+    cfg = build_config(int(k),
+                       has_mask=mask is not None,
+                       has_graph_W=graph_W is not None,
+                       has_graph_H=graph_H is not None,
+                       has_target_H=target_H is not None,
+                       has_target_W=target_W is not None,
+                       **kwargs)
+
+    aux = {}
+    if graph_W is not None:
+        aux["graph_W"] = _to_dense_f32(graph_W)
+    if graph_H is not None:
+        aux["graph_H"] = _to_dense_f32(graph_H)
+    if target_H is not None:
+        t = _to_dense_f32(target_H)
+        aux["target_H"] = t
+        if cfg.H.target_lambda < 0:
+            # PROJ_ADV precompute: T @ T.T / n (nmf/fit.hpp:250-274)
+            aux["target_H_gram"] = (t @ t.T) / t.shape[1]
+    if target_W is not None:
+        t = _to_dense_f32(target_W)
+        aux["target_W"] = t
+        if cfg.W.target_lambda < 0:
+            aux["target_W_gram"] = (t @ t.T) / t.shape[1]
+
+    if cfg.is_cv() or mask is not None:
+        from .models.nmf_cv import fit_cv_or_masked
+        return fit_cv_or_masked(A, cfg, mask=mask, aux=aux,
+                                w_init=w_init, h_init=h_init)
+
+    from .models.nmf import nmf_fit
+    return nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux)

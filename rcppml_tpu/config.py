@@ -1,0 +1,203 @@
+"""Configuration dataclasses for the TPU-native factorization engine.
+
+Mirrors the semantics of the reference's unified config structs
+(``inst/include/FactorNet/core/config.hpp:54-454`` and
+``core/factor_config.hpp:37-132``) with one key architectural difference:
+configs here are **frozen, hashable dataclasses** so they can serve as static
+arguments to ``jax.jit`` — one compiled executable per (config, shape)
+signature, cached across calls.
+
+Arrays that participate in the computation (masks, graph Laplacians, target
+matrices) are *not* stored here; they are passed to the fit functions as
+traced operands so re-fitting with new data never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+
+from . import constants
+
+
+class Loss(enum.Enum):
+    """Distribution families (math/loss.hpp:39-50)."""
+    MSE = "mse"
+    KL = "kl"            # internal: IRLS weight mode used for GP updates
+    GP = "gp"            # Generalized Poisson
+    NB = "nb"            # Negative Binomial
+    GAMMA = "gamma"
+    INVGAUSS = "inverse_gaussian"
+    TWEEDIE = "tweedie"
+
+
+class Dispersion(enum.Enum):
+    """Dispersion parameterization (math/loss.hpp:55-60)."""
+    NONE = "none"
+    GLOBAL = "global"
+    PER_ROW = "per_row"
+    PER_COL = "per_col"
+
+
+class ZI(enum.Enum):
+    """Zero-inflation mode (math/loss.hpp:73-78). TWOWAY is rejected at
+    validate time, as in the reference (core/config.hpp:437-440)."""
+    NONE = "none"
+    ROW = "row"
+    COL = "col"
+
+
+class Norm(enum.Enum):
+    """Factor-row normalization (core/types.hpp:99-107)."""
+    L1 = "L1"
+    L2 = "L2"
+    NONE = "none"
+
+
+class Solver(enum.Enum):
+    """NNLS solver mode (core/config.hpp:133)."""
+    CD = 0          # coordinate descent (exact NNLS)
+    CHOLESKY = 1    # unconstrained Cholesky solve + clip
+
+
+@dataclass(frozen=True)
+class FactorConfig:
+    """Per-factor (W or H) regularization config (core/factor_config.hpp:37-132).
+
+    ``graph_lambda`` / ``target_lambda`` are scalars here; the Laplacian and
+    target matrices themselves travel as traced arrays (see module docstring).
+    A positive ``target_lambda`` enriches toward the target; negative
+    activates PROJ_ADV eigen-projected removal (factor_config.hpp:80-102).
+    """
+    L1: float = 0.0
+    L2: float = 0.0
+    L21: float = 0.0
+    angular: float = 0.0
+    nonneg: bool = True
+    upper_bound: float = 0.0      # 0 = unbounded
+    graph_lambda: float = 0.0     # >0 iff a graph Laplacian array is supplied
+    target_lambda: float = 0.0    # !=0 iff a target matrix array is supplied
+
+    def has_tier2(self) -> bool:
+        return self.L21 > 0 or self.angular > 0 or self.graph_lambda > 0
+
+
+@dataclass(frozen=True)
+class NMFConfig:
+    """Unified NMF config (core/config.hpp:54-454), hashable/static."""
+    rank: int = 10
+    tol: float = constants.NMF_TOL
+    max_iter: int = constants.NMF_MAXIT
+    patience: int = constants.NMF_PATIENCE
+
+    W: FactorConfig = FactorConfig()
+    H: FactorConfig = FactorConfig()
+
+    loss: Loss = Loss.MSE
+    robust_delta: float = 0.0          # Huber-on-Pearson; 0 = off
+    tweedie_power: float = 1.5
+
+    dispersion: Dispersion = Dispersion.PER_ROW
+    theta_init: float = 0.1            # GP theta init
+    theta_min: float = 0.0
+    theta_max: float = 0.9
+    nb_size_init: float = 10.0
+    nb_size_min: float = 0.1
+    nb_size_max: float = 1000.0
+    gamma_phi_init: float = 1.0
+
+    zi: ZI = ZI.NONE
+    zi_em_iters: int = 1
+
+    solver: Solver = Solver.CHOLESKY   # reference default solver_mode=1
+    cd_max_iter: int = constants.CD_MAXIT
+    cd_tol: float = constants.CD_TOL
+    irls_max_iter: int = constants.IRLS_MAX_ITER
+    irls_tol: float = constants.IRLS_TOL
+
+    seed: int = 0
+    init_mode: int = 0                 # 0=random, 1=lanczos SVD, 2=irlba SVD
+    norm: Norm = Norm.L1
+    projective: bool = False
+    symmetric: bool = False
+    sort_model: bool = False
+
+    # Cross-validation (speckled holdout) fields (config.hpp:240-260)
+    test_fraction: float = 0.0
+    cv_seed: int = 0
+    mask_zeros: bool = False
+    cv_patience: int = constants.NMF_PATIENCE
+
+    track_loss_history: bool = True
+    enable_profiling: bool = False
+    verbose: bool = False
+
+    # Presence flags for traced aux arrays (affect compiled program shape)
+    has_mask: bool = False
+    has_graph_W: bool = False
+    has_graph_H: bool = False
+    has_target_H: bool = False
+    has_target_W: bool = False
+
+    def requires_irls(self) -> bool:
+        return self.loss not in (Loss.MSE,) or self.robust_delta > 0
+
+    def is_cv(self) -> bool:
+        return self.test_fraction > 0
+
+    def has_zi(self) -> bool:
+        return self.zi != ZI.NONE
+
+    def replace(self, **kw) -> "NMFConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        """Reject illegal combinations (core/config.hpp:421-453)."""
+        if self.rank <= 0:
+            raise ValueError(f"rank must be positive, got {self.rank}")
+        if self.max_iter <= 0:
+            raise ValueError(f"max_iter must be positive, got {self.max_iter}")
+        if self.tol < 0:
+            raise ValueError("tol must be non-negative")
+        if self.cd_max_iter <= 0:
+            raise ValueError("cd_max_iter must be positive")
+        if self.solver == Solver.CHOLESKY and self.requires_irls():
+            raise ValueError(
+                "Cholesky solver is not supported with IRLS-based distributions. "
+                "Use the CD solver for GP, NB, Gamma, Inverse Gaussian, Tweedie, "
+                "or robust losses.")
+        if self.projective and self.symmetric:
+            raise ValueError("projective and symmetric cannot both be true")
+        if self.has_zi() and self.loss not in (Loss.GP, Loss.NB):
+            raise ValueError("zero-inflation requires loss='gp' or loss='nb'")
+        if not (0.0 <= self.test_fraction < 1.0):
+            raise ValueError("test_fraction must be in [0, 1)")
+        if self.loss == Loss.TWEEDIE and self.tweedie_power < 0:
+            raise ValueError("tweedie_power must be >= 0")
+
+
+@dataclass(frozen=True)
+class SVDConfig:
+    """Truncated SVD config (core/svd_config.hpp:32)."""
+    k: int = 10
+    tol: float = 1e-5
+    max_iter: int = 0                  # 0 = auto
+    center: bool = False
+    scale: bool = False
+    seed: int = 0
+    oversample: int = 10               # randomized SVD oversampling
+    power_iters: int = 2               # randomized SVD power iterations
+    work: int = 0                      # IRLBA working size; 0 = k + 7
+    robust_delta: float = 0.0
+
+    # Per-side constraints (krylov / deflation solvers)
+    u: FactorConfig = FactorConfig(nonneg=False)
+    v: FactorConfig = FactorConfig(nonneg=False)
+
+    # CV
+    test_fraction: float = 0.0
+    cv_seed: int = 0
+
+    def replace(self, **kw) -> "SVDConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,297 @@
+"""Alternating-least-squares NMF — the single TPU-native fit loop.
+
+TPU re-architecture of the reference's unified ALS implementation
+(``inst/include/FactorNet/nmf/fit_cpu.hpp:172-1855``).  Where the reference
+template-switches CPU/GPU primitives and parallelizes with OpenMP column
+loops, this implementation is ONE pure-functional ``lax.while_loop`` step,
+jit-compiled per (config, shape) signature:
+
+  * the whole fit (init -> iterate -> converge) executes on-device with no
+    per-iteration host round-trips;
+  * primitives are dense MXU matmuls (`ops.linalg`) and batched solves
+    (`ops.solvers`) over *all* columns at once — the reference's
+    ``threads`` knob has no analog because every lane is always busy;
+  * under ``pjit`` with A sharded over a (rows, cols) mesh, the identical
+    code runs multi-chip: Gram products become psum all-reduces inserted by
+    GSPMD (see ``rcppml_tpu/parallel``).
+
+Iteration structure mirrors fit_cpu.hpp:444-1825 exactly:
+  H-update (gram(W_T) -> rhs -> features -> solve -> posthoc -> normalize)
+  -> W-update (same on A^T) -> dispersion updates -> gram-trick loss ->
+  relative-tolerance patience convergence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import rng as rng_mod
+from ..config import Loss, NMFConfig, Norm, Solver
+from ..ops import features as feat
+from ..ops import linalg, solvers
+from ..ops.linalg import PREC
+from ..result import NMFResult
+
+
+class FitState(NamedTuple):
+    W_T: jax.Array            # (k, m) transposed storage (fit_cpu.hpp:24-26)
+    H: jax.Array              # (k, n)
+    d: jax.Array              # (k,)
+    it: jax.Array             # int32, completed iterations
+    prev_loss: jax.Array
+    patience_ctr: jax.Array
+    converged: jax.Array      # bool
+    final_tol: jax.Array
+    loss_hist: jax.Array      # (max_iter,), NaN-padded
+
+
+# ---------------------------------------------------------------------------
+# Solve dispatch (fit_cpu.hpp:577-637 solver branches)
+# ---------------------------------------------------------------------------
+
+def _solve(cfg: NMFConfig, G, B, X_warm, fc, it):
+    """NNLS solve for one factor side.
+
+    L1/L2 have already been applied to (G, B) by apply_features, so the
+    solvers run with zero penalties — matching the reference standard path
+    which passes L1=L2=0 into nnls_batch (fit_cpu.hpp:622-637).
+    Warm start only after the first iteration (reference ``iter > 0``).
+    """
+    if cfg.solver == Solver.CHOLESKY:
+        return solvers.cholesky_clip_batch(G, B, nonneg=fc.nonneg)
+    X0 = X_warm * (it > 0).astype(X_warm.dtype)
+    B_res = B - jnp.dot(G, X0, precision=PREC)
+    return solvers.cd_nnls_batch_traced(
+        G, B_res, X0, 0.0, nonneg=fc.nonneg,
+        maxit=cfg.cd_max_iter, cd_tol=cfg.cd_tol)
+
+
+def _posthoc(X, fc):
+    """Post-NNLS upper bound + angular decorrelation (fit_cpu.hpp:637-645)."""
+    if fc.upper_bound > 0:
+        X = feat.apply_upper_bound(X, fc.upper_bound)
+    if fc.angular > 0:
+        X = feat.apply_angular_posthoc(X, fc.angular)
+    return X
+
+
+# ---------------------------------------------------------------------------
+# The jitted fit
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
+    """Dense MSE ALS fit, fully on-device (standard / projective / symmetric).
+
+    ``aux`` is a dict whose key set is static (part of the jit cache key):
+    optional 'graph_W', 'graph_H' (dense Laplacians), 'target_H'/'target_W'
+    and their precomputed '. _gram' entries for PROJ_ADV.
+    """
+    k = cfg.rank
+    dtype = A.dtype
+    max_iter = cfg.max_iter
+    tol = jnp.asarray(cfg.tol, dtype)
+
+    graph_W = aux.get("graph_W")
+    graph_H = aux.get("graph_H")
+    target_H = aux.get("target_H")
+    target_H_gram = aux.get("target_H_gram")
+    target_W = aux.get("target_W")
+    target_W_gram = aux.get("target_W_gram")
+
+    # tr(A'A) precomputed once (fit_cpu.hpp:224)
+    trAtA = jnp.sum(A * A)
+
+    use_saved_loss = not (cfg.projective or cfg.symmetric)
+
+    def h_update(A, W_T, H, d, it):
+        if cfg.projective:
+            # H = diag(d) . W_T . A, no solve (variant_helpers.hpp:321-338)
+            W_Td = W_T * d[:, None]
+            H_new = linalg.rhs(W_Td, A)
+            return linalg.extract_scaling(H_new, cfg.norm)
+        if cfg.symmetric:
+            return H, d  # set after W-update (variant_helpers.hpp:56)
+        G = linalg.gram(W_T)
+        B = linalg.rhs(W_T, A)
+        G, B = feat.apply_features(G, B, H, cfg.H, graph=graph_H,
+                                   target=target_H, target_gram=target_H_gram)
+        H_new = _solve(cfg, G, B, H, cfg.H, it)
+        H_new = _posthoc(H_new, cfg.H)
+        return linalg.extract_scaling(H_new, cfg.norm)
+
+    def w_update(A, W_T, H, d, it):
+        """Returns (W_T, H, d, B_w_saved, G_w_saved)."""
+        if cfg.symmetric:
+            # A ~ W'.diag(d).W — one update on the W side (fit_cpu.hpp:657-705)
+            G = linalg.gram(W_T)
+            B = linalg.rhs(W_T, A)
+            G, B = feat.apply_features(G, B, W_T, cfg.W, graph=graph_W,
+                                       target=target_W, target_gram=target_W_gram)
+            W_new = _solve(cfg, G, B, W_T, cfg.W, it)
+            W_new = _posthoc(W_new, cfg.W)
+            W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
+            return W_new, W_new, d_new, None, None
+        G_w = linalg.gram(H)                                   # saved pre-features
+        B_w = jnp.dot(H, A.T, precision=PREC)                  # saved pre-features
+        G, B = feat.apply_features(G_w, B_w, W_T, cfg.W, graph=graph_W,
+                                   target=target_W, target_gram=target_W_gram)
+        W_new = _solve(cfg, G, B, W_T, cfg.W, it)
+        W_new = _posthoc(W_new, cfg.W)
+        W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
+        return W_new, H, d_new, B_w, G_w
+
+    def compute_loss(A, W_T, H, d, B_w, G_w):
+        if use_saved_loss:
+            # optimized saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753)
+            return linalg.mse_loss_from_saved(trAtA, W_T, d, B_w, G_w)
+        W_Td = W_T * d[:, None]
+        G_l = linalg.gram(W_Td)
+        B_l = linalg.rhs(W_Td, A)
+        return linalg.gram_trick_loss(trAtA, G_l, B_l, H)
+
+    def body(state: FitState) -> FitState:
+        W_T, H, d, it = state.W_T, state.H, state.d, state.it
+        H, d = h_update(A, W_T, H, d, it)
+        W_T, H, d, B_w, G_w = w_update(A, W_T, H, d, it)
+
+        loss = compute_loss(A, W_T, H, d, B_w, G_w)
+
+        # relative-tolerance + patience convergence (fit_cpu.hpp:1770-1809)
+        rel = jnp.abs(state.prev_loss - loss) / (jnp.abs(state.prev_loss) + 1e-15)
+        loss_conv = (it > 0) & (rel < tol)
+        patience_ctr = jnp.where(loss_conv, state.patience_ctr + 1, 0)
+        converged = patience_ctr >= cfg.patience
+        final_tol = jnp.where(it > 0, rel, state.final_tol)
+        loss_hist = state.loss_hist.at[it].set(loss)
+
+        return FitState(W_T, H, d, it + 1, loss, patience_ctr, converged,
+                        final_tol, loss_hist)
+
+    def cond(state: FitState):
+        return (state.it < max_iter) & jnp.logical_not(state.converged)
+
+    init = FitState(
+        W_T=W_T0, H=H0, d=d0,
+        it=jnp.int32(0),
+        prev_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        patience_ctr=jnp.int32(0),
+        converged=jnp.bool_(False),
+        final_tol=jnp.asarray(jnp.nan, dtype),
+        loss_hist=jnp.full((max_iter,), jnp.nan, dtype),
+    )
+    return lax.while_loop(cond, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (nmf/nmf_init.hpp, fit_cpu.hpp:195-218)
+# ---------------------------------------------------------------------------
+
+def init_factors(cfg: NMFConfig, m: int, n: int, A=None,
+                 w_init: Optional[np.ndarray] = None,
+                 h_init: Optional[np.ndarray] = None,
+                 dtype=np.float32):
+    """Build (W_T0 (k,m), H0 (k,n), d0 (k,)) on host.
+
+    Random init reproduces the reference's sequential SplitMix64 column-major
+    fill order: W_T first (k*m draws), then H (next k*n draws)
+    (nmf_init.hpp:167-186).  init_mode 1/2 seed from a truncated SVD:
+    ``W_T[i,:] = |U[:,i]| sqrt(d_i)``, ``H[i,:] = |V[:,i]| sqrt(d_i)``
+    (nmf_init.hpp:45-96).
+    """
+    k = cfg.rank
+    d0 = np.ones((k,), dtype=dtype)
+
+    if w_init is not None:
+        W_T = np.ascontiguousarray(np.asarray(w_init, dtype=dtype).T)
+        if h_init is not None:
+            H = np.asarray(h_init, dtype=dtype)
+        else:
+            H = rng_mod.fill_uniform(cfg.seed if cfg.seed != 0 else 12345,
+                                     k, n, dtype=dtype)
+        return W_T, H, d0
+
+    if cfg.init_mode in (1, 2) and A is not None:
+        from . import svd as svd_mod
+        from ..config import SVDConfig
+        scfg = SVDConfig(k=k, tol=1e-10, center=False, seed=cfg.seed)
+        res = (svd_mod.lanczos_svd(A, scfg) if cfg.init_mode == 1
+               else svd_mod.irlba_svd(A, scfg))
+        kk = min(k, res.k_selected if res.k_selected else k)
+        W_T = np.empty((k, m), dtype=dtype)
+        H = np.empty((k, n), dtype=dtype)
+        sq = np.sqrt(np.maximum(np.asarray(res.d[:kk], dtype=np.float64), 0.0))
+        W_T[:kk] = (np.abs(np.asarray(res.U[:, :kk])) * sq[None, :]).T
+        H[:kk] = (np.abs(np.asarray(res.V[:, :kk])) * sq[None, :]).T
+        if kk < k:
+            fill_seed = 54321 if cfg.seed == 0 else cfg.seed + 999
+            W_T[kk:] = rng_mod.fill_uniform(fill_seed, k - kk, m, dtype=dtype)
+            H[kk:] = rng_mod.fill_uniform(fill_seed, k - kk, n,
+                                          offset=(k - kk) * m, dtype=dtype)
+        return W_T, H, d0
+
+    W_T = rng_mod.fill_uniform(cfg.seed, k, m, dtype=dtype)
+    H = rng_mod.fill_uniform(cfg.seed, k, n, offset=k * m, dtype=dtype)
+    return W_T, H, d0
+
+
+# ---------------------------------------------------------------------------
+# Host-level driver
+# ---------------------------------------------------------------------------
+
+def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
+            aux: Optional[dict] = None, device_A=None) -> NMFResult:
+    """Fit NMF on a dense (or densified) matrix.
+
+    ``A``: (m, n) numpy array (fp32 internally, like the reference's
+    double->float boundary cast, src/RcppFunctions_nmf.cpp:4-5).
+    ``aux``: optional dict of dense auxiliary arrays (graph Laplacians,
+    targets); key presence is static.
+    """
+    cfg.validate()
+    A = np.asarray(A, dtype=np.float32)
+    m, n = A.shape
+    if cfg.rank > min(m, n):
+        raise ValueError(f"rank {cfg.rank} exceeds min(dim) = {min(m, n)}")
+
+    W_T0, H0, d0 = init_factors(cfg, m, n, A=A, w_init=w_init, h_init=h_init)
+
+    aux_dev = {key: jnp.asarray(val, jnp.float32)
+               for key, val in (aux or {}).items() if val is not None}
+    A_dev = device_A if device_A is not None else jnp.asarray(A)
+
+    if cfg.requires_irls():
+        from .nmf_irls import fit_irls
+        return fit_irls(A_dev, cfg, W_T0, H0, d0, aux_dev)
+
+    state = _fit_mse(cfg, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
+                     jnp.asarray(d0), aux_dev)
+    return finalize_result(cfg, state)
+
+
+def finalize_result(cfg: NMFConfig, state: FitState, extra=None) -> NMFResult:
+    """Convert a device FitState into a host NMFResult (fit_cpu.hpp:1827-1854)."""
+    it = int(state.it)
+    hist = np.asarray(state.loss_hist)[:it]
+    res = NMFResult(
+        W=np.asarray(state.W_T).T,
+        d=np.asarray(state.d),
+        H=np.asarray(state.H),
+        iterations=it,
+        converged=bool(state.converged),
+        final_tol=float(state.final_tol),
+        train_loss=float(state.prev_loss) if it > 0 else float("nan"),
+        loss_history=hist if cfg.track_loss_history else None,
+    )
+    for key, val in (extra or {}).items():
+        setattr(res, key, val)
+    if cfg.sort_model:
+        res.sort()
+    return res

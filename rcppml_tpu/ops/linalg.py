@@ -1,0 +1,89 @@
+"""Core linear-algebra primitives for the ALS engine.
+
+TPU-native equivalents of the reference's CPU/GPU primitives
+(``inst/include/FactorNet/primitives/{cpu,gpu}/``):
+
+  * :func:`gram` — ``G = F @ F.T`` (gram.hpp:30-62 / cuBLAS SYRK).  A k x k
+    matmul; under a sharded ``pjit`` this psums over the sharded axis for
+    free via GSPMD.
+  * :func:`rhs` — ``B = F @ A`` (rhs.hpp / cuSPARSE SpMM).  The reference
+    gathers CSC columns with OpenMP; on TPU this is a dense MXU matmul over
+    (blocked) dense panels — zeros contribute nothing to the products, so
+    results are identical for sparse data stored densely.
+  * :func:`extract_scaling` — row-norm extraction into d
+    (nmf/variant_helpers.hpp:287-305).
+  * :func:`gram_trick_loss` — O(k^2) Frobenius loss
+    (nmf/fit_cpu.hpp:17-20, primitives/cpu/loss.hpp).
+
+All matmuls run with ``precision=HIGHEST`` so fp32 Gram matrices feeding
+Cholesky factorizations do not lose precision to bf16 MXU passes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Norm
+from .. import constants
+
+# fp32 accumulation through the MXU: required for Gram matrices that feed
+# Cholesky solves, and for loss parity with the fp32 CPU reference.
+PREC = jax.lax.Precision.HIGHEST
+
+
+def gram(F: jax.Array) -> jax.Array:
+    """G = F @ F.T with the reference's +1e-15 diagonal guard (gram.hpp:30-62)."""
+    k = F.shape[0]
+    G = jnp.dot(F, F.T, precision=PREC)
+    return G + constants.TINY_NUM * jnp.eye(k, dtype=F.dtype)
+
+
+def rhs(F: jax.Array, A: jax.Array) -> jax.Array:
+    """B = F @ A (k x n). The throughput kernel (primitives/cpu/rhs.hpp)."""
+    return jnp.dot(F, A, precision=PREC)
+
+
+def extract_scaling(X: jax.Array, norm: Norm):
+    """d = row norms of X (+1e-15), X normalized (variant_helpers.hpp:287-305).
+
+    Returns (X_normalized, d).
+    """
+    if norm == Norm.NONE:
+        return X, jnp.ones((X.shape[0],), dtype=X.dtype)
+    if norm == Norm.L1:
+        d = jnp.sum(jnp.abs(X), axis=1)
+    else:
+        d = jnp.sqrt(jnp.sum(X * X, axis=1))
+    d = d + jnp.asarray(constants.TINY_NUM, X.dtype)
+    return X / d[:, None], d
+
+
+def gram_trick_loss(trAtA, G: jax.Array, B: jax.Array, H: jax.Array):
+    """SSE via the Gram trick: ||A - F.T H||^2 = tr(A'A) - 2 tr(B'H) + tr(G HH')
+    where B = F @ A and G = F @ F.T (nmf/fit_cpu.hpp:17-20)."""
+    cross = jnp.sum(B * H)
+    HHt = jnp.dot(H, H.T, precision=PREC)
+    recon = jnp.sum(G * HHt)
+    return trAtA - 2.0 * cross + recon
+
+
+def mse_loss_from_saved(trAtA, W_T, d, B_w, G_w):
+    """Optimized per-iteration MSE (SSE) reusing W-update matrices
+    (fit_cpu.hpp:1710-1753):
+
+      cross = sum_i d_i * <W_T[i, :], B_w[i, :]>      with B_w = H @ A.T
+      recon = sum_ij d_i d_j gram(W_T)_ij * G_w_ij    with G_w = gram(H)
+      loss  = tr(A'A) - 2*cross + recon
+    """
+    G_wt = gram(W_T)
+    cross = jnp.sum(d[:, None] * W_T * B_w)
+    recon = jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w)
+    return trAtA - 2.0 * cross + recon
+
+
+def cosine_rows(F: jax.Array) -> jax.Array:
+    """Row-wise cosine similarity matrix (k x k)."""
+    norms = jnp.sqrt(jnp.sum(F * F, axis=1))
+    Fh = F / jnp.maximum(norms, 1e-15)[:, None]
+    return jnp.dot(Fh, Fh.T, precision=PREC)

@@ -1,0 +1,102 @@
+"""Result containers (core/result.hpp:71, core/svd_result.hpp:20).
+
+Factor model convention (core/types.hpp:99-107):
+    ``A ≈ W @ diag(d) @ H`` with W (m, k), d (k,), H (k, n); rows of H and
+    columns of W are L1-normalized by default, with scale absorbed into d.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+@dataclass
+class NMFResult:
+    W: np.ndarray                      # (m, k)
+    d: np.ndarray                      # (k,)
+    H: np.ndarray                      # (k, n)
+    iterations: int = 0
+    converged: bool = False
+    final_tol: float = float("nan")
+    train_loss: float = float("nan")
+    test_loss: float = float("nan")
+    best_iter: int = -1
+    loss_history: Optional[np.ndarray] = None       # per-iteration train loss
+    test_loss_history: Optional[np.ndarray] = None  # per-iteration test loss (CV)
+    theta: Optional[np.ndarray] = None              # GP theta / NB size
+    dispersion: Optional[np.ndarray] = None         # Gamma/IG/Tweedie phi
+    pi_row: Optional[np.ndarray] = None             # ZI dropout probs per row
+    pi_col: Optional[np.ndarray] = None             # ZI dropout probs per col
+    profile: Dict[str, float] = field(default_factory=dict)
+    misc: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def k(self) -> int:
+        return int(self.d.shape[0])
+
+    @property
+    def shape(self):
+        return (self.W.shape[0], self.H.shape[1])
+
+    def sort(self) -> "NMFResult":
+        """Sort factors by decreasing d (result.hpp sort())."""
+        order = np.argsort(-np.asarray(self.d), kind="stable")
+        self.W = self.W[:, order]
+        self.d = self.d[order]
+        self.H = self.H[order, :]
+        return self
+
+    def reconstruct(self) -> np.ndarray:
+        return (self.W * self.d[None, :]) @ self.H
+
+    def sparsity(self):
+        """Fraction of zero entries per factor side (features/sparsity.hpp)."""
+        w = np.asarray(self.W)
+        h = np.asarray(self.H)
+        return {
+            "W": float(np.mean(w == 0)),
+            "H": float(np.mean(h == 0)),
+        }
+
+    def __repr__(self):
+        m, n = self.shape
+        return (f"NMFResult(k={self.k}, shape=({m}, {n}), iters={self.iterations}, "
+                f"converged={self.converged}, train_loss={self.train_loss:.6g})")
+
+
+@dataclass
+class SVDResult:
+    U: np.ndarray                      # (m, k)
+    d: np.ndarray                      # (k,)
+    V: np.ndarray                      # (n, k)
+    iterations: int = 0
+    converged: bool = False
+    k_selected: int = 0
+    train_loss: float = float("nan")
+    test_loss: float = float("nan")
+    center: Optional[np.ndarray] = None
+    scale: Optional[np.ndarray] = None
+    misc: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def k(self) -> int:
+        return int(self.d.shape[0])
+
+    def reconstruct(self) -> np.ndarray:
+        rec = (self.U * self.d[None, :]) @ self.V.T
+        if self.scale is not None:
+            rec = rec * self.scale[:, None]
+        if self.center is not None:
+            rec = rec + self.center[:, None]
+        return rec
+
+    def variance_explained(self) -> np.ndarray:
+        d2 = np.asarray(self.d) ** 2
+        return d2 / d2.sum()
+
+    def __repr__(self):
+        return (f"SVDResult(k={self.k}, shape=({self.U.shape[0]}, {self.V.shape[0]}), "
+                f"d[0]={float(self.d[0]):.6g})")

@@ -1,0 +1,205 @@
+"""SplitMix64 RNG — deterministic initialization and holdout masks.
+
+Re-implements the RNG *contract* of the reference
+(``inst/include/FactorNet/rng/rng.hpp:60-221``) so that
+
+  * the same integer seed produces the same W/H initialization matrices, and
+  * cross-validation holdout masks are a pure function of ``(seed, i, j)``
+    that is identical everywhere it is evaluated (host numpy, JAX-traced
+    uint32-pair arithmetic, or a Pallas kernel).
+
+Two modes, as in the reference:
+
+  1. **Sequential** — golden-ratio counter + SplitMix64 finalizer.  Because
+     the state after ``t`` draws is ``seed + t * GOLDEN``, the whole stream
+     can be generated *vectorized* (no sequential dependency), which is how
+     :func:`fill_uniform` works.
+  2. **Position-dependent** — ``hash(seed, i, j)`` never mutates state; used
+     for speckled CV masks (rng.hpp:129-170).
+
+All host-side generation uses numpy uint64 (exact).  The traced variant
+uses uint32 limb-pair arithmetic because TPUs have no native uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_COLMIX = np.uint64(0x6C62272E07BB0142)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _finalize(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 output mixing (rng.hpp:91-94)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+
+
+def _canon_seed(seed: int) -> np.uint64:
+    """Seed 0 is remapped to 12345 to avoid a degenerate state (rng.hpp:73-74)."""
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    return np.uint64(12345) if s == 0 else s
+
+
+def next_u64(seed: int, count: int, offset: int = 0) -> np.ndarray:
+    """The sequential SplitMix64 stream, vectorized.
+
+    Draw ``t`` (1-based) of the reference's sequential ``next()`` equals
+    ``finalize(seed + t * GOLDEN)``; this returns draws
+    ``offset+1 .. offset+count``.
+    """
+    s = _canon_seed(seed)
+    t = np.arange(offset + 1, offset + count + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = s + t * _GOLDEN
+    return _finalize(z)
+
+
+def fill_uniform(seed: int, rows: int, cols: int, *, offset: int = 0,
+                 dtype=np.float32) -> np.ndarray:
+    """Column-major uniform [0,1) fill, identical to ``fill_uniform``
+    (rng.hpp:194-201): the sequential stream fills column 0 top-to-bottom,
+    then column 1, etc.  Returns a (rows, cols) array.
+    """
+    z = next_u64(seed, rows * cols, offset)
+    # float cast of UINT64_MAX rounds to 2^64 in both C++ and numpy.
+    u = z.astype(dtype) / dtype(float(int(_U64_MAX)))
+    return u.reshape(cols, rows).T
+
+
+def position_hash(seed: int, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Pure position hash (rng.hpp:129-138): ``hash(seed, i, j)``.
+
+    ``i``/``j`` broadcast; uint32 semantics on the indices (matching the
+    reference's uint32_t parameters).
+    """
+    s = _canon_seed_like(seed)
+    i64 = np.asarray(i).astype(np.uint32).astype(np.uint64)
+    j64 = np.asarray(j).astype(np.uint32).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = s + i64 * _GOLDEN + j64 * _COLMIX
+    return _finalize(h)
+
+
+def _canon_seed_like(seed: int) -> np.uint64:
+    # position hash does NOT remap zero seeds in the reference (it is a static
+    # function taking seed directly) — but callers pass an engine seeded with
+    # the canonical remap, so we preserve the remap for consistency with
+    # ``SplitMix64(seed).is_holdout(...)`` usage (rng.hpp:178-182).
+    return _canon_seed(seed)
+
+
+def holdout_mask(seed: int, rows, cols, inv_prob: int) -> np.ndarray:
+    """Dense boolean holdout mask: True where (i, j) is held out.
+
+    ``hash(seed,i,j) < UINT64_MAX / inv_prob`` (rng.hpp:164-170).
+    ``rows``/``cols`` may be ints (meaning ``arange``) or index arrays.
+    """
+    if inv_prob <= 0:
+        shape_r = rows if not np.isscalar(rows) else np.arange(rows)
+        shape_c = cols if not np.isscalar(cols) else np.arange(cols)
+        return np.zeros((len(shape_r), len(shape_c)), dtype=bool)
+    ii = np.arange(rows, dtype=np.uint32) if np.isscalar(rows) else np.asarray(rows, np.uint32)
+    jj = np.arange(cols, dtype=np.uint32) if np.isscalar(cols) else np.asarray(cols, np.uint32)
+    h = position_hash(seed, ii[:, None], jj[None, :])
+    thresh = _U64_MAX // np.uint64(inv_prob)
+    return h < thresh
+
+
+# ---------------------------------------------------------------------------
+# Traced (JAX) variant — uint32 limb pairs, usable inside jit / Pallas.
+# ---------------------------------------------------------------------------
+
+def _u64_from_u32(lo, hi):
+    return lo, hi
+
+
+def _u64_add(a, b):
+    alo, ahi = a
+    blo, bhi = b
+    lo = alo + blo
+    carry = (lo < alo).astype(jnp.uint32)
+    hi = ahi + bhi + carry
+    return lo, hi
+
+
+def _u64_mul(a, b):
+    """64x64 -> low 64 bits, via 16-bit limb products to stay in uint32."""
+    alo, ahi = a
+    blo, bhi = b
+
+    def mul32(x, y):
+        # full 32x32 -> (lo32, hi32)
+        x0 = x & jnp.uint32(0xFFFF)
+        x1 = x >> jnp.uint32(16)
+        y0 = y & jnp.uint32(0xFFFF)
+        y1 = y >> jnp.uint32(16)
+        p00 = x0 * y0
+        p01 = x0 * y1
+        p10 = x1 * y0
+        p11 = x1 * y1
+        mid = (p00 >> jnp.uint32(16)) + (p01 & jnp.uint32(0xFFFF)) + (p10 & jnp.uint32(0xFFFF))
+        lo = (p00 & jnp.uint32(0xFFFF)) | (mid << jnp.uint32(16))
+        hi = p11 + (p01 >> jnp.uint32(16)) + (p10 >> jnp.uint32(16)) + (mid >> jnp.uint32(16))
+        return lo, hi
+
+    lo, carry_hi = mul32(alo, blo)
+    hi = carry_hi + alo * bhi + ahi * blo  # low-32 products suffice for hi
+    return lo, hi
+
+
+def _u64_xor(a, b):
+    return a[0] ^ b[0], a[1] ^ b[1]
+
+
+def _u64_shr(a, n):
+    lo, hi = a
+    n = int(n)
+    if n == 0:
+        return lo, hi
+    if n >= 32:
+        return hi >> jnp.uint32(n - 32), jnp.zeros_like(hi)
+    return (lo >> jnp.uint32(n)) | (hi << jnp.uint32(32 - n)), hi >> jnp.uint32(n)
+
+
+def _u64_const(v: int):
+    return jnp.uint32(v & 0xFFFFFFFF), jnp.uint32((v >> 32) & 0xFFFFFFFF)
+
+
+def _finalize_traced(z):
+    z = _u64_mul(_u64_xor(z, _u64_shr(z, 30)), _u64_const(0xBF58476D1CE4E5B9))
+    z = _u64_mul(_u64_xor(z, _u64_shr(z, 27)), _u64_const(0x94D049BB133111EB))
+    return _u64_xor(z, _u64_shr(z, 31))
+
+
+def position_hash_traced(seed: int, i, j):
+    """JAX-traced hash(seed, i, j) -> (lo32, hi32) uint32 pair.
+
+    ``i``/``j`` are int32/uint32 arrays (broadcastable).  Bit-identical to
+    :func:`position_hash` / the reference hash.
+    """
+    s = int(_canon_seed(seed))
+    i = i.astype(jnp.uint32)
+    j = j.astype(jnp.uint32)
+    ti = _u64_mul((i, jnp.zeros_like(i)), _u64_const(0x9E3779B97F4A7C15))
+    tj = _u64_mul((j, jnp.zeros_like(j)), _u64_const(0x6C62272E07BB0142))
+    h = _u64_add(_u64_add(_u64_const(s), ti), tj)
+    return _finalize_traced(h)
+
+
+def is_holdout_traced(seed: int, i, j, inv_prob: int):
+    """Traced boolean holdout test, identical to rng.hpp:164-170."""
+    if inv_prob <= 0:
+        return jnp.zeros(jnp.broadcast_shapes(i.shape, j.shape), dtype=bool)
+    lo, hi = position_hash_traced(seed, i, j)
+    thresh = (0xFFFFFFFFFFFFFFFF) // int(inv_prob)
+    tlo = jnp.uint32(thresh & 0xFFFFFFFF)
+    thi = jnp.uint32((thresh >> 32) & 0xFFFFFFFF)
+    return (hi < thi) | ((hi == thi) & (lo < tlo))

@@ -1,0 +1,68 @@
+"""Synthetic ground-truth generators (R/simulateNMF.R:25, R/simulateSwimmer.R:70).
+
+Used by the test suite for factor-recovery checks: generate A = W H with
+known factors, add noise / dropout scaled to signal, then verify the fitted
+model recovers the factors after Hungarian alignment
+(tests/testthat/helper-test-utils.R:27-78).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def simulate_nmf(m: int = 100, n: int = 100, k: int = 5, *,
+                 noise: float = 0.05, dropout: float = 0.0,
+                 factor_sparsity: float = 0.5, seed: int = 42):
+    """Generate a nonnegative matrix with known rank-k structure.
+
+    Returns dict with keys A, W (m,k), H (k,n).  Noise is additive Gaussian
+    scaled to the signal magnitude; dropout zeroes entries at random
+    (recommender-style missingness).
+    """
+    rs = np.random.RandomState(seed)
+    W = rs.uniform(0, 1, (m, k)).astype(np.float32)
+    H = rs.uniform(0, 1, (k, n)).astype(np.float32)
+    # sparsify factors so they are identifiable
+    W[rs.uniform(size=W.shape) < factor_sparsity] = 0
+    H[rs.uniform(size=H.shape) < factor_sparsity] = 0
+    # guard: every factor keeps some mass
+    for i in range(k):
+        if W[:, i].sum() == 0:
+            W[rs.randint(m), i] = 1.0
+        if H[i, :].sum() == 0:
+            H[i, rs.randint(n)] = 1.0
+    A = W @ H
+    if noise > 0:
+        sd = noise * float(A.std())
+        A = A + rs.normal(0, sd, A.shape).astype(np.float32)
+        A = np.maximum(A, 0)
+    if dropout > 0:
+        A = A * (rs.uniform(size=A.shape) >= dropout)
+    return {"A": A.astype(np.float32), "W": W, "H": H}
+
+
+def simulate_counts(m: int = 80, n: int = 120, k: int = 4, *,
+                    theta: float = 0.0, nb_size: Optional[float] = None,
+                    zi_pi: float = 0.0, scale: float = 5.0, seed: int = 7):
+    """Count-data generator for the IRLS distribution tests.
+
+    mu = scale * W H; samples Poisson / NB(size=nb_size) and optionally
+    zero-inflates with per-row dropout probability ``zi_pi``.
+    """
+    rs = np.random.RandomState(seed)
+    W = rs.gamma(1.0, 1.0, (m, k)).astype(np.float64)
+    H = rs.gamma(1.0, 1.0, (k, n)).astype(np.float64)
+    mu = scale * (W @ H) / k
+    if nb_size is not None:
+        p = nb_size / (nb_size + mu)
+        A = rs.negative_binomial(nb_size, np.clip(p, 1e-12, 1.0)).astype(np.float64)
+    else:
+        A = rs.poisson(mu).astype(np.float64)
+    if zi_pi > 0:
+        drop = rs.uniform(size=A.shape) < zi_pi
+        A = A * (~drop)
+    return {"A": A.astype(np.float32), "W": W.astype(np.float32),
+            "H": H.astype(np.float32), "mu": mu}
