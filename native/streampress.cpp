@@ -1,0 +1,786 @@
+// streampress codec — native data-plane component of rcppml_tpu.
+//
+// Implements the SparsePress v2 chunked sparse format (format spec:
+// reference inst/include/streampress/format/header_v2.hpp:1-90, codec
+// behavior per streampress/codec/{rans,varint}.hpp and
+// sparsepress_v2.hpp encode/decode sections).  Independent implementation:
+// flat C-ABI functions over std::vector buffers, exposed to Python via
+// ctypes (rcppml_tpu/io/spz.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC streampress.cpp -o libstreampress.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// varint (LEB128)
+// ---------------------------------------------------------------------------
+
+inline void varint_put(uint64_t v, std::vector<uint8_t>& out) {
+    do {
+        uint8_t b = v & 0x7F;
+        v >>= 7;
+        if (v) b |= 0x80;
+        out.push_back(b);
+    } while (v);
+}
+
+inline uint64_t varint_get(const uint8_t*& p) {
+    uint64_t v = 0;
+    int shift = 0;
+    for (;;) {
+        uint8_t b = *p++;
+        v |= static_cast<uint64_t>(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    return v;
+}
+
+inline uint32_t get_u32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline void put_u32(uint32_t v, std::vector<uint8_t>& out) {
+    out.push_back(v & 0xFF);
+    out.push_back((v >> 8) & 0xFF);
+    out.push_back((v >> 16) & 0xFF);
+    out.push_back((v >> 24) & 0xFF);
+}
+
+// ---------------------------------------------------------------------------
+// rANS, byte-renormalized, PROB_BITS = 14 (format-compatible)
+// ---------------------------------------------------------------------------
+
+constexpr int kProbBits = 14;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;
+
+struct Table {
+    uint32_t n = 0;
+    std::vector<uint16_t> freq;
+    std::vector<uint16_t> cum;
+    std::vector<uint16_t> lookup;   // cum slot -> symbol
+
+    void finish() {
+        cum.assign(n, 0);
+        uint16_t c = 0;
+        for (uint32_t i = 0; i < n; ++i) {
+            cum[i] = c;
+            c = static_cast<uint16_t>(c + freq[i]);
+        }
+        lookup.assign(kProbScale, 0);
+        for (uint32_t s = 0; s < n; ++s)
+            for (uint32_t k = 0; k < freq[s]; ++k)
+                lookup[cum[s] + k] = static_cast<uint16_t>(s);
+    }
+
+    // Normalize raw counts so they sum exactly to kProbScale with every
+    // present symbol >= 1.
+    void build(const std::vector<uint64_t>& counts) {
+        n = static_cast<uint32_t>(counts.size());
+        freq.assign(n, 0);
+        uint64_t total = 0;
+        uint32_t nz = 0;
+        for (auto c : counts) { total += c; if (c) ++nz; }
+        if (!total) { finish(); return; }
+        uint64_t assigned = 0;
+        uint32_t budget = kProbScale - nz;
+        for (uint32_t i = 0; i < n; ++i) {
+            if (!counts[i]) continue;
+            double frac = static_cast<double>(counts[i]) / static_cast<double>(total);
+            uint32_t f = 1 + static_cast<uint32_t>(frac * budget);
+            freq[i] = static_cast<uint16_t>(f);
+            assigned += f;
+        }
+        int64_t diff = static_cast<int64_t>(assigned) - kProbScale;
+        // walk repeatedly, trimming the largest / topping the smallest
+        while (diff != 0) {
+            if (diff > 0) {
+                uint32_t best = 0; uint16_t fmax = 0;
+                for (uint32_t i = 0; i < n; ++i)
+                    if (freq[i] > fmax) { fmax = freq[i]; best = i; }
+                if (fmax <= 1) break;
+                --freq[best]; --diff;
+            } else {
+                uint32_t best = 0; uint16_t fmin = 0xFFFF;
+                for (uint32_t i = 0; i < n; ++i)
+                    if (freq[i] && freq[i] < fmin) { fmin = freq[i]; best = i; }
+                ++freq[best]; ++diff;
+            }
+        }
+        finish();
+    }
+
+    std::vector<uint8_t> serialize() const {
+        std::vector<uint8_t> out;
+        out.push_back(n & 0xFF);
+        out.push_back((n >> 8) & 0xFF);
+        for (uint32_t i = 0; i < n; ++i) {
+            out.push_back(freq[i] & 0xFF);
+            out.push_back((freq[i] >> 8) & 0xFF);
+        }
+        return out;
+    }
+
+    static Table deserialize(const uint8_t*& p) {
+        Table t;
+        t.n = static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8);
+        p += 2;
+        t.freq.resize(t.n);
+        for (uint32_t i = 0; i < t.n; ++i) {
+            t.freq[i] = static_cast<uint16_t>(p[0]) |
+                        static_cast<uint16_t>(p[1]) << 8;
+            p += 2;
+        }
+        t.finish();
+        return t;
+    }
+};
+
+std::vector<uint8_t> rans_encode(const uint32_t* syms, size_t count,
+                                 const Table& t) {
+    std::vector<uint8_t> out;
+    if (!count) return out;
+    uint32_t x = kRansL;
+    for (size_t i = count; i > 0; --i) {
+        uint32_t s = syms[i - 1];
+        uint32_t f = t.freq[s];
+        uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
+        while (x >= x_max) {
+            out.push_back(static_cast<uint8_t>(x & 0xFF));
+            x >>= 8;
+        }
+        x = ((x / f) << kProbBits) + (x % f) + t.cum[s];
+    }
+    for (int i = 0; i < 4; ++i) {
+        out.push_back(static_cast<uint8_t>(x & 0xFF));
+        x >>= 8;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
+}
+
+void rans_decode(const uint8_t* data, size_t size, uint32_t* out,
+                 size_t count, const Table& t) {
+    if (!count) return;
+    const uint8_t* p = data;
+    const uint8_t* end = data + size;
+    uint32_t x = 0;
+    for (int i = 0; i < 4; ++i) x = (x << 8) | *p++;
+    for (size_t i = 0; i < count; ++i) {
+        uint32_t cum = x & (kProbScale - 1);
+        uint32_t s = t.lookup[cum];
+        out[i] = s;
+        x = t.freq[s] * (x >> kProbBits) + cum - t.cum[s];
+        while (x < kRansL && p < end) x = (x << 8) | *p++;
+    }
+}
+
+// rANS with escape (symbol 255 -> varint overflow stream); stream layout:
+// [table][enc_sz u32][encoded][ov_sz u32][overflow]
+std::vector<uint8_t> encode_rans_escape(const uint32_t* vals, uint32_t count) {
+    constexpr uint32_t kEsc = 255;
+    std::vector<uint32_t> syms(count);
+    std::vector<uint8_t> overflow;
+    uint32_t max_seen = 0;
+    for (uint32_t i = 0; i < count; ++i) {
+        if (vals[i] >= kEsc) {
+            syms[i] = kEsc;
+            varint_put(vals[i], overflow);
+            max_seen = kEsc;
+        } else {
+            syms[i] = vals[i];
+            max_seen = std::max(max_seen, vals[i]);
+        }
+    }
+    std::vector<uint64_t> counts(max_seen + 1, 0);
+    for (uint32_t i = 0; i < count; ++i) ++counts[syms[i]];
+    Table t;
+    t.build(counts);
+    auto enc = rans_encode(syms.data(), count, t);
+
+    std::vector<uint8_t> out = t.serialize();
+    put_u32(static_cast<uint32_t>(enc.size()), out);
+    out.insert(out.end(), enc.begin(), enc.end());
+    put_u32(static_cast<uint32_t>(overflow.size()), out);
+    out.insert(out.end(), overflow.begin(), overflow.end());
+    return out;
+}
+
+std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
+                                         uint32_t count) {
+    std::vector<uint32_t> out(count, 0);
+    if (!size || !count) return out;
+    const uint8_t* p = data;
+    Table t = Table::deserialize(p);
+    uint32_t enc_sz = get_u32(p); p += 4;
+    rans_decode(p, enc_sz, out.data(), count, t);
+    p += enc_sz;
+    uint32_t ov_sz = get_u32(p); p += 4;
+    if (ov_sz) {
+        const uint8_t* ov = p;
+        for (uint32_t i = 0; i < count; ++i)
+            if (out[i] == 255) out[i] = static_cast<uint32_t>(varint_get(ov));
+    }
+    return out;
+}
+
+// Byte-shuffled multi-stream rANS for float payloads; layout:
+// [n_streams u8] then per stream [table_sz u32][table][enc_sz u32][encoded]
+std::vector<uint8_t> encode_byteshuffle(const uint8_t* raw, uint32_t count,
+                                        uint32_t bytes_per_value) {
+    std::vector<uint8_t> out;
+    out.push_back(static_cast<uint8_t>(bytes_per_value));
+    std::vector<uint32_t> stream(count);
+    for (uint32_t s = 0; s < bytes_per_value; ++s) {
+        std::vector<uint64_t> counts(256, 0);
+        for (uint32_t k = 0; k < count; ++k) {
+            stream[k] = raw[k * bytes_per_value + s];
+            ++counts[stream[k]];
+        }
+        Table t;
+        t.build(counts);
+        auto tbl = t.serialize();
+        auto enc = rans_encode(stream.data(), count, t);
+        put_u32(static_cast<uint32_t>(tbl.size()), out);
+        out.insert(out.end(), tbl.begin(), tbl.end());
+        put_u32(static_cast<uint32_t>(enc.size()), out);
+        out.insert(out.end(), enc.begin(), enc.end());
+    }
+    return out;
+}
+
+void decode_byteshuffle(const uint8_t* data, size_t size, uint32_t count,
+                        uint8_t* raw_out, uint32_t bytes_per_value) {
+    if (!count) return;
+    const uint8_t* p = data;
+    uint32_t n_streams = *p++;
+    (void)size;
+    std::vector<uint32_t> stream(count);
+    for (uint32_t s = 0; s < n_streams && s < bytes_per_value; ++s) {
+        uint32_t tbl_sz = get_u32(p); p += 4;
+        const uint8_t* tp = p;
+        Table t = Table::deserialize(tp);
+        p += tbl_sz;
+        uint32_t enc_sz = get_u32(p); p += 4;
+        rans_decode(p, enc_sz, stream.data(), count, t);
+        p += enc_sz;
+        for (uint32_t k = 0; k < count; ++k)
+            raw_out[k * bytes_per_value + s] = static_cast<uint8_t>(stream[k]);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// v2 container structs (layout mirrors the published 128-byte header)
+// ---------------------------------------------------------------------------
+
+#pragma pack(push, 1)
+struct Header {
+    uint8_t magic[4];
+    uint16_t version;
+    uint16_t header_size;
+    uint32_t m, n;
+    uint64_t nnz;
+    uint32_t chunk_cols;
+    uint32_t num_chunks;
+    uint32_t num_tables;
+    uint32_t table_log;
+    uint8_t value_type;
+    uint8_t compression_level;
+    uint8_t row_sorted;
+    uint8_t col_sorted;
+    uint32_t most_common_value;
+    uint64_t chunk_index_offset;
+    uint64_t tables_offset;
+    uint64_t data_offset;
+    uint64_t transpose_offset;
+    uint64_t metadata_offset;
+    uint32_t max_value;
+    float density;
+    uint8_t reserved[32];
+};
+struct ChunkDesc {
+    uint32_t col_start;
+    uint32_t num_cols;
+    uint32_t nnz;
+    uint32_t stream_offset[2];
+    uint32_t stream_size[2];
+    uint32_t decoded_gap_bytes;
+    uint32_t decoded_value_bytes;
+    float quant_scale;
+    float quant_offset;
+    uint32_t reserved;
+};
+#pragma pack(pop)
+
+static_assert(sizeof(Header) == 128, "header must be 128 bytes");
+static_assert(sizeof(ChunkDesc) == 48, "chunk descriptor must be 48 bytes");
+
+enum VType : uint8_t { VT_U8 = 0, VT_U16 = 1, VT_U32 = 2, VT_F32 = 3,
+                       VT_F16 = 4, VT_Q8 = 5, VT_F64 = 6 };
+
+thread_local std::string g_error;
+
+// decode gaps stream into row indices + per-column counts
+void decode_gaps(const uint8_t* gp, size_t gap_size, const ChunkDesc& d,
+                 std::vector<uint32_t>& col_counts,
+                 std::vector<uint32_t>& rows) {
+    (void)gap_size;
+    uint32_t cc_size = get_u32(gp);
+    const uint8_t* cc = gp + 4;
+    col_counts.resize(d.num_cols);
+    {
+        const uint8_t* scan = cc;
+        for (uint32_t j = 0; j < d.num_cols; ++j)
+            col_counts[j] = static_cast<uint32_t>(varint_get(scan));
+    }
+    rows.resize(d.nnz);
+    if (!d.nnz) return;
+    auto gaps = decode_rans_escape(gp + 4 + cc_size,
+                                   gap_size - 4 - cc_size, d.nnz);
+    uint32_t idx = 0;
+    for (uint32_t j = 0; j < d.num_cols; ++j) {
+        uint32_t prev = 0;
+        for (uint32_t k = 0; k < col_counts[j]; ++k) {
+            uint32_t row = prev + gaps[idx];
+            rows[idx] = row;
+            prev = row + 1;
+            ++idx;
+        }
+    }
+}
+
+inline float half_to_float(uint16_t h) {
+    uint32_t sign = (h >> 15) & 1, exp = (h >> 10) & 0x1F, man = h & 0x3FF;
+    uint32_t out;
+    if (exp == 0) {
+        if (!man) out = sign << 31;
+        else {
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400)) { man <<= 1; --exp; }
+            man &= 0x3FF;
+            out = (sign << 31) | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 31) {
+        out = (sign << 31) | (0xFFu << 23) | (man << 13);
+    } else {
+        out = (sign << 31) | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &out, 4);
+    return f;
+}
+
+inline uint16_t float_to_half(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t sign = (x >> 31) & 1;
+    int32_t exp = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
+    uint32_t man = x & 0x7FFFFF;
+    if (exp <= 0) return static_cast<uint16_t>(sign << 15);
+    if (exp >= 31) return static_cast<uint16_t>((sign << 15) | (31 << 10));
+    return static_cast<uint16_t>((sign << 15) | (exp << 10) | (man >> 13));
+}
+
+void decode_values(const uint8_t* vp, size_t vsize, const ChunkDesc& d,
+                   uint8_t vtype, float* out) {
+    switch (vtype) {
+        case VT_U8: case VT_U16: case VT_U32: {
+            auto iv = decode_rans_escape(vp, vsize, d.nnz);
+            for (uint32_t k = 0; k < d.nnz; ++k)
+                out[k] = static_cast<float>(iv[k]);
+            break;
+        }
+        case VT_F32: {
+            decode_byteshuffle(vp, vsize, d.nnz,
+                               reinterpret_cast<uint8_t*>(out), 4);
+            break;
+        }
+        case VT_F16: {
+            std::vector<uint16_t> h(d.nnz);
+            decode_byteshuffle(vp, vsize, d.nnz,
+                               reinterpret_cast<uint8_t*>(h.data()), 2);
+            for (uint32_t k = 0; k < d.nnz; ++k) out[k] = half_to_float(h[k]);
+            break;
+        }
+        case VT_Q8: {
+            auto q = decode_rans_escape(vp, vsize, d.nnz);
+            for (uint32_t k = 0; k < d.nnz; ++k)
+                out[k] = d.quant_offset + d.quant_scale * static_cast<float>(q[k]);
+            break;
+        }
+        case VT_F64: {
+            std::vector<double> dv(d.nnz);
+            decode_byteshuffle(vp, vsize, d.nnz,
+                               reinterpret_cast<uint8_t*>(dv.data()), 8);
+            for (uint32_t k = 0; k < d.nnz; ++k)
+                out[k] = static_cast<float>(dv[k]);
+            break;
+        }
+        default:
+            throw std::runtime_error("unsupported value type " +
+                                     std::to_string(vtype));
+    }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+const char* spz_last_error() { return g_error.c_str(); }
+
+// Parse header: returns 0 on success, fills m, n, nnz, value_type,
+// has_transpose (0/1).
+int spz_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
+             uint64_t* nnz, uint8_t* value_type, uint8_t* has_transpose) {
+    try {
+        if (len < sizeof(Header)) throw std::runtime_error("buffer too small");
+        Header h;
+        std::memcpy(&h, buf, sizeof(Header));
+        if (std::memcmp(h.magic, "SPRZ", 4) != 0)
+            throw std::runtime_error("bad magic (not SparsePress v2)");
+        if (h.version != 2) throw std::runtime_error("unsupported version");
+        *m = h.m; *n = h.n; *nnz = h.nnz;
+        *value_type = h.value_type;
+        *has_transpose = h.transpose_offset != 0;
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+// Full decode into caller-allocated CSC arrays:
+//   p: (n+1) int64, i: (nnz) int32, x: (nnz) float32
+// transpose=1 decodes the embedded transpose stream instead (dims swap:
+// caller must size arrays for (n_T = m) columns).
+int spz_decode(const uint8_t* buf, uint64_t len, int transpose,
+               int64_t* p_out, int32_t* i_out, float* x_out) {
+    try {
+        Header h;
+        std::memcpy(&h, buf, sizeof(Header));
+        if (std::memcmp(h.magic, "SPRZ", 4) != 0)
+            throw std::runtime_error("bad magic");
+        uint64_t desc_off = h.chunk_index_offset;
+        uint64_t data_off = h.data_offset;
+        uint32_t out_cols = h.n;
+        uint32_t num_chunks = h.num_chunks;
+        if (transpose) {
+            if (!h.transpose_offset)
+                throw std::runtime_error("no transpose stream present");
+            // transpose section layout: [t_num_chunks u32][descs][data]
+            const uint8_t* tp = buf + h.transpose_offset;
+            num_chunks = get_u32(tp);
+            desc_off = h.transpose_offset + 4;
+            data_off = desc_off + static_cast<uint64_t>(num_chunks) * sizeof(ChunkDesc);
+            out_cols = h.m;
+        }
+        (void)len;
+        std::vector<ChunkDesc> descs(num_chunks);
+        std::memcpy(descs.data(), buf + desc_off,
+                    num_chunks * sizeof(ChunkDesc));
+
+        uint64_t out_nnz = 0;
+        for (auto& d : descs) {
+            const uint8_t* base = buf + data_off;
+            std::vector<uint32_t> col_counts, rows;
+            decode_gaps(base + d.stream_offset[0], d.stream_size[0], d,
+                        col_counts, rows);
+            for (uint32_t j = 0; j < d.num_cols; ++j) {
+                p_out[d.col_start + j] = static_cast<int64_t>(out_nnz);
+                out_nnz += col_counts[j];
+            }
+            // row indices
+            std::memcpy(i_out + (out_nnz - d.nnz), rows.data(),
+                        d.nnz * sizeof(int32_t));
+            decode_values(base + d.stream_offset[1], d.stream_size[1], d,
+                          h.value_type, x_out + (out_nnz - d.nnz));
+        }
+        p_out[out_cols] = static_cast<int64_t>(out_nnz);
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+// Encode CSC (p int64 (n+1), i int32, x float32) into a v2 buffer.
+// value_type: 0/1/2 integer widths, 3 f32, 4 f16, 6 f64 input semantics
+// (values cast from the f32 input).  with_transpose also encodes A^T for
+// streaming W-updates.  Returns the number of bytes written, or -1; call
+// with out=nullptr to query the required size (two-pass).
+int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
+                   const float* x, uint8_t value_type, uint32_t chunk_cols,
+                   int with_transpose, uint8_t* out, uint64_t out_cap) {
+    try {
+        if (chunk_cols == 0) chunk_cols = 2048;
+        uint64_t nnz = static_cast<uint64_t>(p[n]);
+
+        auto encode_side = [&](uint32_t ncols, uint32_t nrows,
+                               const int64_t* sp, const int32_t* si,
+                               const float* sx,
+                               std::vector<ChunkDesc>& descs,
+                               std::vector<uint8_t>& data) {
+            uint32_t nchunks = (ncols + chunk_cols - 1) / chunk_cols;
+            if (ncols == 0) nchunks = 0;
+            descs.resize(nchunks);
+            (void)nrows;
+            for (uint32_t c = 0; c < nchunks; ++c) {
+                ChunkDesc& d = descs[c];
+                d.col_start = c * chunk_cols;
+                d.num_cols = std::min(chunk_cols, ncols - d.col_start);
+                uint64_t lo = static_cast<uint64_t>(sp[d.col_start]);
+                uint64_t hi = static_cast<uint64_t>(sp[d.col_start + d.num_cols]);
+                d.nnz = static_cast<uint32_t>(hi - lo);
+
+                // gaps
+                std::vector<uint8_t> gap_stream;
+                {
+                    std::vector<uint8_t> cc;
+                    for (uint32_t j = 0; j < d.num_cols; ++j)
+                        varint_put(static_cast<uint64_t>(
+                            sp[d.col_start + j + 1] - sp[d.col_start + j]), cc);
+                    std::vector<uint32_t> gaps(d.nnz);
+                    uint32_t gi = 0;
+                    for (uint32_t j = 0; j < d.num_cols; ++j) {
+                        uint32_t prev = 0;
+                        for (int64_t k = sp[d.col_start + j];
+                             k < sp[d.col_start + j + 1]; ++k) {
+                            uint32_t row = static_cast<uint32_t>(si[k]);
+                            gaps[gi++] = row - prev;
+                            prev = row + 1;
+                        }
+                    }
+                    put_u32(static_cast<uint32_t>(cc.size()), gap_stream);
+                    gap_stream.insert(gap_stream.end(), cc.begin(), cc.end());
+                    if (d.nnz) {
+                        auto enc = encode_rans_escape(gaps.data(), d.nnz);
+                        gap_stream.insert(gap_stream.end(), enc.begin(), enc.end());
+                    }
+                }
+
+                // values
+                std::vector<uint8_t> val_stream;
+                if (d.nnz) {
+                    const float* vals = sx + lo;
+                    switch (value_type) {
+                        case VT_U8: case VT_U16: case VT_U32: {
+                            std::vector<uint32_t> iv(d.nnz);
+                            for (uint32_t k = 0; k < d.nnz; ++k)
+                                iv[k] = static_cast<uint32_t>(vals[k] + 0.5f);
+                            val_stream = encode_rans_escape(iv.data(), d.nnz);
+                            break;
+                        }
+                        case VT_F32: {
+                            val_stream = encode_byteshuffle(
+                                reinterpret_cast<const uint8_t*>(vals), d.nnz, 4);
+                            break;
+                        }
+                        case VT_F16: {
+                            std::vector<uint16_t> hv(d.nnz);
+                            for (uint32_t k = 0; k < d.nnz; ++k)
+                                hv[k] = float_to_half(vals[k]);
+                            val_stream = encode_byteshuffle(
+                                reinterpret_cast<const uint8_t*>(hv.data()),
+                                d.nnz, 2);
+                            break;
+                        }
+                        case VT_F64: {
+                            std::vector<double> dv(vals, vals + d.nnz);
+                            val_stream = encode_byteshuffle(
+                                reinterpret_cast<const uint8_t*>(dv.data()),
+                                d.nnz, 8);
+                            break;
+                        }
+                        default:
+                            throw std::runtime_error("unsupported value type for encode");
+                    }
+                }
+
+                d.stream_offset[0] = static_cast<uint32_t>(data.size());
+                d.stream_size[0] = static_cast<uint32_t>(gap_stream.size());
+                data.insert(data.end(), gap_stream.begin(), gap_stream.end());
+                d.stream_offset[1] = static_cast<uint32_t>(data.size());
+                d.stream_size[1] = static_cast<uint32_t>(val_stream.size());
+                data.insert(data.end(), val_stream.begin(), val_stream.end());
+            }
+        };
+
+        std::vector<ChunkDesc> descs;
+        std::vector<uint8_t> data;
+        encode_side(n, m, p, i, x, descs, data);
+
+        // optional transpose stream (CSC of A^T built here)
+        std::vector<ChunkDesc> t_descs;
+        std::vector<uint8_t> t_data;
+        if (with_transpose) {
+            std::vector<int64_t> tp(m + 1, 0);
+            std::vector<int32_t> ti(nnz);
+            std::vector<float> tx(nnz);
+            for (uint64_t k = 0; k < nnz; ++k) ++tp[i[k] + 1];
+            for (uint32_t r = 0; r < m; ++r) tp[r + 1] += tp[r];
+            std::vector<int64_t> cursor(tp.begin(), tp.end() - 1);
+            for (uint32_t j = 0; j < n; ++j)
+                for (int64_t k = p[j]; k < p[j + 1]; ++k) {
+                    int64_t dst = cursor[i[k]]++;
+                    ti[dst] = static_cast<int32_t>(j);
+                    tx[dst] = x[k];
+                }
+            encode_side(m, n, tp.data(), ti.data(), tx.data(), t_descs, t_data);
+        }
+
+        Header h;
+        std::memset(&h, 0, sizeof(h));
+        std::memcpy(h.magic, "SPRZ", 4);
+        h.version = 2;
+        h.header_size = 128;
+        h.m = m; h.n = n; h.nnz = nnz;
+        h.chunk_cols = chunk_cols;
+        h.num_chunks = static_cast<uint32_t>(descs.size());
+        h.table_log = kProbBits;
+        h.value_type = value_type;
+        h.density = (m && n)
+            ? static_cast<float>(static_cast<double>(nnz) / (static_cast<double>(m) * n))
+            : 0.0f;
+        h.chunk_index_offset = sizeof(Header);
+        h.data_offset = h.chunk_index_offset + descs.size() * sizeof(ChunkDesc);
+        uint64_t pos = h.data_offset + data.size();
+        if (with_transpose) {
+            h.transpose_offset = pos;
+            pos += 4 + t_descs.size() * sizeof(ChunkDesc) + t_data.size();
+        }
+        // footer
+        uint64_t total = pos + 16;
+
+        if (!out) return static_cast<int64_t>(total);
+        if (out_cap < total) throw std::runtime_error("output buffer too small");
+
+        uint8_t* w = out;
+        std::memcpy(w, &h, sizeof(h)); w += sizeof(h);
+        std::memcpy(w, descs.data(), descs.size() * sizeof(ChunkDesc));
+        w += descs.size() * sizeof(ChunkDesc);
+        std::memcpy(w, data.data(), data.size()); w += data.size();
+        if (with_transpose) {
+            uint32_t tc = static_cast<uint32_t>(t_descs.size());
+            std::memcpy(w, &tc, 4); w += 4;
+            std::memcpy(w, t_descs.data(), t_descs.size() * sizeof(ChunkDesc));
+            w += t_descs.size() * sizeof(ChunkDesc);
+            std::memcpy(w, t_data.data(), t_data.size()); w += t_data.size();
+        }
+        // footer: [metadata_size u32][crc u32][total_chunks u32]["SPEN"]
+        uint32_t zero = 0;
+        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &h.num_chunks, 4); w += 4;
+        std::memcpy(w, "SPEN", 4); w += 4;
+        return static_cast<int64_t>(total);
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+// Decode a single chunk's columns (for the streaming loader): chunk index c
+// of the forward (transpose=0) or transpose (=1) stream.  Caller sizes
+// arrays from spz_chunk_info.
+int spz_chunk_info(const uint8_t* buf, uint64_t len, int transpose,
+                   uint32_t chunk_idx, uint32_t* col_start,
+                   uint32_t* num_cols, uint32_t* nnz) {
+    try {
+        Header h;
+        std::memcpy(&h, buf, sizeof(Header));
+        uint64_t desc_off = h.chunk_index_offset;
+        uint32_t num_chunks = h.num_chunks;
+        if (transpose) {
+            if (!h.transpose_offset) throw std::runtime_error("no transpose");
+            const uint8_t* tp = buf + h.transpose_offset;
+            num_chunks = get_u32(tp);
+            desc_off = h.transpose_offset + 4;
+        }
+        (void)len;
+        if (chunk_idx >= num_chunks) throw std::runtime_error("chunk out of range");
+        ChunkDesc d;
+        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(ChunkDesc),
+                    sizeof(ChunkDesc));
+        *col_start = d.col_start;
+        *num_cols = d.num_cols;
+        *nnz = d.nnz;
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+int spz_num_chunks(const uint8_t* buf, uint64_t len, int transpose,
+                   uint32_t* out) {
+    try {
+        Header h;
+        std::memcpy(&h, buf, sizeof(Header));
+        (void)len;
+        if (transpose) {
+            if (!h.transpose_offset) { *out = 0; return 0; }
+            *out = get_u32(buf + h.transpose_offset);
+        } else {
+            *out = h.num_chunks;
+        }
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+int spz_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
+                     uint32_t chunk_idx, int64_t* p_out, int32_t* i_out,
+                     float* x_out) {
+    try {
+        Header h;
+        std::memcpy(&h, buf, sizeof(Header));
+        uint64_t desc_off = h.chunk_index_offset;
+        uint64_t data_off = h.data_offset;
+        uint32_t num_chunks = h.num_chunks;
+        if (transpose) {
+            const uint8_t* tp = buf + h.transpose_offset;
+            num_chunks = get_u32(tp);
+            desc_off = h.transpose_offset + 4;
+            data_off = desc_off + static_cast<uint64_t>(num_chunks) * sizeof(ChunkDesc);
+        }
+        (void)len;
+        ChunkDesc d;
+        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(ChunkDesc),
+                    sizeof(ChunkDesc));
+        const uint8_t* base = buf + data_off;
+        std::vector<uint32_t> col_counts, rows;
+        decode_gaps(base + d.stream_offset[0], d.stream_size[0], d,
+                    col_counts, rows);
+        uint64_t off = 0;
+        for (uint32_t j = 0; j < d.num_cols; ++j) {
+            p_out[j] = static_cast<int64_t>(off);
+            off += col_counts[j];
+        }
+        p_out[d.num_cols] = static_cast<int64_t>(off);
+        std::memcpy(i_out, rows.data(), d.nnz * sizeof(int32_t));
+        decode_values(base + d.stream_offset[1], d.stream_size[1], d,
+                      h.value_type, x_out);
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+}  // extern "C"

@@ -29,14 +29,18 @@ def _pair(x, name: str):
     return float(x[0]), float(x[1])
 
 
-def _to_dense_f32(data):
-    """Accept numpy / scipy.sparse; return dense float32 (m, n)."""
+def _is_sparse(data) -> bool:
     try:
         import scipy.sparse as sp
-        if sp.issparse(data):
-            return np.asarray(data.todense(), dtype=np.float32)
+        return sp.issparse(data)
     except ImportError:
-        pass
+        return False
+
+
+def _to_dense_f32(data):
+    """Accept numpy / scipy.sparse; return dense float32 (m, n)."""
+    if _is_sparse(data):
+        return np.asarray(data.todense(), dtype=np.float32)
     arr = np.asarray(data, dtype=np.float32)
     if arr.ndim != 2:
         raise ValueError("data must be a 2-D matrix")
@@ -156,13 +160,27 @@ def build_config(
 
 
 def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
-        target_W=None, w_init=None, h_init=None, **kwargs):
+        target_W=None, w_init=None, h_init=None, streaming=False,
+        chunk_cols=None, **kwargs):
     """Fit A ~ W diag(d) H.  The main entry point (R/nmf_thin.R:219).
 
     ``k`` may be an int (single fit), a sequence of ints with
     ``test_fraction > 0`` (CV sweep -> returns a list of dict rows), or
-    ``"auto"`` (CV rank search).
+    ``"auto"`` (CV rank search).  ``data`` may be a path to a ``.spz`` file
+    (out-of-core streaming path, R/nmf_thin.R:422-627) and ``streaming=True``
+    forces the chunked loader for in-memory matrices.
     """
+    # streaming / out-of-core dispatch (nmf/fit_streaming_spz.hpp:54)
+    is_spz = isinstance(data, str) and data.endswith(".spz")
+    if is_spz or streaming:
+        from .io.loaders import InMemoryLoader, SpzLoader
+        from .models.nmf_chunked import nmf_chunked
+        cfg = build_config(int(k), **kwargs)
+        loader = (SpzLoader(data) if is_spz
+                  else InMemoryLoader(data, chunk_cols=chunk_cols))
+        return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init)
+
+    sparse_input = _is_sparse(data)
     A = _to_dense_f32(data)
 
     # multi-rank CV sweep / auto-rank dispatch (R/nmf_thin.R:922-1094)
@@ -201,7 +219,9 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     if cfg.is_cv() or mask is not None:
         from .models.nmf_cv import fit_cv_or_masked
         return fit_cv_or_masked(A, cfg, mask=mask, aux=aux,
-                                w_init=w_init, h_init=h_init)
+                                w_init=w_init, h_init=h_init,
+                                sparse_zeros=sparse_input)
 
     from .models.nmf import nmf_fit
-    return nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux)
+    return nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,
+                   sparse_zeros=sparse_input)

@@ -1,0 +1,61 @@
+"""Built-in parity datasets, loaded from the reference package's .rda files
+(SURVEY.md §2.12): aml (dense ATAC), movielens (sparse ratings), golub,
+hawaiibirds, olivetti (faces), digits, pbmc3k (scRNA-seq shipped as raw SPZ
+bytes -> decoded via the streampress reader).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+_DATA_DIR = os.environ.get("RCPPML_TPU_DATA",
+                           "/root/reference/data")
+
+
+@functools.lru_cache(maxsize=None)
+def _load_rda(name: str):
+    from .io.rdata import read_rda
+    path = os.path.join(_DATA_DIR, f"{name}.rda")
+    return read_rda(path)[name]
+
+
+def aml() -> np.ndarray:
+    """824 x 135 dense ATAC-seq signal matrix."""
+    return np.asarray(_load_rda("aml"), dtype=np.float32)
+
+
+def movielens():
+    """3,867 x 610 sparse movie-ratings matrix (csc)."""
+    return _load_rda("movielens")
+
+
+def golub():
+    """38 x 5,000 leukemia expression matrix (csc)."""
+    return _load_rda("golub")
+
+
+def hawaiibirds():
+    """183 x 1,183 bird-count matrix (csc)."""
+    return _load_rda("hawaiibirds")
+
+
+def olivetti():
+    """400 x 4,096 face-image matrix (csc, effectively dense)."""
+    return _load_rda("olivetti")
+
+
+def digits():
+    """1,797 x 64 handwritten-digit matrix (csc)."""
+    return _load_rda("digits")
+
+
+def pbmc3k():
+    """13,714 x 2,638 scRNA-seq counts, decoded from embedded SPZ bytes
+    (tests/testthat/helper-test-utils.R:19-25)."""
+    raw = _load_rda("pbmc3k")
+    from .io.spz import decompress_spz_bytes
+    return decompress_spz_bytes(np.asarray(raw, dtype=np.uint8).tobytes())

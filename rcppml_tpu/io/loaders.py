@@ -1,0 +1,173 @@
+"""DataLoader abstraction for larger-than-memory NMF.
+
+TPU equivalent of ``inst/include/FactorNet/io/`` (loader.hpp:60 interface,
+in_memory.hpp, spz_loader.hpp, caching_loader.hpp, ping_pong_prefetch.hpp):
+iterate column panels of A and of A^T, with a background-thread prefetcher
+that overlaps host-side decode with device compute (the reference's
+2-slot ping-pong double buffer).
+
+Panels are delivered as DENSE float32 blocks ready for ``jax.device_put`` —
+on TPU the dense MXU path consumes them directly.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import math
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class Chunk:
+    """One column panel (io/loader.hpp Chunk, :40-50)."""
+
+    __slots__ = ("col_start", "num_cols", "data")
+
+    def __init__(self, col_start: int, data: np.ndarray):
+        self.col_start = col_start
+        self.num_cols = data.shape[1]
+        self.data = data
+
+
+class DataLoader:
+    """Interface: chunk iteration over A and A^T panels (loader.hpp:60)."""
+
+    shape: Tuple[int, int]
+
+    def num_chunks(self, transpose: bool = False) -> int:
+        raise NotImplementedError
+
+    def chunk(self, idx: int, transpose: bool = False) -> Chunk:
+        raise NotImplementedError
+
+    def iter_chunks(self, transpose: bool = False) -> Iterator[Chunk]:
+        for c in range(self.num_chunks(transpose)):
+            yield self.chunk(c, transpose)
+
+    def trace_sq(self) -> float:
+        """sum(A^2) accumulated chunk-wise."""
+        total = 0.0
+        for ch in self.iter_chunks():
+            total += float((ch.data.astype(np.float64) ** 2).sum())
+        return total
+
+
+def auto_chunk_cols(m: int, budget_bytes: int = 256 << 20,
+                    lo: int = 256, hi: int = 32768) -> int:
+    """Panel width ~ a fixed device-transfer budget, clamped [256, 32768]
+    (io/chunk_size.hpp semantics)."""
+    cols = max(1, budget_bytes // max(4 * m, 1))
+    return int(min(max(cols, lo), hi))
+
+
+class InMemoryLoader(DataLoader):
+    """Zero-copy panel views over an in-RAM matrix (io/in_memory.hpp:40)."""
+
+    def __init__(self, A, chunk_cols: Optional[int] = None):
+        self._sparse = hasattr(A, "tocsc")
+        if self._sparse:
+            self.A = A.tocsc()
+            self.At = A.tocsr().T.tocsc()   # CSC of A^T
+        else:
+            self.A = np.asarray(A, dtype=np.float32)
+            self.At = None
+        self.shape = self.A.shape
+        m, n = self.shape
+        self.chunk_cols = chunk_cols or auto_chunk_cols(m)
+        self.chunk_cols_t = chunk_cols or auto_chunk_cols(n)
+
+    def num_chunks(self, transpose: bool = False) -> int:
+        n = self.shape[0] if transpose else self.shape[1]
+        cc = self.chunk_cols_t if transpose else self.chunk_cols
+        return max(1, math.ceil(n / cc))
+
+    def chunk(self, idx: int, transpose: bool = False) -> Chunk:
+        cc = self.chunk_cols_t if transpose else self.chunk_cols
+        start = idx * cc
+        if transpose:
+            stop = min(start + cc, self.shape[0])
+            if self._sparse:
+                block = np.asarray(self.At[:, start:stop].todense(),
+                                   dtype=np.float32)
+            else:
+                block = np.ascontiguousarray(self.A[start:stop].T)
+        else:
+            stop = min(start + cc, self.shape[1])
+            if self._sparse:
+                block = np.asarray(self.A[:, start:stop].todense(),
+                                   dtype=np.float32)
+            else:
+                block = self.A[:, start:stop]
+        return Chunk(start, block)
+
+
+class SpzLoader(DataLoader):
+    """Chunk-at-a-time decode of a .spz v2 file (io/spz_loader.hpp:45).
+
+    Requires a transpose stream for W-updates, like the reference
+    (fit_streaming_spz.hpp:94-101).
+    """
+
+    def __init__(self, path_or_bytes):
+        from .spz import SpzChunkReader
+        self.reader = SpzChunkReader(path_or_bytes)
+        info = self.reader.info
+        self.shape = (info["m"], info["n"])
+        if not info["has_transpose"]:
+            raise ValueError(
+                "streaming NMF needs a transpose stream; re-write the .spz "
+                "with with_transpose=True (st_add_transpose)")
+
+    def num_chunks(self, transpose: bool = False) -> int:
+        return self.reader.num_chunks(transpose)
+
+    def chunk(self, idx: int, transpose: bool = False) -> Chunk:
+        col_start, sub = self.reader.chunk(idx, transpose)
+        return Chunk(col_start, np.asarray(sub.todense(), dtype=np.float32))
+
+
+class CachingLoader(DataLoader):
+    """In-RAM decoded-chunk cache wrapper (io/caching_loader.hpp:40)."""
+
+    def __init__(self, inner: DataLoader, max_items: int = 64):
+        self.inner = inner
+        self.shape = inner.shape
+        self.max_items = max_items
+        self._cache = {}
+
+    def num_chunks(self, transpose: bool = False) -> int:
+        return self.inner.num_chunks(transpose)
+
+    def chunk(self, idx: int, transpose: bool = False) -> Chunk:
+        key = (idx, transpose)
+        if key not in self._cache:
+            if len(self._cache) >= self.max_items:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = self.inner.chunk(idx, transpose)
+        return self._cache[key]
+
+
+class Prefetcher:
+    """Background-thread double buffering (io/ping_pong_prefetch.hpp:37):
+    decode chunk c+1 on a worker thread while chunk c computes on device."""
+
+    def __init__(self, loader: DataLoader, transpose: bool):
+        self.loader = loader
+        self.transpose = transpose
+        self.n = loader.num_chunks(transpose)
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def __iter__(self):
+        if self.n == 0:
+            return
+        fut = self._pool.submit(self.loader.chunk, 0, self.transpose)
+        for c in range(self.n):
+            chunk = fut.result()
+            if c + 1 < self.n:
+                fut = self._pool.submit(self.loader.chunk, c + 1,
+                                        self.transpose)
+            yield chunk
+
+    def close(self):
+        self._pool.shutdown(wait=False)

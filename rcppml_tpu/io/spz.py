@@ -1,0 +1,215 @@
+"""SparsePress (.spz) v2 reader/writer — ctypes bindings to the native codec.
+
+Python surface for the C++ codec in ``native/streampress.cpp`` (rANS +
+varint gap coding, byte-shuffled float streams).  Mirrors the reference's
+``st_write/st_read/st_info/st_read_transpose`` R API
+(R/streampress.R:69-760) with scipy CSC matrices.
+
+The shared library is built on first use (g++ is in the image); set
+``RCPPML_TPU_NO_BUILD=1`` to disable auto-build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libstreampress.so")
+
+VALUE_TYPES = {"uint8": 0, "uint16": 1, "uint32": 2, "float32": 3,
+               "float16": 4, "quant8": 5, "float64": 6}
+VALUE_TYPE_NAMES = {v: k for k, v in VALUE_TYPES.items()}
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if os.environ.get("RCPPML_TPU_NO_BUILD"):
+            raise RuntimeError("libstreampress.so not built")
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.spz_last_error.restype = ctypes.c_char_p
+    lib.spz_info.restype = ctypes.c_int
+    lib.spz_decode.restype = ctypes.c_int
+    lib.spz_encode.restype = ctypes.c_int64
+    lib.spz_num_chunks.restype = ctypes.c_int
+    lib.spz_chunk_info.restype = ctypes.c_int
+    lib.spz_decode_chunk.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def _err(lib):
+    return lib.spz_last_error().decode()
+
+
+def _as_buf(data: bytes):
+    return (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+
+
+def spz_info_bytes(data: bytes) -> dict:
+    lib = _load_lib()
+    m = ctypes.c_uint32()
+    n = ctypes.c_uint32()
+    nnz = ctypes.c_uint64()
+    vt = ctypes.c_uint8()
+    ht = ctypes.c_uint8()
+    buf = _as_buf(data)
+    if lib.spz_info(buf, len(data), ctypes.byref(m), ctypes.byref(n),
+                    ctypes.byref(nnz), ctypes.byref(vt), ctypes.byref(ht)):
+        raise ValueError(f"spz_info: {_err(lib)}")
+    return {"m": m.value, "n": n.value, "nnz": nnz.value,
+            "value_type": VALUE_TYPE_NAMES.get(vt.value, vt.value),
+            "has_transpose": bool(ht.value), "version": 2}
+
+
+def decompress_spz_bytes(data: bytes, transpose: bool = False):
+    """Decode a full .spz v2 buffer into a scipy CSC matrix."""
+    import scipy.sparse as sp
+    lib = _load_lib()
+    info = spz_info_bytes(data)
+    m, n, nnz = info["m"], info["n"], info["nnz"]
+    if transpose:
+        if not info["has_transpose"]:
+            raise ValueError("no transpose stream in this .spz")
+        m, n = n, m
+    p = np.zeros(n + 1, dtype=np.int64)
+    i = np.zeros(nnz, dtype=np.int32)
+    x = np.zeros(nnz, dtype=np.float32)
+    buf = _as_buf(data)
+    rc = lib.spz_decode(buf, len(data), int(transpose),
+                        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise ValueError(f"spz_decode: {_err(lib)}")
+    return sp.csc_matrix((x, i, p), shape=(m, n))
+
+
+def compress_to_spz_bytes(mat, *, value_type: str = "auto",
+                          chunk_cols: int = 2048,
+                          with_transpose: bool = True) -> bytes:
+    """Encode a scipy sparse / dense matrix into a .spz v2 buffer."""
+    import scipy.sparse as sp
+    if not sp.issparse(mat):
+        mat = sp.csc_matrix(np.asarray(mat))
+    mat = mat.tocsc()
+    mat.sort_indices()
+    x = np.asarray(mat.data, dtype=np.float32)
+    if value_type == "auto":
+        ints = np.all(x == np.round(x)) and np.all(x >= 0)
+        if ints and (x.max(initial=0) < 65536):
+            value_type = "uint16"
+        elif ints and (x.max(initial=0) < 2 ** 32):
+            value_type = "uint32"
+        else:
+            value_type = "float32"
+    vt = VALUE_TYPES[value_type]
+
+    lib = _load_lib()
+    m, n = mat.shape
+    p = np.asarray(mat.indptr, dtype=np.int64)
+    i = np.asarray(mat.indices, dtype=np.int32)
+    pp = p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    ip = i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    size = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols,
+                          int(with_transpose), None, 0)
+    if size < 0:
+        raise ValueError(f"spz_encode: {_err(lib)}")
+    out = np.zeros(size, dtype=np.uint8)
+    rc = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols, int(with_transpose),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        size)
+    if rc < 0:
+        raise ValueError(f"spz_encode: {_err(lib)}")
+    return out[:rc].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# File-level API mirroring R/streampress.R
+# ---------------------------------------------------------------------------
+
+def st_write(mat, path: str, *, value_type: str = "auto",
+             chunk_cols: int = 2048, with_transpose: bool = True) -> dict:
+    data = compress_to_spz_bytes(mat, value_type=value_type,
+                                 chunk_cols=chunk_cols,
+                                 with_transpose=with_transpose)
+    with open(path, "wb") as f:
+        f.write(data)
+    return spz_info_bytes(data)
+
+
+def st_read(path: str):
+    with open(path, "rb") as f:
+        return decompress_spz_bytes(f.read())
+
+
+def st_read_transpose(path: str):
+    with open(path, "rb") as f:
+        return decompress_spz_bytes(f.read(), transpose=True)
+
+
+def st_info(path: str) -> dict:
+    with open(path, "rb") as f:
+        head = f.read(4096)
+        info = spz_info_bytes(head)
+        info["file_size"] = os.path.getsize(path)
+    return info
+
+
+class SpzChunkReader:
+    """Random-access chunk reader — the DataLoader seam for streaming NMF
+    (io/spz_loader.hpp:45).  Keeps the compressed buffer in RAM and decodes
+    column panels on demand."""
+
+    def __init__(self, path_or_bytes):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            self.data = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                self.data = f.read()
+        self.lib = _load_lib()
+        self.info = spz_info_bytes(self.data)
+        self._buf = _as_buf(self.data)
+
+    def num_chunks(self, transpose: bool = False) -> int:
+        out = ctypes.c_uint32()
+        if self.lib.spz_num_chunks(self._buf, len(self.data), int(transpose),
+                                   ctypes.byref(out)):
+            raise ValueError(_err(self.lib))
+        return out.value
+
+    def chunk(self, idx: int, transpose: bool = False):
+        """Decode chunk ``idx`` -> (col_start, csc_submatrix)."""
+        import scipy.sparse as sp
+        cs = ctypes.c_uint32()
+        nc = ctypes.c_uint32()
+        nz = ctypes.c_uint32()
+        if self.lib.spz_chunk_info(self._buf, len(self.data), int(transpose),
+                                   idx, ctypes.byref(cs), ctypes.byref(nc),
+                                   ctypes.byref(nz)):
+            raise ValueError(_err(self.lib))
+        p = np.zeros(nc.value + 1, dtype=np.int64)
+        i = np.zeros(nz.value, dtype=np.int32)
+        x = np.zeros(nz.value, dtype=np.float32)
+        if self.lib.spz_decode_chunk(
+                self._buf, len(self.data), int(transpose), idx,
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+            raise ValueError(_err(self.lib))
+        rows = self.info["n"] if transpose else self.info["m"]
+        sub = sp.csc_matrix((x, i, p), shape=(rows, nc.value))
+        return cs.value, sub

@@ -247,7 +247,8 @@ def init_factors(cfg: NMFConfig, m: int, n: int, A=None,
 # ---------------------------------------------------------------------------
 
 def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
-            aux: Optional[dict] = None, device_A=None) -> NMFResult:
+            aux: Optional[dict] = None, device_A=None,
+            sparse_zeros: bool = False) -> NMFResult:
     """Fit NMF on a dense (or densified) matrix.
 
     ``A``: (m, n) numpy array (fp32 internally, like the reference's
@@ -269,7 +270,8 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
 
     if cfg.requires_irls():
         from .nmf_irls import fit_irls
-        return fit_irls(A_dev, cfg, W_T0, H0, d0, aux_dev)
+        return fit_irls(A_dev, cfg, W_T0, H0, d0, aux_dev,
+                        sparse_zeros=sparse_zeros)
 
     state = _fit_mse(cfg, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
                      jnp.asarray(d0), aux_dev)

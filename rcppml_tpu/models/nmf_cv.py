@@ -1,0 +1,333 @@
+"""Speckled-holdout cross-validation and masked NMF.
+
+TPU re-architecture of the reference CV engine (``nmf/fit_cv.hpp:124-1667``,
+``nmf/speckled_cv.hpp:58-339``, ``nmf/masked_nnls.hpp:73-178``).
+
+The reference corrects the Gram per column (``G_local = G - W_test W_test^T``,
+cv_detail.hpp:54-84) in an OpenMP loop.  On TPU this becomes a *weighted*
+batched solve: the train mask is a dense 0/1 weight field and each column's
+Gram is ``W_T diag(train_j) W_T^T`` computed as one blocked batched MXU
+einsum — numerically the same down-date, every column solved at once with a
+batched Cholesky or lane-parallel CD.
+
+Holdout masks stay a pure function of (seed, i, j) — SplitMix64 position
+hash identical to the reference (rng/rng.hpp:129-170), materialized
+host-side as a dense bool array for the in-memory path.
+
+CV convergence (fit_cv.hpp:1584-1621): patience on test-loss improvement,
+plus immediate stop when the test-loss relative change drops below tol.
+``train_loss``/``test_loss`` are per-entry means (fit_cv.hpp:1545-1548).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import rng as rng_mod
+from ..config import Dispersion, Loss, NMFConfig, Solver
+from ..ops import features as feat
+from ..ops import linalg, losses, solvers
+from ..ops.linalg import PREC
+from ..result import NMFResult
+from . import nmf as nmf_mod
+from .nmf_irls import (_block_count, _init_dispersion, _pad_cols,
+                       gp_theta_update, irls_solve_batch, nb_size_update,
+                       phi_update)
+
+
+class CVState(NamedTuple):
+    W_T: jax.Array
+    H: jax.Array
+    d: jax.Array
+    disp_row: jax.Array
+    disp_col: jax.Array
+    it: jax.Array
+    prev_conv_loss: jax.Array      # previous test loss (CV) / train (masked)
+    patience_ctr: jax.Array
+    converged: jax.Array
+    final_tol: jax.Array
+    train_hist: jax.Array
+    test_hist: jax.Array
+    best_test_loss: jax.Array
+    best_iter: jax.Array
+
+
+def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
+    """MSE masked solve: per-column Gram over train entries only.
+
+    A_data (m, nc), F (k, m), train_w (m, nc) 0/1.  Blocked batched solve;
+    equivalent to the reference per-column Gram correction
+    (cv_detail.hpp:54-84) since sum_train w w' = G_full - sum_test w w'.
+    """
+    k, m = F.shape
+    n = A_data.shape[1]
+    dtype = A_data.dtype
+    bc = _block_count(n, k, m)
+    A_pad, _ = _pad_cols(A_data, bc)
+    W_pad, _ = _pad_cols(train_w, bc)
+    X_warm_pad, _ = _pad_cols(X_warm, bc)
+    nblocks = A_pad.shape[1] // bc
+    eye = jnp.eye(k, dtype=dtype)
+
+    def solve_block(blk_idx):
+        A_blk = lax.dynamic_slice_in_dim(A_pad, blk_idx * bc, bc, axis=1)
+        w_blk = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
+        Fw = F[None, :, :] * w_blk.T[:, None, :]                  # (bc, k, m)
+        Gb = jnp.einsum("jkm,lm->jkl", Fw, F, precision=PREC)
+        Gb = Gb + (1e-15 + fc.L2) * eye[None]
+        b = jnp.dot(F, w_blk * A_blk, precision=PREC)             # (k, bc)
+        if fc.L1 > 0:
+            b = b - fc.L1
+        if cfg.solver == Solver.CHOLESKY:
+            return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
+        X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
+        B_res = b - solvers.batched_gram_matvec(Gb, X0)
+        return solvers.cd_nnls_batched_gram(
+            Gb, B_res, X0, 0.0, nonneg=fc.nonneg,
+            maxit=cfg.cd_max_iter, cd_tol=cfg.cd_tol)
+
+    X_blocks = lax.map(solve_block, jnp.arange(nblocks))
+    return jnp.transpose(X_blocks, (1, 0, 2)).reshape(k, nblocks * bc)[:, :n]
+
+
+@partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv"))
+def _fit_masked_jit(cfg: NMFConfig, A, M_test, W_T0, H0, d0,
+                    disp_row0, disp_col0, sparse_zeros: bool, is_cv: bool):
+    """Unified masked / CV ALS loop.
+
+    ``M_test`` (m, n) bool — held-out (CV) or masked-out (user mask) entries,
+    excluded from every solve.  When ``is_cv``: test-loss early stopping and
+    best-iteration tracking; otherwise standard patience on the masked train
+    loss (masked_nnls.hpp semantics).
+    """
+    dtype = A.dtype
+    m, n = A.shape
+    max_iter = cfg.max_iter
+    train_w = (~M_test).astype(dtype)
+    test_w = M_test.astype(dtype)
+    n_test = jnp.sum(test_w)
+    if sparse_zeros:
+        nz = (A != 0).astype(dtype)
+        n_train = jnp.sum(nz * train_w)
+    else:
+        n_train = jnp.sum(train_w)
+
+    is_irls = cfg.requires_irls()
+    is_gp = cfg.loss == Loss.GP
+    is_nb = cfg.loss == Loss.NB
+    is_phi = cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE)
+    per_col = cfg.dispersion == Dispersion.PER_COL
+    has_disp = cfg.dispersion != Dispersion.NONE and is_irls
+    active_loss = Loss.KL if is_gp else cfg.loss
+
+    def solve_side(A_side, F, w_train_side, fc, X_warm, it, th_row, th_col):
+        if is_irls:
+            return irls_solve_batch(A_side, F, cfg, active_loss,
+                                    th_row, th_col, fc, sparse_zeros,
+                                    extra_w=w_train_side)
+        Xw = X_warm * (it > 0).astype(dtype)
+        return masked_mse_solve_batch(A_side, F, w_train_side, cfg, fc, Xw)
+
+    def body(state: CVState) -> CVState:
+        W_T, H, d, it = state.W_T, state.H, state.d, state.it
+        disp_row, disp_col = state.disp_row, state.disp_col
+
+        th_row = disp_row if (is_nb and not per_col) else None
+        th_col = disp_col if (is_nb and per_col) else None
+        H_new = solve_side(A, W_T, train_w, cfg.H, H, it, th_row, th_col)
+        if cfg.H.upper_bound > 0:
+            H_new = feat.apply_upper_bound(H_new, cfg.H.upper_bound)
+        if cfg.H.angular > 0:
+            H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
+        H, d = linalg.extract_scaling(H_new, cfg.norm)
+
+        th_row_w = disp_col if (is_nb and per_col) else None
+        th_col_w = disp_row if (is_nb and not per_col) else None
+        W_new = solve_side(A.T, H, train_w.T, cfg.W, W_T, it,
+                           th_row_w, th_col_w)
+        if cfg.W.upper_bound > 0:
+            W_new = feat.apply_upper_bound(W_new, cfg.W.upper_bound)
+        if cfg.W.angular > 0:
+            W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
+        W_T, d = linalg.extract_scaling(W_new, cfg.norm)
+
+        # --- dispersion updates on TRAIN entries only ---
+        W_Td = W_T * d[:, None]
+        rec = jnp.dot(W_Td.T, H, precision=PREC)
+        S = jnp.maximum(rec, 1e-10)
+        if has_disp:
+            A_train = A * train_w
+            S_train = S * train_w
+            if is_gp:
+                if per_col:
+                    disp_col = gp_theta_update(A_train, S_train, disp_col, cfg, 0)
+                else:
+                    disp_row = gp_theta_update(A_train, S_train, disp_row, cfg, 1)
+            elif is_nb:
+                if per_col:
+                    disp_col = nb_size_update(A_train, S_train, cfg, 0)
+                else:
+                    disp_row = nb_size_update(A_train, S_train, cfg, 1)
+            elif is_phi:
+                if per_col:
+                    disp_col = phi_update(A_train, S_train, cfg, 0)
+                else:
+                    disp_row = phi_update(A_train, S_train, cfg, 1)
+
+        # --- per-entry train / test losses (fit_cv.hpp:1368-1548) ---
+        theta = losses._expand_theta(
+            None if per_col else disp_row, disp_col if per_col else None,
+            A.shape)
+        contrib = losses.compute_loss_elements(A, rec, cfg, theta)
+        train_contrib = contrib * train_w
+        if sparse_zeros:
+            train_contrib = train_contrib * nz
+        train_loss = jnp.sum(train_contrib) / jnp.maximum(n_train, 1.0)
+        test_loss = jnp.sum(contrib * test_w) / jnp.maximum(n_test, 1.0)
+
+        conv_loss = test_loss if is_cv else train_loss
+        rel = jnp.abs(state.prev_conv_loss - conv_loss) / \
+            (jnp.abs(state.prev_conv_loss) + 1e-15)
+        final_tol = jnp.where(it > 0, rel, state.final_tol)
+
+        if is_cv:
+            improved = test_loss < state.best_test_loss
+            best_test = jnp.where(improved, test_loss, state.best_test_loss)
+            best_iter = jnp.where(improved, it, state.best_iter)
+            patience_ctr = jnp.where(improved, 0, state.patience_ctr + 1)
+            stop_patience = patience_ctr >= cfg.cv_patience
+            stop_tol = (it > 0) & (rel < cfg.tol)
+            converged = stop_patience | stop_tol
+        else:
+            best_test = state.best_test_loss
+            best_iter = state.best_iter
+            loss_conv = (it > 0) & (rel < cfg.tol)
+            patience_ctr = jnp.where(loss_conv, state.patience_ctr + 1, 0)
+            converged = patience_ctr >= cfg.patience
+
+        return CVState(
+            W_T, H, d, disp_row, disp_col, it + 1, conv_loss, patience_ctr,
+            converged, final_tol,
+            state.train_hist.at[it].set(train_loss),
+            state.test_hist.at[it].set(test_loss),
+            best_test, best_iter)
+
+    def cond(state: CVState):
+        return (state.it < max_iter) & jnp.logical_not(state.converged)
+
+    init = CVState(
+        W_T=W_T0, H=H0, d=d0, disp_row=disp_row0, disp_col=disp_col0,
+        it=jnp.int32(0),
+        prev_conv_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        patience_ctr=jnp.int32(0),
+        converged=jnp.bool_(False),
+        final_tol=jnp.asarray(jnp.nan, dtype),
+        train_hist=jnp.full((max_iter,), jnp.nan, dtype),
+        test_hist=jnp.full((max_iter,), jnp.nan, dtype),
+        best_test_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        best_iter=jnp.int32(0),
+    )
+    return lax.while_loop(cond, body, init)
+
+
+def build_speckled_mask(cfg: NMFConfig, A: np.ndarray) -> np.ndarray:
+    """Dense holdout mask from the lazy speckled hash (speckled_cv.hpp:58-130).
+
+    inv_prob = floor(1/test_fraction); seed = uint32(cv_seed), 0 -> 12345.
+    mask_zeros restricts eligibility to nonzero entries.
+    """
+    m, n = A.shape
+    inv_prob = int(1.0 / cfg.test_fraction) if cfg.test_fraction > 0 else 0
+    seed = np.uint32(cfg.cv_seed)
+    mask = rng_mod.holdout_mask(int(seed), m, n, inv_prob)
+    if cfg.mask_zeros:
+        mask &= (A != 0)
+    return mask
+
+
+def fit_cv_or_masked(A: np.ndarray, cfg: NMFConfig, *, mask=None,
+                     aux=None, w_init=None, h_init=None,
+                     sparse_zeros: bool = False) -> NMFResult:
+    """Host driver: CV holdout, user mask, or both combined."""
+    m, n = A.shape
+    is_cv = cfg.is_cv()
+
+    M = np.zeros((m, n), dtype=bool)
+    if is_cv:
+        M |= build_speckled_mask(cfg, A)
+    if mask is not None:
+        try:
+            import scipy.sparse as sp
+            if sp.issparse(mask):
+                mask = np.asarray(mask.todense())
+        except ImportError:
+            pass
+        M |= np.asarray(mask).astype(bool)
+
+    W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
+                                        h_init=h_init)
+    disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
+
+    state = _fit_masked_jit(cfg, jnp.asarray(A, jnp.float32),
+                            jnp.asarray(M), jnp.asarray(W_T0),
+                            jnp.asarray(H0), jnp.asarray(d0),
+                            jnp.asarray(disp_row0), jnp.asarray(disp_col0),
+                            sparse_zeros, is_cv)
+
+    it = int(state.it)
+    res = NMFResult(
+        W=np.asarray(state.W_T).T, d=np.asarray(state.d), H=np.asarray(state.H),
+        iterations=it,
+        converged=bool(state.converged),
+        final_tol=float(state.final_tol),
+        train_loss=float(state.train_hist[it - 1]) if it > 0 else float("nan"),
+        test_loss=float(state.test_hist[it - 1]) if it > 0 else float("nan"),
+        best_iter=int(state.best_iter),
+        loss_history=np.asarray(state.train_hist)[:it],
+        test_loss_history=np.asarray(state.test_hist)[:it],
+    )
+    res.misc["best_test_loss"] = float(state.best_test_loss)
+    per_col = cfg.dispersion == Dispersion.PER_COL
+    if cfg.loss in (Loss.GP, Loss.NB):
+        res.theta = np.asarray(state.disp_col if per_col else state.disp_row)
+    elif cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE):
+        res.dispersion = np.asarray(state.disp_col if per_col else state.disp_row)
+    if cfg.sort_model:
+        res.sort()
+    return res
+
+
+def cv_sweep(A: np.ndarray, ks, *, cv_seed=0, mask=None, **kwargs):
+    """Multi-rank CV sweep (R/nmf_thin.R:1013-1094).
+
+    ``cv_seed`` may be an int or a list (each entry = one CV repetition).
+    Returns a list of dict rows: k, rep, train_mse, test_mse, best_iter.
+    """
+    from ..api import build_config
+
+    seeds = [cv_seed] if np.isscalar(cv_seed) else list(cv_seed)
+    kwargs.setdefault("test_fraction", 0.1)
+    user_seed = kwargs.pop("seed", None)
+    rows = []
+    for rep_idx, rep_seed in enumerate(seeds):
+        for k in ks:
+            # init seed derived per (rep, rank) as in R/nmf_thin.R:1023
+            base = int(user_seed) if user_seed is not None else int(rep_seed)
+            init_seed = (base + int(k)) % (2**31 - 1)
+            cfg = build_config(int(k), cv_seed=int(rep_seed),
+                               seed=init_seed, **kwargs)
+            res = fit_cv_or_masked(A, cfg, mask=mask)
+            rows.append({
+                "k": int(k), "rep": rep_idx + 1,
+                "train_mse": res.train_loss, "test_mse": res.test_loss,
+                "best_test_loss": res.misc["best_test_loss"],
+                "best_iter": res.best_iter, "iterations": res.iterations,
+            })
+    return rows

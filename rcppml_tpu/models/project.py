@@ -1,0 +1,116 @@
+"""Projection solvers: nnls(), predict(), evaluate()/mse().
+
+Equivalents of ``R/solve.R:84-357`` (nnls projection API),
+``R/predict_nmf.R:48`` (project new data onto a fitted model), and the
+``evaluate``/``mse`` S4 methods (R/nmf_methods.R:300+).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import Loss, NMFConfig, Solver
+from ..ops import features as feat
+from ..ops import linalg, losses, solvers
+from ..ops.linalg import PREC
+from ..result import NMFResult
+
+
+def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
+         L21: float = 0.0, angular: float = 0.0, nonneg: bool = True,
+         upper_bound: float = 0.0, loss: str = "mse",
+         solver: str = "auto", cd_maxit: int = 100, cd_tol: float = 1e-8,
+         irls_max_iter: int = 5, irls_tol: float = 1e-4) -> np.ndarray:
+    """Solve the projection problem min ||A - w X|| (or min ||A - X h||)
+    subject to constraints (R/solve.R:84-357).
+
+    Exactly one of ``w`` (m, k) / ``h`` (k, n) must be given; returns the
+    other factor.  Non-MSE losses delegate to a single-iteration weighted
+    solve, as the R API does via one NMF iteration.
+    """
+    if (w is None) == (h is None):
+        raise ValueError("provide exactly one of w=, h=")
+    A = np.asarray(A, dtype=np.float32)
+    if hasattr(A, "todense"):
+        A = np.asarray(A.todense(), dtype=np.float32)
+
+    if w is not None:
+        F = jnp.asarray(np.asarray(w, dtype=np.float32).T)   # (k, m)
+        data = jnp.asarray(A)                                 # solve (k, n)
+    else:
+        F = jnp.asarray(np.asarray(h, dtype=np.float32))      # (k, n)
+        data = jnp.asarray(A.T.copy())                        # solve (k, m)
+
+    k = F.shape[0]
+    loss_e = Loss(loss)
+    if loss_e != Loss.MSE:
+        from ..api import build_config
+        from .nmf_irls import irls_solve_batch
+        cfg = build_config(k, loss=loss, L1=(0.0, L1), L2=(0.0, L2),
+                           irls_max_iter=irls_max_iter, irls_tol=irls_tol,
+                           cd_maxit=cd_maxit, cd_tol=cd_tol, solver="cd")
+        fc = cfg.H.__class__(L1=L1, L2=L2, L21=L21, nonneg=nonneg,
+                             upper_bound=upper_bound)
+        active = Loss.KL if loss_e == Loss.GP else loss_e
+        X = irls_solve_batch(data, F, cfg, active, None, None, fc, False)
+    else:
+        G = linalg.gram(F)
+        B = linalg.rhs(F, data)
+        if L2 > 0:
+            G = G + L2 * jnp.eye(k, dtype=G.dtype)
+        if L1 > 0:
+            B = B - L1
+        use_cd = (solver == "cd") or (solver == "auto" and (L1 > 0 or k >= 32))
+        if use_cd:
+            X = solvers.cd_nnls_batch(G, B, nonneg=nonneg, maxit=cd_maxit,
+                                      cd_tol=cd_tol, upper_bound=upper_bound)
+        else:
+            X = solvers.cholesky_clip_batch(G, B, nonneg=nonneg,
+                                            upper_bound=upper_bound)
+    if angular > 0:
+        X = feat.apply_angular_posthoc(X, angular)
+    X = np.asarray(X)
+    return X if w is not None else X.T
+
+
+def predict(model: NMFResult, newdata, *, L1: float = 0.0, L2: float = 0.0,
+            upper_bound: float = 0.0, loss: str = "mse") -> np.ndarray:
+    """Project new columns onto a fitted model's W (R/predict_nmf.R:48).
+
+    Reuses the model's stored penalty configuration when available via
+    ``model.misc['config']``.  Returns H_new (k, n_new)."""
+    cfg = model.misc.get("config")
+    if cfg is not None and isinstance(cfg, NMFConfig):
+        L1 = L1 or cfg.H.L1
+        L2 = L2 or cfg.H.L2
+        upper_bound = upper_bound or cfg.H.upper_bound
+        loss = loss if loss != "mse" else cfg.loss.value
+    W = np.asarray(model.W) * np.asarray(model.d)[None, :]
+    return nnls(newdata, w=W, L1=L1, L2=L2, upper_bound=upper_bound,
+                loss=loss)
+
+
+def evaluate(model: NMFResult, A, *, mask=None, loss: str = "mse",
+             missing_only: bool = False) -> float:
+    """Mean per-entry loss of the model on A (R/nmf_methods.R evaluate),
+    optionally restricted to masked (missing) entries."""
+    A = np.asarray(A, dtype=np.float32)
+    rec = model.reconstruct()
+    from ..api import build_config
+    cfg = build_config(model.k, loss=loss, solver="cd" if loss != "mse" else "auto")
+    contrib = np.asarray(losses.compute_loss_elements(
+        jnp.asarray(A), jnp.asarray(rec), cfg, jnp.zeros_like(jnp.asarray(A))))
+    if mask is not None:
+        M = np.asarray(mask).astype(bool)
+        sel = M if missing_only else ~M
+        return float(contrib[sel].mean()) if sel.any() else float("nan")
+    return float(contrib.mean())
+
+
+def mse(model: NMFResult, A, **kw) -> float:
+    """Mean squared reconstruction error (R/nmf_methods.R mse)."""
+    return evaluate(model, A, loss="mse", **kw)

@@ -1,0 +1,98 @@
+"""Automatic rank determination via speckled CV (nmf/rank_cv.hpp:114-271).
+
+Phase 1: exponential search (k, 2k, 4k, ...) until overfitting — train loss
+converged across consecutive ranks while test loss increased.
+Phase 2: golden-section refinement inside the [k_low, k_high] bracket.
+Returns the conservative lower bound, then refits at k_optimal
+(R/nmf_thin.R:922-1009).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..config import NMFConfig
+from .nmf_cv import fit_cv_or_masked
+
+_PHI = (1.0 + math.sqrt(5.0)) / 2.0
+
+
+def _evaluate_rank(A, k, base_cfg_kwargs, cache):
+    if k in cache:
+        return cache[k]
+    from ..api import build_config
+    cfg = build_config(int(k), **base_cfg_kwargs)
+    res = fit_cv_or_masked(A, cfg)
+    ev = {"rank": int(k), "train": res.train_loss, "test": res.test_loss,
+          "best_test": res.misc["best_test_loss"], "best_iter": res.best_iter}
+    cache[k] = ev
+    return ev
+
+
+def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
+                      bracket_tol: int = 2, test_fraction: float = 0.1,
+                      cv_seed: int = 0, refit: bool = True, verbose=False,
+                      mask=None, **kwargs):
+    """Exponential + golden-section rank search; returns the final NMF fit at
+    k_optimal (with ``misc['rank_search']`` holding the evaluations), or the
+    search dict when ``refit=False``."""
+    A = np.asarray(A, dtype=np.float32)
+    max_k = min(max_k, min(A.shape))
+    kwargs.pop("test_fraction", None)
+    base = dict(test_fraction=test_fraction, cv_seed=cv_seed, **kwargs)
+    cache: dict = {}
+    evals = []
+
+    # Phase 1: exponential search (rank_cv.hpp:114-176)
+    k_low = k_high = -1
+    overfit = False
+    k_current = k_init
+    prev = None
+    while k_current <= max_k:
+        cur = _evaluate_rank(A, k_current, base, cache)
+        evals.append(cur)
+        if prev is not None:
+            train_rel = abs(cur["train"] - prev["train"]) / (prev["train"] + 1e-15)
+            if train_rel < 0.01 and cur["test"] > prev["test"]:
+                k_low, k_high = prev["rank"], cur["rank"]
+                overfit = True
+                break
+        prev = cur
+        if k_current * 2 > max_k and k_current < max_k:
+            k_current = max_k
+        else:
+            k_current *= 2
+
+    if overfit:
+        # Phase 2: golden-section refinement (rank_cv.hpp:186-229)
+        lo, hi = k_low, k_high
+        while (hi - lo) > bracket_tol:
+            k1 = int(hi - (hi - lo) / _PHI + 0.5)
+            k2 = int(lo + (hi - lo) / _PHI + 0.5)
+            if k1 <= lo or k2 >= hi or k1 >= k2:
+                break
+            e1 = _evaluate_rank(A, k1, base, cache)
+            e2 = _evaluate_rank(A, k2, base, cache)
+            evals.extend([e1, e2])
+            if e1["test"] < e2["test"]:
+                hi = k2
+            else:
+                lo = k1
+        k_optimal = lo          # conservative lower bound (rank_cv.hpp:227)
+    else:
+        k_optimal = evals[-1]["rank"] if evals else k_init
+
+    search = {"k_optimal": int(k_optimal), "overfitting_detected": overfit,
+              "k_low": k_low, "k_high": k_high, "evaluations": evals}
+    if not refit:
+        return search
+
+    # Refit at the selected rank without holdout (R/nmf_thin.R:970-1009)
+    from ..api import nmf as nmf_api
+    refit_kwargs = dict(kwargs)
+    res = nmf_api(A, k_optimal, mask=mask, **refit_kwargs)
+    res.misc["rank_search"] = search
+    return res

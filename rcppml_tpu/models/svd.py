@@ -1,0 +1,655 @@
+"""Truncated SVD algorithms: Lanczos, IRLBA, randomized, Krylov, deflation.
+
+TPU re-architecture of ``inst/include/FactorNet/svd/`` (gateway.hpp:141-187,
+lanczos.hpp, irlba.hpp, randomized.hpp, krylov.hpp, deflation.hpp).  All
+matvecs/matmuls are dense MXU ops on device; the small projected problems
+(bidiagonal SVDs) are solved host-side in fp64, as the reference solves them
+with Eigen in fp32+.
+
+Centering (PCA) is applied implicitly through the matvec identities
+``(A - c 1^T) v = A v - c (1^T v)`` so the centered matrix is never
+materialized (svd/spmv.hpp centering support).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import rng as rng_mod
+from ..config import SVDConfig
+from ..ops.linalg import PREC
+from ..result import SVDResult
+
+
+# ---------------------------------------------------------------------------
+# Centered operator
+# ---------------------------------------------------------------------------
+
+class _Op:
+    """y = (A - c 1^T) x and transpose, without materializing centering."""
+
+    def __init__(self, A: jax.Array, center: Optional[jax.Array] = None,
+                 scale: Optional[jax.Array] = None):
+        self.A = A
+        self.center = center
+        self.scale = scale
+        self.shape = A.shape
+
+    def mv(self, x):                      # (n,) -> (m,)
+        y = jnp.dot(self.A, x, precision=PREC)
+        if self.center is not None:
+            y = y - self.center * jnp.sum(x)
+        if self.scale is not None:
+            y = y * self.scale
+        return y
+
+    def rmv(self, x):                     # (m,) -> (n,)
+        if self.scale is not None:
+            x = x * self.scale
+        y = jnp.dot(self.A.T, x, precision=PREC)
+        if self.center is not None:
+            y = y - jnp.sum(self.center * x)
+        return y
+
+    def mm(self, X):                      # (n, b) -> (m, b)
+        Y = jnp.dot(self.A, X, precision=PREC)
+        if self.center is not None:
+            Y = Y - self.center[:, None] * jnp.sum(X, axis=0)[None, :]
+        if self.scale is not None:
+            Y = Y * self.scale[:, None]
+        return Y
+
+    def rmm(self, X):                     # (m, b) -> (n, b)
+        if self.scale is not None:
+            X = X * self.scale[:, None]
+        Y = jnp.dot(self.A.T, X, precision=PREC)
+        if self.center is not None:
+            Y = Y - jnp.outer(jnp.ones(self.A.shape[1], X.dtype),
+                              jnp.dot(self.center, X, precision=PREC))
+        return Y
+
+
+def _prep(A, cfg: SVDConfig):
+    A = jnp.asarray(np.asarray(A, dtype=np.float32))
+    center = scale = None
+    if cfg.center:
+        center = jnp.mean(A, axis=1)
+    if cfg.scale:
+        sd = jnp.std(A, axis=1)
+        scale = 1.0 / jnp.maximum(sd, 1e-8)
+    return _Op(A, center, scale), center, scale
+
+
+def _seed_vector(n: int, seed: int) -> np.ndarray:
+    v = rng_mod.fill_uniform(seed if seed != 0 else 12345, n, 1)[:, 0] - 0.5
+    v = v.astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+# ---------------------------------------------------------------------------
+# Golub-Kahan bidiagonalization with full reorthogonalization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("steps",), static_argnums=())
+def _gkb_extend(A, center_vec, scale_vec, U, V, alphas, betas, start, v_next,
+                *, steps: int):
+    """Extend a GKB factorization from column ``start`` to ``steps``.
+
+    U (m, steps), V (n, steps) hold computed vectors in their first ``start``
+    columns (zeros elsewhere, so full-basis projections are exact).  Returns
+    updated (U, V, alphas, betas, v_last).  Recursion (svd/lanczos.hpp):
+
+        alpha_j u_j = A v_j - beta_{j-1} u_{j-1}   (+ reorth vs U)
+        beta_j v_{j+1} = A^T u_j - alpha_j v_j      (+ reorth vs V)
+    """
+    op = _Op(A, center_vec, scale_vec)
+
+    def body(j, carry):
+        U, V, alphas, betas, v = carry
+        V = jnp.where(jnp.arange(steps)[None, :] == j, v[:, None], V)
+        u = op.mv(v)
+        # full reorthogonalization against all stored U columns
+        u = u - jnp.dot(U, jnp.dot(U.T, u, precision=PREC), precision=PREC)
+        alpha = jnp.sqrt(jnp.sum(u * u))
+        u = u / jnp.maximum(alpha, 1e-30)
+        U = jnp.where(jnp.arange(steps)[None, :] == j, u[:, None], U)
+        alphas = alphas.at[j].set(alpha)
+
+        w = op.rmv(u)
+        w = w - jnp.dot(V, jnp.dot(V.T, w, precision=PREC), precision=PREC)
+        beta = jnp.sqrt(jnp.sum(w * w))
+        v_next = w / jnp.maximum(beta, 1e-30)
+        betas = betas.at[j].set(beta)
+        return U, V, alphas, betas, v_next
+
+    return lax.fori_loop(start, steps, body,
+                         (U, V, alphas, betas, v_next))
+
+
+def lanczos_svd(A, cfg: SVDConfig) -> SVDResult:
+    """Golub-Kahan Lanczos SVD with full reorthogonalization
+    (svd/lanczos.hpp, O(nnz j + (m+n) j^2))."""
+    op, center, scale = _prep(A, cfg)
+    m, n = op.shape
+    k = min(cfg.k, min(m, n))
+    steps = min(min(m, n), max(2 * k + 10, 20))
+
+    v0 = jnp.asarray(_seed_vector(n, cfg.seed))
+    U = jnp.zeros((m, steps), jnp.float32)
+    V = jnp.zeros((n, steps), jnp.float32)
+    alphas = jnp.zeros((steps,), jnp.float32)
+    betas = jnp.zeros((steps,), jnp.float32)
+
+    U, V, alphas, betas, _ = _gkb_extend(
+        op.A, center, scale, U, V, alphas, betas, 0, v0, steps=steps)
+
+    a = np.asarray(alphas, dtype=np.float64)
+    b = np.asarray(betas, dtype=np.float64)
+    B = np.diag(a) + np.diag(b[:-1], 1)       # upper bidiagonal
+    P, s, Qt = np.linalg.svd(B)
+    Uk = jnp.dot(U, jnp.asarray(P[:, :k], jnp.float32), precision=PREC)
+    Vk = jnp.dot(V, jnp.asarray(Qt[:k].T, jnp.float32), precision=PREC)
+    return SVDResult(U=np.asarray(Uk), d=s[:k].astype(np.float32),
+                     V=np.asarray(Vk), k_selected=k, converged=True,
+                     iterations=steps,
+                     center=np.asarray(center) if center is not None else None,
+                     scale=(1.0 / np.asarray(scale)) if scale is not None else None)
+
+
+def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
+    """Augmented implicitly-restarted Lanczos bidiagonalization
+    (Baglama & Reichel; svd/irlba.hpp, work = k + 7).
+
+    Thick restart: SVD of the projected (work x work) matrix, keep k Ritz
+    pairs plus the residual coupling row, extend with GKB steps until the
+    coupling |beta * P[last, i]| converges for all i <= k.
+    """
+    op, center, scale = _prep(A, cfg)
+    m, n = op.shape
+    k = min(cfg.k, min(m, n) - 1) if min(m, n) > 1 else 1
+    work = min(min(m, n), (cfg.work if cfg.work > 0 else k + 7))
+    max_restarts = cfg.max_iter if cfg.max_iter > 0 else 100
+    tol = cfg.tol if cfg.tol > 0 else 1e-5
+
+    dtype = jnp.float32
+    v = jnp.asarray(_seed_vector(n, cfg.seed))
+    U = jnp.zeros((m, work), dtype)
+    V = jnp.zeros((n, work), dtype)
+
+    # initial full GKB pass
+    alphas = jnp.zeros((work,), dtype)
+    betas = jnp.zeros((work,), dtype)
+    U, V, alphas, betas, v_next = _gkb_extend(
+        op.A, center, scale, U, V, alphas, betas, 0, v, steps=work)
+    a = np.asarray(alphas, np.float64)
+    b = np.asarray(betas, np.float64)
+    B = np.diag(a) + np.diag(b[:-1], 1)
+    beta_last = float(b[-1])
+
+    s = None
+    restarts = 0
+    converged = False
+    for restarts in range(1, max_restarts + 1):
+        P, s, Qt = np.linalg.svd(B)
+        # convergence: residual coupling of the top-k Ritz values
+        res = np.abs(beta_last * P[-1, :k])
+        if np.all(res < tol * max(s[0], 1e-30)):
+            converged = True
+            break
+
+        # thick restart: rotate bases, keep k Ritz vectors + new direction
+        Pk = jnp.asarray(P[:, :k], dtype)
+        Qk = jnp.asarray(Qt[:k].T, dtype)
+        U_new = jnp.dot(U, Pk, precision=PREC)                      # (m, k)
+        V_new = jnp.dot(V, Qk, precision=PREC)                      # (n, k)
+        rho = (beta_last * P[-1, :k]).astype(np.float64)            # coupling
+
+        U = jnp.zeros((m, work), dtype).at[:, :k].set(U_new)
+        V = jnp.zeros((n, work), dtype).at[:, :k].set(V_new)
+
+        # continue: u_{k+1} = A v_next - sum rho_i u_i ; then standard GKB
+        u = op.mv(v_next) - jnp.dot(U_new, jnp.asarray(rho, dtype),
+                                    precision=PREC)
+        u = u - jnp.dot(U, jnp.dot(U.T, u, precision=PREC), precision=PREC)
+        alpha_k = float(jnp.sqrt(jnp.sum(u * u)))
+        u = u / max(alpha_k, 1e-30)
+        U = U.at[:, k].set(u)
+        V = V.at[:, k].set(v_next)
+
+        w = op.rmv(u)
+        w = w - jnp.dot(V, jnp.dot(V.T, w, precision=PREC), precision=PREC)
+        beta_k = float(jnp.sqrt(jnp.sum(w * w)))
+        v_next2 = w / max(beta_k, 1e-30)
+
+        alphas = jnp.zeros((work,), dtype).at[k].set(alpha_k)
+        betas = jnp.zeros((work,), dtype).at[k].set(beta_k)
+        U, V, alphas, betas, v_next = _gkb_extend(
+            op.A, center, scale, U, V, alphas, betas, k + 1, v_next2,
+            steps=work)
+
+        # projected matrix after thick restart:
+        #   [ diag(s_k)  rho  0  ]
+        #   [    0      alpha_k betas/alphas chain ]
+        a = np.asarray(alphas, np.float64)
+        b = np.asarray(betas, np.float64)
+        B = np.zeros((work, work))
+        B[np.arange(k), np.arange(k)] = s[:k]
+        B[np.arange(k), k] = rho
+        for j in range(k, work):
+            B[j, j] = a[j]
+            if j + 1 < work:
+                B[j, j + 1] = b[j]
+        beta_last = float(b[-1])
+
+    P, s, Qt = np.linalg.svd(B)
+    Uk = jnp.dot(U, jnp.asarray(P[:, :k], dtype), precision=PREC)
+    Vk = jnp.dot(V, jnp.asarray(Qt[:k].T, dtype), precision=PREC)
+    return SVDResult(U=np.asarray(Uk), d=s[:k].astype(np.float32),
+                     V=np.asarray(Vk), k_selected=k, converged=converged,
+                     iterations=restarts,
+                     center=np.asarray(center) if center is not None else None,
+                     scale=(1.0 / np.asarray(scale)) if scale is not None else None)
+
+
+def randomized_svd(A, cfg: SVDConfig) -> SVDResult:
+    """Halko-Martinsson-Tropp randomized SVD with oversampling + power
+    iterations (svd/randomized.hpp).  Pure MXU: tall-skinny QR + small SVD."""
+    op, center, scale = _prep(A, cfg)
+    m, n = op.shape
+    k = min(cfg.k, min(m, n))
+    p = min(cfg.oversample, min(m, n) - k)
+    q = cfg.power_iters
+    b = k + max(p, 0)
+
+    Omega = rng_mod.fill_uniform(cfg.seed if cfg.seed != 0 else 12345,
+                                 n, b).astype(np.float32) - 0.5
+    Y = op.mm(jnp.asarray(Omega))                       # (m, b)
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(q):
+        Z = op.rmm(Q)                                   # (n, b)
+        Qz, _ = jnp.linalg.qr(Z)
+        Y = op.mm(Qz)
+        Q, _ = jnp.linalg.qr(Y)
+    Bs = op.rmm(Q).T                                    # (b, n)
+    Ub, s, Vt = jnp.linalg.svd(Bs, full_matrices=False)
+    U = jnp.dot(Q, Ub[:, :k], precision=PREC)
+    return SVDResult(U=np.asarray(U), d=np.asarray(s[:k]),
+                     V=np.asarray(Vt[:k].T), k_selected=k, converged=True,
+                     iterations=q,
+                     center=np.asarray(center) if center is not None else None,
+                     scale=(1.0 / np.asarray(scale)) if scale is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# Deflation SVD (rank-1 ALS on deflated residual; svd/deflation.hpp)
+# ---------------------------------------------------------------------------
+
+def _soft_threshold(x, t):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _apply_reg_vec(x, L1, L2, nonneg, upper_bound, norm_sq, L21):
+    """Per-vector constraint projection (deflation.hpp:192-239).
+
+    L21 degenerates to adaptive L2 for rank-1; L2 scales the whole vector by
+    1/(1 + L2/norm_sq); L1 soft-thresholds at L1/(2 norm_sq)."""
+    if L21 > 0:
+        xn = jnp.sqrt(jnp.sum(x * x))
+        L2 = L2 + jnp.where(xn > 1e-10, L21 / jnp.maximum(xn, 1e-10), 0.0)
+    if isinstance(L2, jax.Array) or L2 > 0:
+        x = x / (1.0 + L2 / norm_sq)
+    if L1 > 0:
+        x = _soft_threshold(x, L1 / (2.0 * norm_sq))
+    if nonneg:
+        x = jnp.maximum(x, 0.0)
+    if upper_bound > 0:
+        x = jnp.minimum(x, upper_bound)
+    return x
+
+
+def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
+    """Rank-1 ALS deflation SVD with constraints, robust IRLS, and built-in
+    speckled-holdout auto-rank (svd/deflation.hpp:430-900).
+
+    Supports SVD / PCA (center) / NNSVD (nonneg u+v) / sparse PCA (L1) /
+    semi-NMF SVD (nonneg one side).  With ``cfg.test_fraction > 0``, stops
+    adding factors when held-out MSE stops improving (patience from
+    cfg via max(2, ...)).
+    """
+    from .. import rng as rng_mod
+    A_np = np.asarray(A, dtype=np.float32)
+    m, n = A_np.shape
+    k_max = min(cfg.k, min(m, n))
+    do_cv = cfg.test_fraction > 0
+    do_robust = cfg.robust_delta > 0
+    patience = 2
+
+    # CV: zero held-out entries in the training matrix; evaluate on them
+    cv_corr = 1.0
+    M_test = None
+    if do_cv:
+        inv_prob = int(1.0 / cfg.test_fraction)
+        M_test = rng_mod.holdout_mask(
+            cfg.cv_seed if cfg.cv_seed else cfg.seed, m, n, inv_prob)
+        cv_corr = 1.0 - cfg.test_fraction
+    A_train = A_np * (~M_test) if M_test is not None else A_np
+    if cfg.center:
+        center = A_train.mean(axis=1)
+        A_train = A_train - center[:, None]
+    else:
+        center = None
+
+    Ad = jnp.asarray(A_train)
+    At = Ad.T
+    max_iter = cfg.max_iter if cfg.max_iter > 0 else 100
+
+    U_all = np.zeros((m, k_max), np.float32)
+    V_all = np.zeros((n, k_max), np.float32)
+    d_all = np.zeros((k_max,), np.float32)
+    iters_per_factor = []
+    test_traj = []
+    best_test = np.inf
+    best_k = 0
+    pat_ctr = 0
+    # sequential draws mirror the reference per-factor init stream
+    rng_state = {"offset": 0}
+    seed = cfg.seed if cfg.seed != 0 else 42
+
+    def rand_u():
+        u = rng_mod.fill_uniform(seed, m, 1, offset=rng_state["offset"])[:, 0]
+        rng_state["offset"] += m
+        return u.astype(np.float32)
+
+    @partial(jax.jit, static_argnames=())
+    def rank1_iter(u, v, u_prev, Uk, dk, Vk, itf):
+        """One ALS step on the deflated operator (deflation.hpp:678-795)."""
+        beta = jnp.where(itf > 1, (itf - 1.0) / (itf + 2.0), 0.0)
+        if do_robust:
+            beta = jnp.zeros_like(beta)
+        u_hat = u + beta * (u - u_prev)
+
+        # v-update: v = (A^T u_hat - V d U^T u_hat) / ||u_hat||^2
+        w = jnp.dot(At, u_hat, precision=PREC) - jnp.dot(
+            Vk * dk[None, :], jnp.dot(Uk.T, u_hat, precision=PREC),
+            precision=PREC)
+        u_sq = jnp.sum(u_hat * u_hat) * cv_corr
+        v_new = w / jnp.maximum(u_sq, 1e-30)
+        v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
+                               cfg.v.upper_bound, u_sq, cfg.v.L21)
+        sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
+        v_new = v_new / jnp.maximum(sigma_v, 1e-30)
+
+        # u-update
+        w2 = jnp.dot(Ad, v_new, precision=PREC) - jnp.dot(
+            Uk * dk[None, :], jnp.dot(Vk.T, v_new, precision=PREC),
+            precision=PREC)
+        v_sq = jnp.sum(v_new * v_new) * cv_corr
+        u_new = w2 / jnp.maximum(v_sq, 1e-30)
+        u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
+                               cfg.u.upper_bound, v_sq, cfg.u.L21)
+        sigma = jnp.sqrt(jnp.sum(u_new * u_new))
+        u_new = u_new / jnp.maximum(sigma, 1e-30)
+        cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
+        return u_new, v_new, u, sigma, cos_dist
+
+    constrained = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
+                   cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0)
+
+    for kk in range(k_max):
+        Uk = jnp.asarray(U_all)
+        Vk = jnp.asarray(V_all)
+        dk = jnp.asarray(d_all)
+
+        if kk == 0:
+            u = jnp.asarray(rand_u())
+        else:
+            # power-step warm start from previous factor (deflation.hpp:637-660)
+            u = Uk[:, kk - 1]
+            u = u - jnp.dot(Uk, jnp.dot(Uk.T, u, precision=PREC), precision=PREC)
+            nu = float(jnp.sqrt(jnp.sum(u * u)))
+            if nu < 1e-5:
+                u = jnp.asarray(rand_u())
+        u = u / jnp.maximum(jnp.sqrt(jnp.sum(u * u)), 1e-30)
+
+        tol_k = cfg.tol if cfg.tol > 0 else 1e-5
+        if kk > 0 and d_all[0] > 0 and d_all[kk - 1] > 0:
+            tol_k = min(tol_k * d_all[0] / d_all[kk - 1], tol_k * 100)
+
+        v = jnp.zeros((n,), jnp.float32)
+        u_prev = u
+        sigma = 0.0
+        it = 0
+        for it in range(max_iter):
+            u, v, u_prev, sig, cd = rank1_iter(u, v, u_prev, Uk, dk, Vk,
+                                               jnp.float32(it))
+            sigma = float(sig)
+            if float(cd) < tol_k:
+                it += 1
+                break
+
+        # two-pass Gram-Schmidt against stored factors (deflation.hpp:824-850)
+        if kk > 0 and not constrained:
+            for _ in range(2):
+                u = u - jnp.dot(Uk, jnp.dot(Uk.T, u, precision=PREC), precision=PREC)
+                v = v - jnp.dot(Vk, jnp.dot(Vk.T, v, precision=PREC), precision=PREC)
+            u = u / jnp.maximum(jnp.sqrt(jnp.sum(u * u)), 1e-30)
+            v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
+
+        # Rayleigh sigma after reorthogonalization (deflation.hpp:852-861)
+        w2 = jnp.dot(Ad, v, precision=PREC) - jnp.dot(
+            Uk * dk[None, :], jnp.dot(Vk.T, v, precision=PREC), precision=PREC)
+        sigma = abs(float(jnp.dot(u, w2, precision=PREC)))
+
+        U_all[:, kk] = np.asarray(u)
+        V_all[:, kk] = np.asarray(v)
+        d_all[kk] = sigma
+        iters_per_factor.append(it)
+
+        if do_cv:
+            rec = (U_all[:, :kk + 1] * d_all[None, :kk + 1]) @ V_all[:, :kk + 1].T
+            if center is not None:
+                rec = rec + center[:, None]
+            test_mse = float(np.mean((A_np[M_test] - rec[M_test]) ** 2))
+            test_traj.append(test_mse)
+            if test_mse < best_test:
+                best_test = test_mse
+                best_k = kk + 1
+                pat_ctr = 0
+            else:
+                pat_ctr += 1
+                if pat_ctr >= patience:
+                    break
+
+    k_sel = best_k if (do_cv and best_k > 0) else (kk + 1)
+    res = SVDResult(U=U_all[:, :k_sel], d=d_all[:k_sel], V=V_all[:, :k_sel],
+                    k_selected=k_sel, converged=True,
+                    iterations=int(np.sum(iters_per_factor)),
+                    center=center,
+                    test_loss=best_test if do_cv else float("nan"))
+    res.misc["iters_per_factor"] = iters_per_factor
+    res.misc["test_loss_trajectory"] = test_traj
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Krylov-Seeded Projected Refinement (constrained SVD; svd/krylov.hpp)
+# ---------------------------------------------------------------------------
+
+def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
+    """KSPR constrained SVD: Lanczos seed -> batched projected refinement
+    (svd/krylov.hpp:420-600).
+
+    Each pass: Gram of the fixed side -> MXU SpMM -> Cholesky solve ->
+    elementwise constraint projection (L1 soft-threshold at L1/(2 norm_sq),
+    nonneg clip) -> column normalization with scale absorbed into d.
+    Falls back to pure Lanczos when no constraints are active.
+    """
+    has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
+                      cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
+                      cfg.u.L21 > 0 or cfg.v.L21 > 0)
+    seed_res = lanczos_svd(A, cfg)
+    if not has_constraints:
+        return seed_res
+
+    A_np = np.asarray(A, dtype=np.float32)
+    m, n = A_np.shape
+    k = seed_res.k
+    if cfg.center:
+        center = A_np.mean(axis=1)
+        A_np = A_np - center[:, None]
+    else:
+        center = None
+    Ad = jnp.asarray(A_np)
+
+    max_passes = cfg.max_iter if cfg.max_iter > 0 else max(
+        10, 2 * int(math.ceil(math.log2(max(k, 2)))) + 3)
+    tol = cfg.tol if cfg.tol > 0 else 1e-5
+
+    @jax.jit
+    def one_pass(W, V, d):
+        # --- W-update: W = A V (V'V)^-1, project, normalize ---
+        G = jnp.dot(V.T, V, precision=PREC) + (1e-12 + cfg.u.L2) * jnp.eye(k)
+        B = jnp.dot(Ad, V, precision=PREC)                     # (m, k)
+        L = lax.linalg.cholesky(G)
+        Wt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
+        Wt = lax.linalg.triangular_solve(L, Wt, left_side=True, lower=True,
+                                         transpose_a=True)
+        W = Wt.T
+        norm_sq = jnp.sum(V * V, axis=0)
+        if cfg.u.L1 > 0:
+            W = _soft_threshold(W, cfg.u.L1 / (2.0 * norm_sq)[None, :])
+        if cfg.u.nonneg:
+            W = jnp.maximum(W, 0.0)
+        if cfg.u.upper_bound > 0:
+            W = jnp.minimum(W, cfg.u.upper_bound)
+        d = jnp.sqrt(jnp.sum(W * W, axis=0))
+        W = W / jnp.maximum(d, 1e-30)[None, :]
+
+        # --- V-update ---
+        G = jnp.dot(W.T, W, precision=PREC) + (1e-12 + cfg.v.L2) * jnp.eye(k)
+        B = jnp.dot(Ad.T, W, precision=PREC)                   # (n, k)
+        L = lax.linalg.cholesky(G)
+        Vt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
+        Vt = lax.linalg.triangular_solve(L, Vt, left_side=True, lower=True,
+                                         transpose_a=True)
+        V = Vt.T
+        norm_sq = jnp.sum(W * W, axis=0)
+        if cfg.v.L1 > 0:
+            V = _soft_threshold(V, cfg.v.L1 / (2.0 * norm_sq)[None, :])
+        if cfg.v.nonneg:
+            V = jnp.maximum(V, 0.0)
+        if cfg.v.upper_bound > 0:
+            V = jnp.minimum(V, cfg.v.upper_bound)
+        # d REPLACED by the raw column norm each half-update — W and V stay
+        # unit-norm, d tracks the singular value (krylov.hpp:424-427)
+        d = jnp.sqrt(jnp.sum(V * V, axis=0))
+        V = V / jnp.maximum(d, 1e-30)[None, :]
+        return W, V, d
+
+    W = jnp.asarray(np.abs(seed_res.U) if cfg.u.nonneg else seed_res.U)
+    V = jnp.asarray(np.abs(seed_res.V) if cfg.v.nonneg else seed_res.V)
+    d = jnp.asarray(seed_res.d)
+    passes = 0
+    converged = False
+    prev_W = None
+    for passes in range(1, max_passes + 1):
+        W, V, d = one_pass(W, V, d)
+        if prev_W is not None:
+            dW = float(jnp.linalg.norm(W - prev_W) /
+                       (jnp.linalg.norm(prev_W) + 1e-30))
+            if dW < tol:
+                converged = True
+                break
+        prev_W = W
+
+    order = np.argsort(-np.asarray(d), kind="stable")
+    return SVDResult(U=np.asarray(W)[:, order], d=np.asarray(d)[order],
+                     V=np.asarray(V)[:, order], k_selected=k,
+                     converged=converged, iterations=passes, center=center)
+
+
+# ---------------------------------------------------------------------------
+# Gateway + auto-select (svd/gateway.hpp:141-187, auto_select.hpp:16-99)
+# ---------------------------------------------------------------------------
+
+def _auto_select_method(cfg: SVDConfig, k: int) -> str:
+    has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
+                      cfg.v.L1 > 0 or cfg.u.L21 > 0 or cfg.v.L21 > 0)
+    if cfg.robust_delta > 0:
+        return "deflation"            # only robust-capable method
+    if has_constraints:
+        return "krylov" if k >= 8 else "deflation"
+    # benchmark-derived accelerator policy (auto_select.hpp:60-99):
+    # small k -> Lanczos; mid -> randomized; large -> IRLBA
+    if k < 32:
+        return "lanczos"
+    if k < 64:
+        return "randomized"
+    return "irlba"
+
+
+_SVD_METHODS = {}
+
+
+def svd(data, k=10, *, method: str = "auto", center: bool = False,
+        scale: bool = False, seed: int = 0, tol: float = 1e-5,
+        maxit: int = 0, oversample: int = 10, power_iters: int = 2,
+        nonneg=(False, False), L1=(0.0, 0.0), L2=(0.0, 0.0),
+        L21=(0.0, 0.0), upper_bound=(0.0, 0.0), robust=False,
+        test_fraction: float = 0.0, cv_seed: int = 0, **kw) -> SVDResult:
+    """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161)."""
+    from ..config import FactorConfig as FC
+
+    def pair(x):
+        return (x, x) if np.isscalar(x) else tuple(x)
+
+    l1u, l1v = pair(L1)
+    l2u, l2v = pair(L2)
+    l21u, l21v = pair(L21)
+    nnu, nnv = (nonneg, nonneg) if isinstance(nonneg, bool) else tuple(nonneg)
+    ubu, ubv = pair(upper_bound)
+    if isinstance(robust, bool):
+        robust_delta = 1.345 if robust else 0.0
+    else:
+        robust_delta = float(robust)
+
+    auto_k = isinstance(k, str) and k == "auto"
+    cfg = SVDConfig(
+        k=(min(*np.asarray(data, dtype=np.float32).shape) if auto_k else int(k)),
+        tol=tol, max_iter=maxit, center=center, scale=scale, seed=seed,
+        oversample=oversample, power_iters=power_iters,
+        robust_delta=robust_delta,
+        u=FC(L1=l1u, L2=l2u, L21=l21u, nonneg=bool(nnu), upper_bound=ubu),
+        v=FC(L1=l1v, L2=l2v, L21=l21v, nonneg=bool(nnv), upper_bound=ubv),
+        test_fraction=(test_fraction if test_fraction > 0 else
+                       (0.05 if auto_k else 0.0)),
+        cv_seed=cv_seed)
+
+    if auto_k:
+        method = "deflation"          # built-in auto-rank
+    if method == "auto":
+        method = _auto_select_method(cfg, cfg.k)
+    fn = {"lanczos": lanczos_svd, "irlba": irlba_svd,
+          "randomized": randomized_svd, "krylov": krylov_svd,
+          "deflation": deflation_svd}[method]
+    res = fn(data, cfg)
+    res.misc["method"] = method
+    return res
+
+
+def pca(data, k=10, *, center: bool = True, scale: bool = False, **kw) -> SVDResult:
+    """PCA via truncated SVD of the (implicitly) centered matrix
+    (R/svd.R:596 pca wrapper)."""
+    res = svd(data, k, center=center, scale=scale, **kw)
+    d = np.asarray(res.d)
+    n = np.asarray(data).shape[1]
+    res.misc["sdev"] = d / math.sqrt(max(n - 1, 1))
+    return res

@@ -1,0 +1,77 @@
+"""Multi-chip execution: 2-D (rows, cols) mesh over jax.sharding.
+
+The distributed design the reference lacks (SURVEY.md §5: its parallelism is
+single-node OpenMP + one GPU).  Here:
+
+  * A is block-sharded (rows, cols) across the mesh;
+  * W_T (k, m) is sharded over the row axis and replicated across cols;
+  * H (k, n) is sharded over the col axis and replicated across rows;
+  * k x k Gram products psum over the sharded axis — GSPMD inserts the
+    all-reduces automatically from the data shardings, riding ICI;
+  * the H-update solve is embarrassingly parallel over column shards, the
+    W-update over row shards.
+
+Because the ALS step is pure functional JAX, multi-chip execution is the
+SAME compiled program as single-chip — only the input shardings differ.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import NMFConfig
+
+
+def default_mesh(devices=None, shape=None) -> Mesh:
+    """Build a (rows, cols) mesh over the given (or all) devices.
+
+    ``shape``: optional (n_rows, n_cols); defaults to the most square
+    factorization of the device count, biased toward the cols axis (samples
+    usually outnumber features).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        r = int(math.sqrt(n))
+        while n % r:
+            r -= 1
+        shape = (r, n // r)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, ("rows", "cols"))
+
+
+def shard_arrays(mesh: Mesh, A, W_T, H, d):
+    """Place the factor model onto the mesh with the canonical shardings."""
+    s_A = NamedSharding(mesh, P("rows", "cols"))
+    s_W = NamedSharding(mesh, P(None, "rows"))
+    s_H = NamedSharding(mesh, P(None, "cols"))
+    s_r = NamedSharding(mesh, P())
+    return (jax.device_put(A, s_A), jax.device_put(W_T, s_W),
+            jax.device_put(H, s_H), jax.device_put(d, s_r))
+
+
+def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
+                w_init=None, h_init=None):
+    """Multi-chip NMF fit: shard inputs over the mesh and run the standard
+    jitted ALS loop — GSPMD partitions the compute to match.
+    """
+    from ..models import nmf as nmf_mod
+
+    mesh = mesh or default_mesh()
+    A = np.asarray(A, dtype=np.float32)
+    m, n = A.shape
+    W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
+                                        h_init=h_init)
+    A_d, W_d, H_d, d_d = shard_arrays(mesh, A, W_T0, H0, d0)
+    if cfg.requires_irls():
+        from ..models.nmf_irls import fit_irls
+        return fit_irls(A_d, cfg, W_d, H_d, d_d, {})
+    state = nmf_mod._fit_mse(cfg, A_d, W_d, H_d, d_d, {})
+    return nmf_mod.finalize_result(cfg, state)

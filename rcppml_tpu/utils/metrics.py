@@ -1,0 +1,260 @@
+"""Embedding assessment: ARI, NMI, silhouette, CV classification, batch
+mixing — equivalents of ``R/assess.R:60`` and ``R/classifier_metrics.R``.
+
+Clustering for ARI/NMI uses k-means on the embedding (as the reference's
+assess kernels do); classifiers are kNN and multinomial logistic regression
+implemented directly (no sklearn in the image).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Label-agreement metrics
+# ---------------------------------------------------------------------------
+
+def adjusted_rand_index(a, b) -> float:
+    a = np.asarray(a)
+    b = np.asarray(b)
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    C = np.zeros((ai.max() + 1, bi.max() + 1), dtype=np.int64)
+    np.add.at(C, (ai, bi), 1)
+    n = C.sum()
+
+    def comb2(x):
+        return x * (x - 1) / 2.0
+
+    sum_ij = comb2(C).sum()
+    sum_a = comb2(C.sum(axis=1)).sum()
+    sum_b = comb2(C.sum(axis=0)).sum()
+    expected = sum_a * sum_b / comb2(n)
+    max_idx = 0.5 * (sum_a + sum_b)
+    if max_idx == expected:
+        return 1.0
+    return float((sum_ij - expected) / (max_idx - expected))
+
+
+def normalized_mutual_info(a, b) -> float:
+    a = np.asarray(a)
+    b = np.asarray(b)
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    n = len(ai)
+    C = np.zeros((ai.max() + 1, bi.max() + 1), dtype=np.float64)
+    np.add.at(C, (ai, bi), 1)
+    pij = C / n
+    pi = pij.sum(axis=1)
+    pj = pij.sum(axis=0)
+    nz = pij > 0
+    mi = float((pij[nz] * np.log(pij[nz] / np.outer(pi, pj)[nz])).sum())
+
+    def ent(p):
+        p = p[p > 0]
+        return float(-(p * np.log(p)).sum())
+
+    denom = math.sqrt(ent(pi) * ent(pj))
+    return mi / denom if denom > 0 else 0.0
+
+
+def kmeans(X: np.ndarray, k: int, *, seed: int = 0, iters: int = 50):
+    """Small k-means (Lloyd) with k-means++ style seeding."""
+    rs = np.random.RandomState(seed)
+    n = X.shape[0]
+    centers = X[rs.choice(n, 1)]
+    for _ in range(k - 1):
+        d2 = np.min(((X[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
+        p = d2 / max(d2.sum(), 1e-12)
+        centers = np.vstack([centers, X[rs.choice(n, p=p)]])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None]) ** 2).sum(-1)
+        lab = d2.argmin(axis=1)
+        new_centers = np.vstack([
+            X[lab == c].mean(axis=0) if (lab == c).any() else centers[c]
+            for c in range(k)])
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return lab, centers
+
+
+def approx_silhouette(X: np.ndarray, labels, *, max_per_class: int = 200,
+                      seed: int = 42) -> float:
+    """Centroid-approximate silhouette (assess.R sil_samples_per_class)."""
+    labels = np.asarray(labels)
+    lvls, li = np.unique(labels, return_inverse=True)
+    centers = np.vstack([X[li == c].mean(axis=0) for c in range(len(lvls))])
+    rs = np.random.RandomState(seed)
+    scores = []
+    for c in range(len(lvls)):
+        idx = np.where(li == c)[0]
+        if len(idx) > max_per_class:
+            idx = rs.choice(idx, max_per_class, replace=False)
+        d = np.sqrt(((X[idx][:, None, :] - centers[None]) ** 2).sum(-1))
+        a = d[:, c]
+        other = np.delete(d, c, axis=1)
+        b = other.min(axis=1)
+        s = (b - a) / np.maximum(np.maximum(a, b), 1e-12)
+        scores.append(s)
+    return float(np.concatenate(scores).mean())
+
+
+# ---------------------------------------------------------------------------
+# Classifiers (R/classifier_metrics.R:49-387)
+# ---------------------------------------------------------------------------
+
+def knn_classify(X_train, y_train, X_test, k: int = 15):
+    d2 = ((X_test[:, None, :] - X_train[None]) ** 2).sum(-1)
+    nn = np.argsort(d2, axis=1)[:, :k]
+    votes = y_train[nn]
+    out = np.empty(len(X_test), dtype=y_train.dtype)
+    for i in range(len(X_test)):
+        vals, cnt = np.unique(votes[i], return_counts=True)
+        out[i] = vals[cnt.argmax()]
+    return out
+
+
+def logistic_classify(X_train, y_train, X_test, *, l2: float = 1e-3,
+                      iters: int = 200):
+    """Multinomial logistic regression via scipy L-BFGS."""
+    from scipy.optimize import minimize
+    lvls, yi = np.unique(y_train, return_inverse=True)
+    C = len(lvls)
+    n, p = X_train.shape
+    Xb = np.hstack([X_train, np.ones((n, 1))])
+    Y = np.eye(C)[yi]
+
+    def loss_grad(w):
+        W = w.reshape(p + 1, C)
+        Z = Xb @ W
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        nll = -np.log(np.maximum((P * Y).sum(axis=1), 1e-12)).sum() / n
+        nll += 0.5 * l2 * (W[:-1] ** 2).sum()
+        G = Xb.T @ (P - Y) / n
+        G[:-1] += l2 * W[:-1]
+        return nll, G.ravel()
+
+    res = minimize(loss_grad, np.zeros((p + 1) * C), jac=True,
+                   method="L-BFGS-B", options={"maxiter": iters})
+    W = res.x.reshape(p + 1, C)
+    Xt = np.hstack([X_test, np.ones((len(X_test), 1))])
+    return lvls[(Xt @ W).argmax(axis=1)]
+
+
+def cv_classification_accuracy(X, y, *, classifier: str = "knn",
+                               n_folds: int = 5, seed: int = 42,
+                               k_nn: int = 15) -> float:
+    rs = np.random.RandomState(seed)
+    n = len(y)
+    order = rs.permutation(n)
+    folds = np.array_split(order, n_folds)
+    correct = 0
+    for f in range(n_folds):
+        test = folds[f]
+        train = np.concatenate([folds[g] for g in range(n_folds) if g != f])
+        if classifier == "knn":
+            pred = knn_classify(X[train], y[train], X[test], k=k_nn)
+        elif classifier == "lr":
+            pred = logistic_classify(X[train], y[train], X[test])
+        else:
+            raise ValueError(f"unknown classifier {classifier!r}")
+        correct += (pred == y[test]).sum()
+    return correct / n
+
+
+def batch_mixing_entropy(X, batch, *, k: int = 50, seed: int = 42,
+                         n_samples: int = 500) -> float:
+    """kNN batch-mixing entropy: 1 = perfectly mixed batches."""
+    batch = np.asarray(batch)
+    lvls, bi = np.unique(batch, return_inverse=True)
+    B = len(lvls)
+    if B < 2:
+        return float("nan")
+    rs = np.random.RandomState(seed)
+    n = len(bi)
+    idx = rs.choice(n, min(n_samples, n), replace=False)
+    d2 = ((X[idx][:, None, :] - X[None]) ** 2).sum(-1)
+    nn = np.argsort(d2, axis=1)[:, 1:k + 1]
+    ents = []
+    for row in nn:
+        cnt = np.bincount(bi[row], minlength=B).astype(np.float64)
+        p = cnt / cnt.sum()
+        p = p[p > 0]
+        ents.append(-(p * np.log(p)).sum() / math.log(B))
+    return float(np.mean(ents))
+
+
+# ---------------------------------------------------------------------------
+# The assess() entry (R/assess.R:60)
+# ---------------------------------------------------------------------------
+
+def _extract_embedding(x) -> np.ndarray:
+    from ..result import NMFResult, SVDResult
+    if isinstance(x, NMFResult):
+        return np.asarray(x.H).T            # samples x k
+    if isinstance(x, SVDResult):
+        return np.asarray(x.V) * np.asarray(x.d)[None, :]
+    return np.asarray(x, dtype=np.float64)
+
+
+def assess(x, labels, *, batch=None, metrics="all", n_folds: int = 5,
+           classifiers: Sequence[str] = ("knn", "lr"), k_nn: int = 15,
+           seed: int = 42, min_class_size: int = 10) -> dict:
+    """Embedding quality assessment (R/assess.R:60)."""
+    X = _extract_embedding(x)
+    labels = np.asarray(labels)
+    if len(labels) != X.shape[0]:
+        raise ValueError("length(labels) must equal the number of samples")
+
+    lvls, cnts = np.unique(labels, return_counts=True)
+    keep_lvls = lvls[cnts >= min_class_size]
+    if len(keep_lvls) < 2:
+        raise ValueError(f"fewer than 2 classes with >= {min_class_size} samples")
+    keep = np.isin(labels, keep_lvls)
+    X = X[keep]
+    labels = labels[keep]
+    if batch is not None:
+        batch = np.asarray(batch)[keep]
+
+    all_metrics = ["ari", "nmi", "silhouette", "classification",
+                   "batch_mixing"]
+    if metrics == "all":
+        todo = [m for m in all_metrics if m != "batch_mixing" or batch is not None]
+    else:
+        todo = list(metrics)
+
+    out: dict = {"n_samples": int(X.shape[0]),
+                 "n_classes": int(len(np.unique(labels)))}
+    if "ari" in todo or "nmi" in todo:
+        km_labels, _ = kmeans(X, len(np.unique(labels)), seed=seed)
+        if "ari" in todo:
+            out["ari"] = adjusted_rand_index(km_labels, labels)
+        if "nmi" in todo:
+            out["nmi"] = normalized_mutual_info(km_labels, labels)
+    if "silhouette" in todo:
+        out["silhouette"] = approx_silhouette(X, labels, seed=seed)
+    if "classification" in todo:
+        out["classification"] = {
+            c: cv_classification_accuracy(X, labels, classifier=c,
+                                          n_folds=n_folds, seed=seed,
+                                          k_nn=k_nn)
+            for c in classifiers}
+    if "batch_mixing" in todo and batch is not None:
+        out["batch_mixing"] = batch_mixing_entropy(X, batch, seed=seed)
+    return out
+
+
+def cosine(a, b=None) -> np.ndarray:
+    """Column-wise cosine similarity (R/cosine.R:21)."""
+    A = np.asarray(a, dtype=np.float64)
+    B = A if b is None else np.asarray(b, dtype=np.float64)
+    An = A / np.maximum(np.linalg.norm(A, axis=0), 1e-15)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=0), 1e-15)
+    return An.T @ Bn

@@ -1,0 +1,85 @@
+"""Clustering tests (reference: test_bipartition.R, test_dclust_expanded.R,
+test_consensus.R)."""
+
+import numpy as np
+import pytest
+
+from rcppml_tpu.models.clustering import (align_factors, bipartite_match,
+                                          bipartition, consensus_nmf, dclust)
+
+
+def _two_blob_matrix(seed=0, m=30, n1=40, n2=50):
+    rs = np.random.RandomState(seed)
+    c1 = rs.rand(m) * 2
+    c2 = rs.rand(m) * 2 + np.r_[np.ones(m // 2) * 3, np.zeros(m - m // 2)]
+    A1 = np.abs(c1[:, None] + 0.1 * rs.randn(m, n1))
+    A2 = np.abs(c2[:, None] + 0.1 * rs.randn(m, n2))
+    return np.hstack([A1, A2]).astype(np.float32), n1, n2
+
+
+def test_bipartition_separates_blobs():
+    A, n1, n2 = _two_blob_matrix()
+    bp = bipartition(A, seed=42)
+    assert bp.size1 + bp.size2 == n1 + n2
+    # one side should be (nearly) exactly the first blob
+    s1 = set(bp.samples1.tolist())
+    blob1 = set(range(n1))
+    overlap = max(len(s1 & blob1), len(set(bp.samples2.tolist()) & blob1))
+    assert overlap >= n1 - 2
+
+
+def test_bipartition_deterministic():
+    A, _, _ = _two_blob_matrix()
+    b1 = bipartition(A, seed=7)
+    b2 = bipartition(A, seed=7)
+    np.testing.assert_array_equal(b1.samples1, b2.samples1)
+
+
+def test_bipartition_dist():
+    A, _, _ = _two_blob_matrix()
+    bp = bipartition(A, seed=1, calc_dist=True)
+    assert -1.0 <= bp.dist <= 1.0
+
+
+def test_dclust_ids_and_coverage():
+    A, n1, n2 = _two_blob_matrix(m=20, n1=30, n2=36)
+    clusters = dclust(A, min_samples=5, seed=3)
+    all_samples = np.concatenate([c.samples for c in clusters])
+    assert sorted(all_samples.tolist()) == list(range(n1 + n2))
+    for c in clusters:
+        assert set(c.id) <= {"0", "1"}
+        assert c.size == len(c.samples)
+    assert len(clusters) >= 2
+
+
+def test_dclust_min_samples_respected():
+    A, _, _ = _two_blob_matrix()
+    clusters = dclust(A, min_samples=12, seed=3)
+    for c in clusters:
+        assert c.size >= 12
+
+
+def test_hungarian_identity():
+    cost = 1.0 - np.eye(4)
+    m = bipartite_match(cost)
+    np.testing.assert_array_equal(m["pairs"][:, 0], m["pairs"][:, 1])
+    assert m["cost"] == 0
+
+
+def test_align_factors_permutation():
+    rs = np.random.RandomState(0)
+    W = np.abs(rs.rand(40, 5))
+    perm = [3, 1, 4, 0, 2]
+    W2 = W[:, perm]
+    found, cos = align_factors(W, W2)
+    np.testing.assert_array_equal(W2[:, found], W)
+    assert (cos > 0.999).all()
+
+
+def test_consensus_nmf():
+    A, _, _ = _two_blob_matrix(m=25, n1=20, n2=24)
+    out = consensus_nmf(A, 2, n_runs=3, seed=5, maxit=30)
+    C = out["consensus"]
+    assert C.shape == (44, 44)
+    assert np.allclose(np.diag(C), 1.0)
+    assert 0.0 <= out["cophenetic"] <= 1.0

@@ -1,0 +1,118 @@
+"""FactorNet graph engine tests (reference: test_factor_net.R, 674 LoC)."""
+
+import numpy as np
+import pytest
+
+from rcppml_tpu.models.graph import (Add, Concat, Condition, FactorNet, Input,
+                                     NMFLayer, Shared, cross_validate_graph,
+                                     factor_net, fit)
+from rcppml_tpu.utils.simulate import simulate_nmf
+
+
+@pytest.fixture(scope="module")
+def modalities():
+    s1 = simulate_nmf(m=40, n=60, k=3, noise=0.02, seed=1)
+    s2 = simulate_nmf(m=25, n=60, k=3, noise=0.02, seed=2)
+    return s1["A"], s2["A"]
+
+
+def test_single_layer_delegates(modalities):
+    A, _ = modalities
+    inp = Input(A, "x")
+    net = factor_net(inp, NMFLayer(inp, 3, name="L1"), maxit=40, seed=42)
+    res = fit(net)
+    lr = res["L1"]
+    assert lr.W.shape == (40, 3)
+    assert lr.H.shape == (3, 60)
+    assert np.isfinite(res.total_loss)
+
+
+def test_shared_multimodal_splits_w(modalities):
+    A1, A2 = modalities
+    i1, i2 = Input(A1, "rna"), Input(A2, "atac")
+    shared = Shared(i1, i2)
+    net = factor_net([i1, i2], NMFLayer(shared, 3, name="joint"), maxit=40,
+                     seed=42)
+    res = fit(net)
+    lr = res["joint"]
+    assert lr.W.shape == (65, 3)
+    assert set(lr.W_blocks) == {"rna", "atac"}
+    assert lr.W_blocks["rna"].shape == (40, 3)
+    assert lr.W_blocks["atac"].shape == (25, 3)
+    # joint model reconstructs the stacked data
+    stacked = np.vstack([A1, A2])
+    rec = (lr.W * lr.d[None, :]) @ lr.H
+    rel = np.linalg.norm(rec - stacked) / np.linalg.norm(stacked)
+    assert rel < 0.5
+
+
+def test_two_layer_deep(modalities):
+    A, _ = modalities
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 6, name="L1")
+    l2 = NMFLayer(l1, 2, name="L2")
+    net = factor_net(inp, l2, maxit=20, seed=42)
+    res = fit(net)
+    assert set(res.layers) == {"L1", "L2"}
+    # layer 2 factorizes t(H1): W2 is (n x k2)
+    assert res["L2"].W.shape == (60, 2)
+    assert res["L2"].H.shape == (2, 6)
+    assert np.isfinite(res.total_loss)
+    assert res.total_iterations >= 1
+
+
+def test_condition_appends_covariates(modalities):
+    A, _ = modalities
+    rs = np.random.RandomState(0)
+    Z = rs.rand(60, 2).astype(np.float32)   # per-sample covariates
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 4, name="L1")
+    cond = Condition(l1, Z)
+    l2 = NMFLayer(cond, 2, name="L2")
+    net = factor_net(inp, l2, maxit=10, seed=42)
+    res = fit(net)
+    # conditioned input is (n x (k1 + 2)) -> H2 has k1+2 columns
+    assert res["L2"].H.shape == (2, 6)
+    assert res["L2"].W.shape == (60, 2)
+
+
+def test_concat_branches(modalities):
+    A1, A2 = modalities
+    i1, i2 = Input(A1, "a"), Input(A2, "b")
+    l1 = NMFLayer(i1, 3, name="b1")
+    l2 = NMFLayer(i2, 2, name="b2")
+    top = NMFLayer(Concat(l1, l2), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=10, seed=42)
+    res = fit(net)
+    assert res["top"].W.shape == (60, 2)      # n x k
+    assert res["top"].H.shape == (2, 5)       # k x (k1 + k2)
+
+
+def test_add_branches(modalities):
+    A1, _ = modalities
+    i1 = Input(A1, "a")
+    l1 = NMFLayer(i1, 3, name="b1")
+    l2 = NMFLayer(i1, 3, name="b2")
+    top = NMFLayer(Add(l1, l2), 2, name="top")
+    net = factor_net(i1, top, maxit=8, seed=42)
+    res = fit(net)
+    assert res["top"].H.shape == (2, 3)
+
+
+def test_compile_validation(modalities):
+    A, _ = modalities
+    inp = Input(A, "x")
+    with pytest.raises(ValueError):
+        factor_net(inp, inp)                  # no layers
+    l1 = NMFLayer(inp, 2, name="same")
+    l2 = NMFLayer(l1, 2, name="same")
+    with pytest.raises(ValueError):
+        factor_net(inp, l2)                   # duplicate names
+
+
+def test_cross_validate_graph(modalities):
+    A1, A2 = modalities
+    rows = cross_validate_graph([A1, A2], [2, 3], cv_seed=1, maxit=20,
+                                seed=42)
+    assert len(rows) == 2
+    assert all(np.isfinite(r["test_mse"]) for r in rows)

@@ -1,0 +1,79 @@
+"""nnls()/predict()/evaluate() projection API tests (R/solve.R, predict)."""
+
+import numpy as np
+import pytest
+
+import rcppml_tpu as rt
+from rcppml_tpu.models.project import evaluate, mse, nnls, predict
+
+
+def test_nnls_exact_recovery():
+    rs = np.random.RandomState(0)
+    W = np.abs(rs.rand(60, 4)).astype(np.float32)
+    H = np.abs(rs.rand(4, 50)).astype(np.float32)
+    A = W @ H
+    H_hat = nnls(A, w=W)
+    np.testing.assert_allclose(H_hat, H, rtol=1e-2, atol=1e-3)
+
+
+def test_nnls_h_side():
+    rs = np.random.RandomState(1)
+    W = np.abs(rs.rand(40, 3)).astype(np.float32)
+    H = np.abs(rs.rand(3, 30)).astype(np.float32)
+    A = W @ H
+    W_hat = nnls(A, h=H)
+    assert W_hat.shape == (40, 3)
+    np.testing.assert_allclose(W_hat, W, rtol=1e-2, atol=1e-3)
+
+
+def test_nnls_nonneg():
+    rs = np.random.RandomState(2)
+    W = rs.randn(30, 3).astype(np.float32)
+    A = rs.randn(30, 20).astype(np.float32)
+    H = nnls(A, w=W, nonneg=True)
+    assert (H >= 0).all()
+    H2 = nnls(A, w=W, nonneg=False)
+    assert (H2 < 0).any()
+
+
+def test_nnls_l1_sparsifies():
+    rs = np.random.RandomState(3)
+    W = np.abs(rs.rand(50, 5)).astype(np.float32)
+    A = np.abs(rs.rand(50, 40)).astype(np.float32)
+    h0 = nnls(A, w=W, solver="cd")
+    h1 = nnls(A, w=W, L1=0.3, solver="cd")
+    assert (h1 == 0).mean() > (h0 == 0).mean()
+
+
+def test_predict_projects(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=40)
+    H_new = predict(res, A)
+    assert H_new.shape == (4, A.shape[1])
+    # projection of training data should reconstruct about as well as H
+    rec = (res.W * res.d[None, :]) @ np.linalg.lstsq(
+        (res.W * res.d[None, :]), A, rcond=None)[0]
+    rec_pred = (res.W * res.d[None, :]) @ H_new
+    assert np.linalg.norm(A - rec_pred) < 1.25 * np.linalg.norm(A - rec) + 1e-3
+
+
+def test_evaluate_and_mse(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=40)
+    m1 = mse(res, A)
+    assert m1 == pytest.approx(float(np.mean((A - res.reconstruct()) ** 2)),
+                               rel=1e-4)
+    kl = evaluate(res, A, loss="gp")    # gp none == KL deviance
+    assert np.isfinite(kl)
+
+
+def test_evaluate_masked(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=20)
+    M = np.zeros_like(A, dtype=bool)
+    M[:10] = True
+    full = evaluate(res, A)
+    masked = evaluate(res, A, mask=M)
+    missing = evaluate(res, A, mask=M, missing_only=True)
+    assert np.isfinite(masked) and np.isfinite(missing)
+    assert masked != missing or abs(full - masked) < 1e-12

@@ -48,8 +48,8 @@ def test_fill_uniform_column_major_order():
 
 
 def test_position_hash_pure_and_distributed():
-    h1 = rng.position_hash(99, np.arange(50), np.arange(60)[:, None].T)
-    h2 = rng.position_hash(99, np.arange(50), np.arange(60)[:, None].T)
+    h1 = rng.position_hash(99, np.arange(50)[:, None], np.arange(60)[None, :])
+    h2 = rng.position_hash(99, np.arange(50)[:, None], np.arange(60)[None, :])
     np.testing.assert_array_equal(h1, h2)
     # roughly uniform over u64 range
     frac = (h1.astype(np.float64) / 2.0**64).mean()

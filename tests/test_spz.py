@@ -1,0 +1,107 @@
+"""StreamPress .spz round-trips and reference-format compatibility
+(reference: test_spz_roundtrip_comprehensive.R, test_streampress_*.R)."""
+
+import os
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+
+from rcppml_tpu.io.spz import (SpzChunkReader, compress_to_spz_bytes,
+                               decompress_spz_bytes, spz_info_bytes, st_info,
+                               st_read, st_read_transpose, st_write)
+
+
+def _random_sparse(seed=0, m=300, n=200, density=0.06, integer=True):
+    rs = np.random.RandomState(seed)
+    A = scipy_sparse.random(m, n, density=density, random_state=rs,
+                            format="csc")
+    if integer:
+        A.data[:] = np.ceil(A.data * 30)
+    A.eliminate_zeros()
+    return A
+
+
+@pytest.mark.parametrize("vt", ["uint8", "uint16", "uint32", "float32",
+                                "float64"])
+def test_roundtrip_value_types(vt):
+    A = _random_sparse(integer=not vt.startswith("float"))
+    if vt.startswith("float"):
+        A.data[:] = A.data * 1.7
+    buf = compress_to_spz_bytes(A, value_type=vt)
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(B.toarray(), A.toarray(), rtol=1e-6)
+
+
+def test_float16_lossy_roundtrip():
+    A = _random_sparse(integer=False)
+    buf = compress_to_spz_bytes(A, value_type="float16")
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(B.toarray(), A.toarray(), rtol=1e-2, atol=1e-3)
+
+
+def test_transpose_stream():
+    A = _random_sparse(seed=3)
+    buf = compress_to_spz_bytes(A, with_transpose=True)
+    Bt = decompress_spz_bytes(buf, transpose=True)
+    np.testing.assert_allclose(Bt.toarray(), A.toarray().T)
+
+
+def test_info():
+    A = _random_sparse(seed=5)
+    buf = compress_to_spz_bytes(A, value_type="uint16")
+    info = spz_info_bytes(buf)
+    assert info["m"] == 300 and info["n"] == 200
+    assert info["nnz"] == A.nnz
+    assert info["value_type"] == "uint16"
+    assert info["has_transpose"]
+
+
+def test_file_api(tmp_path):
+    A = _random_sparse(seed=7)
+    path = str(tmp_path / "test.spz")
+    st_write(A, path)
+    B = st_read(path)
+    np.testing.assert_allclose(B.toarray(), A.toarray())
+    Bt = st_read_transpose(path)
+    np.testing.assert_allclose(Bt.toarray(), A.toarray().T)
+    info = st_info(path)
+    assert info["nnz"] == A.nnz
+    # compression actually compresses vs raw CSC
+    raw = A.data.nbytes + A.indices.nbytes
+    assert info["file_size"] < raw
+
+
+def test_chunk_reader():
+    A = _random_sparse(seed=9, n=500)
+    buf = compress_to_spz_bytes(A, chunk_cols=128)
+    r = SpzChunkReader(buf)
+    assert r.num_chunks() == 4
+    rebuilt = []
+    for c in range(r.num_chunks()):
+        cs, sub = r.chunk(c)
+        assert cs == c * 128
+        rebuilt.append(sub.toarray())
+    np.testing.assert_allclose(np.hstack(rebuilt), A.toarray())
+
+
+def test_reference_pbmc3k_decodes():
+    """Cross-implementation compatibility: decode SPZ bytes produced by the
+    REFERENCE encoder (shipped inside pbmc3k.rda)."""
+    from rcppml_tpu import datasets
+    P = datasets.pbmc3k()
+    assert P.shape == (13714, 2638)
+    assert P.nnz == 2238732
+    assert float(P.data.min()) >= 1.0
+    col_sums = np.asarray(P.sum(axis=0)).ravel()
+    assert (col_sums > 0).all()
+
+
+def test_empty_columns():
+    A = scipy_sparse.csc_matrix((50, 30))
+    A[3, 5] = 2.0
+    A = A.tocsc()
+    buf = compress_to_spz_bytes(A, value_type="uint8")
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(B.toarray(), A.toarray())

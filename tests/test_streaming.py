@@ -1,0 +1,64 @@
+"""Streaming = in-memory parity (reference: test_streaming.R, 276 LoC)."""
+
+import numpy as np
+import pytest
+
+import rcppml_tpu as rt
+from rcppml_tpu.io.loaders import CachingLoader, InMemoryLoader, SpzLoader
+from rcppml_tpu.models.nmf_chunked import nmf_chunked
+from rcppml_tpu.utils.simulate import simulate_nmf
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate_nmf(m=50, n=200, k=3, noise=0.03, seed=17)
+
+
+def test_in_memory_loader_panels(sim):
+    A = sim["A"]
+    ld = InMemoryLoader(A, chunk_cols=64)
+    assert ld.num_chunks() == 4
+    parts = [ch.data for ch in ld.iter_chunks()]
+    np.testing.assert_allclose(np.hstack(parts), A)
+    partsT = [ch.data for ch in ld.iter_chunks(transpose=True)]
+    np.testing.assert_allclose(np.hstack(partsT), A.T)
+
+
+def test_streaming_matches_in_memory(sim):
+    """Chunked ALS must match the in-memory fit (same data, same seed)."""
+    A = sim["A"]
+    cfg = rt.build_config(3, seed=42, maxit=25, tol=0.0, sort_model=False)
+    from rcppml_tpu.models.nmf import nmf_fit
+    res_mem = nmf_fit(A, cfg)
+    res_str = nmf_chunked(InMemoryLoader(A, chunk_cols=64), cfg)
+    np.testing.assert_allclose(res_str.train_loss, res_mem.train_loss,
+                               rtol=1e-3)
+    np.testing.assert_allclose(res_str.W, res_mem.W, rtol=2e-2, atol=2e-3)
+
+
+def test_spz_streaming_roundtrip(sim, tmp_path):
+    from rcppml_tpu.io.spz import st_write
+    A = sim["A"].copy()
+    A[A < 0.2] = 0          # sparsify for spz
+    path = str(tmp_path / "stream.spz")
+    st_write(A, path, with_transpose=True)
+
+    res = rt.nmf(path, 3, seed=42, maxit=15, tol=0.0, sort_model=False)
+    cfg = rt.build_config(3, seed=42, maxit=15, tol=0.0, sort_model=False)
+    from rcppml_tpu.models.nmf import nmf_fit
+    res_mem = nmf_fit(A, cfg)
+    np.testing.assert_allclose(res.train_loss, res_mem.train_loss, rtol=1e-3)
+
+
+def test_streaming_irls_rejected(sim):
+    cfg = rt.build_config(3, loss="gp", solver="cd", maxit=3)
+    with pytest.raises(NotImplementedError):
+        nmf_chunked(InMemoryLoader(sim["A"]), cfg)
+
+
+def test_caching_loader(sim):
+    inner = InMemoryLoader(sim["A"], chunk_cols=64)
+    ld = CachingLoader(inner)
+    c1 = ld.chunk(0)
+    c2 = ld.chunk(0)
+    assert c1 is c2

@@ -1,0 +1,122 @@
+"""SVD algorithm tests (reference: tests/testthat/test_svd.R, 749 LoC).
+
+Every algorithm's singular values are checked against numpy's exact SVD.
+"""
+
+import numpy as np
+import pytest
+
+from rcppml_tpu.models.svd import (deflation_svd, irlba_svd, krylov_svd,
+                                   lanczos_svd, pca, randomized_svd, svd)
+from rcppml_tpu.config import SVDConfig, FactorConfig
+
+
+@pytest.fixture(scope="module")
+def lowrank():
+    rs = np.random.RandomState(7)
+    U = rs.normal(size=(120, 8))
+    V = rs.normal(size=(90, 8))
+    s = np.array([50, 30, 20, 10, 5, 3, 2, 1.0])
+    A = (U * s) @ V.T + 0.01 * rs.normal(size=(120, 90))
+    return A.astype(np.float32)
+
+
+def _exact_svals(A, k):
+    return np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)[:k]
+
+
+def test_lanczos_svals(lowrank):
+    k = 5
+    res = lanczos_svd(lowrank, SVDConfig(k=k, seed=1))
+    np.testing.assert_allclose(res.d, _exact_svals(lowrank, k), rtol=1e-3)
+    # orthonormality
+    np.testing.assert_allclose(res.U.T @ res.U, np.eye(k), atol=1e-3)
+    np.testing.assert_allclose(res.V.T @ res.V, np.eye(k), atol=1e-3)
+
+
+def test_randomized_svals(lowrank):
+    k = 5
+    res = randomized_svd(lowrank, SVDConfig(k=k, seed=1, power_iters=3))
+    np.testing.assert_allclose(res.d, _exact_svals(lowrank, k), rtol=1e-2)
+
+
+def test_irlba_svals(lowrank):
+    k = 5
+    res = irlba_svd(lowrank, SVDConfig(k=k, seed=1))
+    np.testing.assert_allclose(res.d, _exact_svals(lowrank, k), rtol=1e-3)
+
+
+def test_deflation_svals(lowrank):
+    k = 4
+    res = deflation_svd(lowrank, SVDConfig(k=k, seed=1, tol=1e-7))
+    np.testing.assert_allclose(res.d, _exact_svals(lowrank, k), rtol=2e-2)
+
+
+def test_reconstruction_quality(lowrank):
+    res = lanczos_svd(lowrank, SVDConfig(k=8, seed=1))
+    rec = res.reconstruct()
+    rel = np.linalg.norm(rec - lowrank) / np.linalg.norm(lowrank)
+    assert rel < 0.02
+
+
+def test_pca_centering(lowrank):
+    res = pca(lowrank, 4, center=True)
+    assert res.center is not None
+    # centered reconstruction must beat uncentered on centered data
+    ve = res.variance_explained()
+    assert ve.sum() <= 1.0 + 1e-6
+    assert (np.diff(np.asarray(res.d)) <= 1e-5).all()
+
+
+def test_center_matches_explicit(lowrank):
+    """Implicit centering equals SVD of the explicitly centered matrix."""
+    k = 3
+    res = lanczos_svd(lowrank, SVDConfig(k=k, seed=1, center=True))
+    Ac = lowrank - lowrank.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(res.d, _exact_svals(Ac, k), rtol=1e-3)
+
+
+def test_nonneg_constrained(lowrank):
+    A = np.abs(lowrank)
+    res = svd(A, 4, method="krylov", nonneg=(True, True), seed=1)
+    assert (res.U >= 0).all()
+    assert (res.V >= 0).all()
+    rec = res.reconstruct()
+    rel = np.linalg.norm(rec - A) / np.linalg.norm(A)
+    assert rel < 0.5
+
+
+def test_sparse_l1(lowrank):
+    res_plain = svd(lowrank, 4, method="krylov", L1=(0.0, 0.0), seed=1)
+    res_l1 = svd(lowrank, 4, method="krylov", L1=(0.0, 2.0), seed=1)
+    # L1 on v should increase sparsity of V
+    assert (res_l1.V == 0).mean() >= (res_plain.V == 0).mean()
+
+
+def test_auto_method_select(lowrank):
+    res = svd(lowrank, 4, method="auto", seed=1)
+    assert res.misc["method"] == "lanczos"
+    res2 = svd(lowrank, 40, method="auto", seed=1)
+    assert res2.misc["method"] == "randomized"
+
+
+def test_deflation_auto_rank():
+    rs = np.random.RandomState(3)
+    U = rs.normal(size=(80, 3))
+    V = rs.normal(size=(70, 3))
+    A = ((U * [40, 25, 12]) @ V.T + 0.5 * rs.normal(size=(80, 70))).astype(np.float32)
+    res = svd(A, "auto", seed=1)
+    assert 1 <= res.k_selected <= 10
+
+
+def test_robust_deflation(lowrank):
+    A = lowrank.copy()
+    A[0, :5] += 500.0       # outliers
+    res = svd(A, 3, method="deflation", robust=True, seed=1)
+    assert np.isfinite(res.d).all()
+
+
+def test_seed_reproducible(lowrank):
+    r1 = randomized_svd(lowrank, SVDConfig(k=4, seed=9))
+    r2 = randomized_svd(lowrank, SVDConfig(k=4, seed=9))
+    np.testing.assert_array_equal(r1.d, r2.d)

@@ -1,0 +1,115 @@
+"""Aux subsystem tests: datasets, metrics, guided NMF, diagnostics, logging."""
+
+import numpy as np
+import pytest
+
+import rcppml_tpu as rt
+from rcppml_tpu.utils.guided import compute_target, refine
+from rcppml_tpu.utils.metrics import (adjusted_rand_index, assess, cosine,
+                                      normalized_mutual_info)
+from rcppml_tpu.utils.simulate import simulate_nmf
+from rcppml_tpu.utils.training_log import training_logger
+
+
+def test_datasets_load():
+    from rcppml_tpu import datasets
+    A = datasets.aml()
+    assert A.shape == (824, 135)
+    M = datasets.movielens()
+    assert M.shape == (3867, 610)
+    assert M.nnz == 75238
+
+
+def test_ari_nmi_basics():
+    a = [0, 0, 1, 1, 2, 2]
+    assert adjusted_rand_index(a, a) == pytest.approx(1.0)
+    assert normalized_mutual_info(a, a) == pytest.approx(1.0)
+    b = [0, 1, 0, 1, 0, 1]
+    assert adjusted_rand_index(a, b) < 0.5
+
+
+def test_assess_separable_embedding():
+    rs = np.random.RandomState(0)
+    X = np.vstack([rs.randn(40, 3) + [5, 0, 0],
+                   rs.randn(40, 3) + [0, 5, 0],
+                   rs.randn(40, 3) + [0, 0, 5]])
+    labels = np.repeat([0, 1, 2], 40)
+    out = assess(X, labels, classifiers=("knn",))
+    assert out["ari"] > 0.8
+    assert out["nmi"] > 0.8
+    assert out["silhouette"] > 0.3
+    assert out["classification"]["knn"] > 0.9
+
+
+def test_cosine():
+    A = np.eye(3)
+    C = cosine(A)
+    np.testing.assert_allclose(C, np.eye(3), atol=1e-12)
+
+
+def test_compute_target_shapes():
+    rs = np.random.RandomState(1)
+    H = np.abs(rs.rand(4, 30)).astype(np.float32)
+    labels = np.repeat([0, 1, 2], 10)
+    T = compute_target(H, labels)
+    assert T.shape == (4, 30)
+    # same-label columns share the same target
+    np.testing.assert_allclose(T[:, 0], T[:, 5])
+    assert not np.allclose(T[:, 0], T[:, 15])
+
+
+def test_refine_improves_separation():
+    sim = simulate_nmf(m=50, n=60, k=3, noise=0.05, seed=3)
+    res = rt.nmf(sim["A"], 3, seed=42, maxit=30)
+    labels = np.argmax(sim["H"], axis=0)
+    refined = refine(res, labels, lambda_=0.5)
+    assert refined.H.shape == res.H.shape
+    assert refined.misc["refined"]
+    # class separation (between/within distance) should not degrade
+    def sep(H):
+        E = H.T
+        cents = np.vstack([E[labels == c].mean(0) for c in range(3)])
+        within = np.mean([np.linalg.norm(E[labels == c] - cents[c], axis=1).mean()
+                          for c in range(3)])
+        between = np.linalg.norm(cents[0] - cents[1])
+        return between / max(within, 1e-9)
+    assert sep(refined.H) >= sep(res.H) * 0.9
+
+
+def test_refine_with_cycles():
+    sim = simulate_nmf(m=40, n=50, k=3, noise=0.05, seed=4)
+    res = rt.nmf(sim["A"], 3, seed=42, maxit=20)
+    labels = np.argmax(sim["H"], axis=0)
+    refined = refine(res, labels, data=sim["A"], lambda_=0.3, cycles=2)
+    assert np.isfinite(refined.H).all()
+    assert (refined.H >= 0).all()
+
+
+def test_auto_distribution_counts():
+    from rcppml_tpu.utils.diagnostics import auto_nmf_distribution
+    from rcppml_tpu.utils.simulate import simulate_counts
+    counts = simulate_counts(m=40, n=50, k=3, nb_size=1.0, seed=8)
+    out = auto_nmf_distribution(counts["A"], 3, maxit=15, seed=42,
+                                distributions=("mse", "nb"))
+    assert out["best"] in ("mse", "nb")
+    assert len(out["results"]) == 2
+    assert all(np.isfinite(r["bic"]) for r in out["results"])
+
+
+def test_diagnose_zero_inflation():
+    from rcppml_tpu.utils.diagnostics import diagnose_zero_inflation
+    from rcppml_tpu.utils.simulate import simulate_counts
+    counts = simulate_counts(m=40, n=50, k=3, zi_pi=0.5, seed=9)
+    out = diagnose_zero_inflation(counts["A"], 3, maxit=15)
+    assert 0 <= out["observed_zero_fraction"] <= 1
+    assert np.isfinite(out["excess_zeros"])
+
+
+def test_training_logger(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=20)
+    log = training_logger().attach_history(res)
+    assert len(log) == res.iterations
+    recs = log.export()
+    assert recs[0]["iter"] == 1
+    assert recs[-1]["train_loss"] <= recs[0]["train_loss"]
