@@ -121,12 +121,12 @@ def build_config(
 
     needs_irls = loss_e != Loss.MSE or robust_delta > 0
     if solver == "auto":
-        if needs_irls:
-            solver_e = Solver.CD
-        elif k < 32 and l1w == 0 and l1h == 0:
-            solver_e = Solver.CHOLESKY
-        else:
-            solver_e = Solver.CD
+        # Accelerator policy: IRLS needs CD; otherwise Cholesky+clip — the
+        # reference's C++ default (solver_mode=1, core/config.hpp:133) and
+        # its own GPU auto-select at k>32 (R/nmf_thin.R:367-374).  On the
+        # MXU the batched Cholesky solve is strictly faster than the
+        # sequential CD sweep at every k; CD remains available explicitly.
+        solver_e = Solver.CD if needs_irls else Solver.CHOLESKY
     else:
         solver_e = {"cd": Solver.CD, "cholesky": Solver.CHOLESKY}[solver]
     if solver_e == Solver.CHOLESKY and needs_irls:
