@@ -83,6 +83,7 @@ def build_config(
     norm: str = "L1",
     sort_model: bool = True,
     verbose: bool = False,
+    profile: bool = False,
     has_mask: bool = False,
     has_graph_W: bool = False,
     has_graph_H: bool = False,
@@ -151,7 +152,7 @@ def build_config(
         projective=projective, symmetric=symmetric, sort_model=sort_model,
         test_fraction=float(test_fraction), cv_seed=int(cv_seed),
         mask_zeros=bool(mask_zeros),
-        verbose=verbose,
+        verbose=verbose, enable_profiling=bool(profile),
         has_mask=has_mask, has_graph_W=has_graph_W, has_graph_H=has_graph_H,
         has_target_H=has_target_H, has_target_W=has_target_W,
     )
@@ -161,7 +162,7 @@ def build_config(
 
 def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         target_W=None, w_init=None, h_init=None, streaming=False,
-        chunk_cols=None, **kwargs):
+        chunk_cols=None, on_iteration=None, **kwargs):
     """Fit A ~ W diag(d) H.  The main entry point (R/nmf_thin.R:219).
 
     ``k`` may be an int (single fit), a sequence of ints with
@@ -224,4 +225,4 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     from .models.nmf import nmf_fit
     return nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,
-                   sparse_zeros=sparse_input)
+                   sparse_zeros=sparse_input, on_iteration=on_iteration)

@@ -86,29 +86,20 @@ def _posthoc(X, fc):
 # The jitted fit
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
-    """Dense MSE ALS fit, fully on-device (standard / projective / symmetric).
+def make_updates(cfg: NMFConfig, aux):
+    """Build the H-update / W-update / loss functions for one config.
 
-    ``aux`` is a dict whose key set is static (part of the jit cache key):
-    optional 'graph_W', 'graph_H' (dense Laplacians), 'target_H'/'target_W'
-    and their precomputed '. _gram' entries for PROJ_ADV.
+    Shared between the fully-fused while-loop fit (:func:`_fit_mse`) and the
+    step-mode driver (:func:`fit_stepwise`, used when callbacks/profiling
+    are requested) so variant logic exists exactly once — the analog of the
+    reference's variant_helpers centralization.
     """
-    k = cfg.rank
-    dtype = A.dtype
-    max_iter = cfg.max_iter
-    tol = jnp.asarray(cfg.tol, dtype)
-
     graph_W = aux.get("graph_W")
     graph_H = aux.get("graph_H")
     target_H = aux.get("target_H")
     target_H_gram = aux.get("target_H_gram")
     target_W = aux.get("target_W")
     target_W_gram = aux.get("target_W_gram")
-
-    # tr(A'A) precomputed once (fit_cpu.hpp:224)
-    trAtA = jnp.sum(A * A)
-
     use_saved_loss = not (cfg.projective or cfg.symmetric)
 
     def h_update(A, W_T, H, d, it):
@@ -148,7 +139,7 @@ def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
         W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
         return W_new, H, d_new, B_w, G_w
 
-    def compute_loss(A, W_T, H, d, B_w, G_w):
+    def compute_loss(trAtA, A, W_T, H, d, B_w, G_w):
         if use_saved_loss:
             # optimized saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753)
             return linalg.mse_loss_from_saved(trAtA, W_T, d, B_w, G_w)
@@ -157,12 +148,31 @@ def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
         B_l = linalg.rhs(W_Td, A)
         return linalg.gram_trick_loss(trAtA, G_l, B_l, H)
 
+    return h_update, w_update, compute_loss
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
+    """Dense MSE ALS fit, fully on-device (standard / projective / symmetric).
+
+    ``aux`` is a dict whose key set is static (part of the jit cache key):
+    optional 'graph_W', 'graph_H' (dense Laplacians), 'target_H'/'target_W'
+    and their precomputed '. _gram' entries for PROJ_ADV.
+    """
+    dtype = A.dtype
+    max_iter = cfg.max_iter
+    tol = jnp.asarray(cfg.tol, dtype)
+    h_update, w_update, compute_loss = make_updates(cfg, aux)
+
+    # tr(A'A) precomputed once (fit_cpu.hpp:224)
+    trAtA = jnp.sum(A * A)
+
     def body(state: FitState) -> FitState:
         W_T, H, d, it = state.W_T, state.H, state.d, state.it
         H, d = h_update(A, W_T, H, d, it)
         W_T, H, d, B_w, G_w = w_update(A, W_T, H, d, it)
 
-        loss = compute_loss(A, W_T, H, d, B_w, G_w)
+        loss = compute_loss(trAtA, A, W_T, H, d, B_w, G_w)
 
         # relative-tolerance + patience convergence (fit_cpu.hpp:1770-1809)
         rel = jnp.abs(state.prev_loss - loss) / (jnp.abs(state.prev_loss) + 1e-15)
@@ -188,6 +198,92 @@ def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
         loss_hist=jnp.full((max_iter,), jnp.nan, dtype),
     )
     return lax.while_loop(cond, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Step mode — per-iteration host loop with callbacks + section profiling
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "section"))
+def _step_section(cfg: NMFConfig, section: str, A, W_T, H, d, it, aux,
+                  B_w=None, G_w=None, trAtA=None):
+    """One profiled section of an ALS iteration (step mode)."""
+    h_update, w_update, compute_loss = make_updates(cfg, aux)
+    if section == "h_update":
+        return h_update(A, W_T, H, d, it)
+    if section == "w_update":
+        return w_update(A, W_T, H, d, it)
+    return compute_loss(trAtA, A, W_T, H, d, B_w, G_w)
+
+
+def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
+                 on_iteration=None) -> NMFResult:
+    """Host-driven ALS loop: one jitted call per section per iteration.
+
+    Used when the caller wants per-iteration callbacks (``on_iteration(iter,
+    train, test)`` — config.hpp:388-392) or the profiling map
+    (``enable_profiling`` — profiling/cpu_timer.hpp:31-50).  Slower than the
+    fused while-loop (device sync per section) — exactly the reference's
+    profiling-overhead trade-off.
+    """
+    import time as _time
+
+    W_T = jnp.asarray(W_T0)
+    H = jnp.asarray(H0)
+    d = jnp.asarray(d0)
+    trAtA = jnp.sum(A_dev * A_dev)
+    prof: dict = {}
+    hist = []
+    prev_loss = np.inf
+    patience = 0
+    converged = False
+    final_tol = float("nan")
+    it = 0
+
+    def timed(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        prof[name] = prof.get(name, 0.0) + (_time.perf_counter() - t0) * 1e3
+        return out
+
+    for it in range(cfg.max_iter):
+        itj = jnp.int32(it)
+        H, d = timed("h_update", lambda: _step_section(
+            cfg, "h_update", A_dev, W_T, H, d, itj, aux))
+        W_T, H, d, B_w, G_w = timed("w_update", lambda: _step_section(
+            cfg, "w_update", A_dev, W_T, H, d, itj, aux))
+        loss = timed("loss", lambda: _step_section(
+            cfg, "loss", A_dev, W_T, H, d, itj, aux, B_w, G_w, trAtA))
+        loss = float(loss)
+        hist.append(loss)
+        if on_iteration is not None:
+            on_iteration(it + 1, loss, float("nan"))
+        if it > 0:
+            rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
+            final_tol = rel
+            if rel < cfg.tol:
+                patience += 1
+                if patience >= cfg.patience:
+                    converged = True
+                    prev_loss = loss
+                    it += 1
+                    break
+            else:
+                patience = 0
+        prev_loss = loss
+
+    res = NMFResult(
+        W=np.asarray(W_T).T, d=np.asarray(d), H=np.asarray(H),
+        iterations=it if converged else it + 1,
+        converged=converged, final_tol=final_tol,
+        train_loss=float(prev_loss),
+        loss_history=np.asarray(hist),
+        profile=prof,
+    )
+    if cfg.sort_model:
+        res.sort()
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +344,7 @@ def init_factors(cfg: NMFConfig, m: int, n: int, A=None,
 
 def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
             aux: Optional[dict] = None, device_A=None,
-            sparse_zeros: bool = False) -> NMFResult:
+            sparse_zeros: bool = False, on_iteration=None) -> NMFResult:
     """Fit NMF on a dense (or densified) matrix.
 
     ``A``: (m, n) numpy array (fp32 internally, like the reference's
@@ -272,6 +368,10 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
         from .nmf_irls import fit_irls
         return fit_irls(A_dev, cfg, W_T0, H0, d0, aux_dev,
                         sparse_zeros=sparse_zeros)
+
+    if on_iteration is not None or cfg.enable_profiling:
+        return fit_stepwise(A_dev, cfg, W_T0, H0, d0, aux_dev,
+                            on_iteration=on_iteration)
 
     state = _fit_mse(cfg, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
                      jnp.asarray(d0), aux_dev)

@@ -1,0 +1,140 @@
+"""Plotting helpers (R/plot_nmf.R:41,373, R/nmf_plots.R, plot.dclust,
+plot.consensus_nmf, biplot).
+
+All functions return the matplotlib Figure so callers can save/show;
+importing matplotlib is deferred so headless library use stays light.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_loss(result, *, log: bool = True, ax=None):
+    """Training (and test) loss curves (plot.nmf type='loss')."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    h = np.asarray(result.loss_history)
+    ax.plot(np.arange(1, len(h) + 1), h, label="train", lw=2)
+    if getattr(result, "test_loss_history", None) is not None:
+        t = np.asarray(result.test_loss_history)
+        ax.plot(np.arange(1, len(t) + 1), t, label="test", lw=2)
+    if log:
+        ax.set_yscale("log")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("loss")
+    ax.legend()
+    ax.set_title("NMF convergence")
+    return fig if fig is not None else ax.figure
+
+
+def plot_cv(rows: Sequence[dict], *, metric: str = "test_mse", ax=None):
+    """Rank-selection curve from a CV sweep (plot.nmfCrossValidate)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    reps = sorted({r["rep"] for r in rows})
+    for rep in reps:
+        sub = sorted((r for r in rows if r["rep"] == rep), key=lambda r: r["k"])
+        ax.plot([r["k"] for r in sub], [r[metric] for r in sub],
+                marker="o", label=f"rep {rep}")
+    ax.set_xlabel("rank k")
+    ax.set_ylabel(metric)
+    ax.legend()
+    ax.set_title("Cross-validation rank selection")
+    return fig if fig is not None else ax.figure
+
+
+def plot_factor_sparsity(result, ax=None):
+    """Per-factor sparsity bars (plot.nmf type='sparsity')."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    k = result.k
+    sw = (np.asarray(result.W) == 0).mean(axis=0)
+    sh = (np.asarray(result.H) == 0).mean(axis=1)
+    x = np.arange(k)
+    ax.bar(x - 0.2, sw, width=0.4, label="W")
+    ax.bar(x + 0.2, sh, width=0.4, label="H")
+    ax.set_xlabel("factor")
+    ax.set_ylabel("sparsity")
+    ax.legend()
+    return fig if fig is not None else ax.figure
+
+
+def biplot(result, *, f1: int = 0, f2: int = 1, ax=None):
+    """Sample biplot on two factors (R/nmf_methods.R biplot)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5, 5))
+    H = np.asarray(result.H)
+    ax.scatter(H[f1], H[f2], s=8, alpha=0.6)
+    ax.set_xlabel(f"factor {f1 + 1}")
+    ax.set_ylabel(f"factor {f2 + 1}")
+    return fig if fig is not None else ax.figure
+
+
+def plot_dclust(clusters, ax=None):
+    """Divisive-clustering dendrogram sketch (plot.dclust)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(7, 4))
+    leaves = sorted(clusters, key=lambda c: c.id)
+    xs = {}
+    for i, c in enumerate(leaves):
+        xs[c.id] = i
+        ax.plot([i, i], [0, len(c.id)], color="gray", lw=1)
+        ax.text(i, -0.3, c.id, ha="center", fontsize=8, rotation=90)
+        ax.scatter([i], [0], s=max(c.size, 5), alpha=0.7)
+    ax.set_ylabel("depth")
+    ax.set_xticks([])
+    ax.invert_yaxis()
+    ax.set_title("divisive clustering")
+    return fig if fig is not None else ax.figure
+
+
+def plot_consensus(consensus_out, ax=None):
+    """Consensus-matrix heatmap ordered by cluster label
+    (plot.consensus_nmf)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5, 5))
+    C = np.asarray(consensus_out["consensus"])
+    order = np.argsort(consensus_out["labels"])
+    im = ax.imshow(C[np.ix_(order, order)], cmap="viridis", vmin=0, vmax=1)
+    ax.figure.colorbar(im, ax=ax, shrink=0.8)
+    ax.set_title(f"consensus (cophenetic={consensus_out['cophenetic']:.3f})")
+    return fig if fig is not None else ax.figure
+
+
+def compare_nmf(results: Sequence, labels: Optional[Sequence[str]] = None,
+                ax=None):
+    """Overlay loss histories of multiple fits (R compare_nmf)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    for i, r in enumerate(results):
+        lab = labels[i] if labels else f"model {i + 1}"
+        ax.plot(np.asarray(r.loss_history), label=lab, lw=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("train loss")
+    ax.legend()
+    return fig if fig is not None else ax.figure

@@ -1,0 +1,43 @@
+"""Callbacks + profiling (step mode) tests (config.hpp:388-392,
+profiling/cpu_timer.hpp)."""
+
+import numpy as np
+
+import rcppml_tpu as rt
+from rcppml_tpu.utils.simulate import simulate_nmf
+from rcppml_tpu.utils.training_log import training_logger
+
+
+def test_on_iteration_callback(small_factors):
+    A = small_factors["A"]
+    seen = []
+    res = rt.nmf(A, 4, seed=42, maxit=10, tol=0.0,
+                 on_iteration=lambda i, tr, te: seen.append((i, tr)))
+    assert len(seen) == 10
+    assert seen[0][0] == 1
+    assert seen[-1][1] <= seen[0][1]
+    assert np.isfinite(res.train_loss)
+
+
+def test_profile_map(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=8, tol=0.0, profile=True)
+    assert {"h_update", "w_update", "loss"} <= set(res.profile)
+    assert all(v > 0 for v in res.profile.values())
+
+
+def test_stepwise_matches_fused(small_factors):
+    A = small_factors["A"]
+    r_fused = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0, sort_model=False)
+    r_step = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0, sort_model=False,
+                    profile=True)
+    np.testing.assert_allclose(r_step.W, r_fused.W, rtol=1e-5, atol=1e-6)
+    tr = float((A * A).sum())
+    assert abs(r_step.train_loss - r_fused.train_loss) < 1e-6 * tr
+
+
+def test_logger_as_callback(small_factors):
+    A = small_factors["A"]
+    log = training_logger()
+    rt.nmf(A, 4, seed=42, maxit=5, tol=0.0, on_iteration=log)
+    assert len(log) == 5
