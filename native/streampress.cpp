@@ -784,3 +784,236 @@ int spz_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SparsePress v3 — dense column-panel format (format/header_v3.hpp)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+#pragma pack(push, 1)
+struct HeaderV3 {
+    uint8_t magic[4];
+    uint16_t version;
+    uint16_t header_size;
+    uint32_t m, n;
+    uint64_t nnz;
+    uint32_t chunk_cols;
+    uint32_t num_chunks;
+    uint32_t num_transpose_chunks;
+    uint8_t value_type;
+    uint8_t has_transpose;
+    uint8_t reserved_flags[2];
+    uint64_t chunk_index_offset;
+    uint64_t data_offset;
+    uint64_t transpose_index_offset;
+    uint64_t transpose_data_offset;
+    uint64_t metadata_offset;
+    uint8_t reserved[48];     // [0]=codec (0 raw_fp32, 1 fp16), [1]=delta
+};
+struct DenseChunkDesc {
+    uint32_t col_start;
+    uint32_t num_cols;
+    uint64_t byte_offset;
+    uint64_t byte_size;
+};
+#pragma pack(pop)
+static_assert(sizeof(HeaderV3) == 128, "v3 header must be 128 bytes");
+static_assert(sizeof(DenseChunkDesc) == 24, "v3 chunk desc must be 24 bytes");
+
+void v3_encode_panels(const float* data, uint32_t nrows, uint32_t ncols,
+                      uint32_t chunk_cols, uint8_t codec,
+                      std::vector<DenseChunkDesc>& descs,
+                      std::vector<uint8_t>& out) {
+    uint32_t nchunks = ncols ? (ncols + chunk_cols - 1) / chunk_cols : 0;
+    descs.resize(nchunks);
+    for (uint32_t c = 0; c < nchunks; ++c) {
+        DenseChunkDesc& d = descs[c];
+        d.col_start = c * chunk_cols;
+        d.num_cols = std::min(chunk_cols, ncols - d.col_start);
+        d.byte_offset = out.size();
+        const float* panel = data + static_cast<uint64_t>(d.col_start) * nrows;
+        uint64_t count = static_cast<uint64_t>(nrows) * d.num_cols;
+        if (codec == 1) {       // fp16
+            size_t base = out.size();
+            out.resize(base + count * 2);
+            uint16_t* w = reinterpret_cast<uint16_t*>(out.data() + base);
+            for (uint64_t i = 0; i < count; ++i) w[i] = float_to_half(panel[i]);
+        } else {                // raw fp32
+            size_t base = out.size();
+            out.resize(base + count * 4);
+            std::memcpy(out.data() + base, panel, count * 4);
+        }
+        d.byte_size = out.size() - d.byte_offset;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int spz_version(const uint8_t* buf, uint64_t len) {
+    if (len < 8 || std::memcmp(buf, "SPRZ", 4) != 0) return -1;
+    uint16_t ver;
+    std::memcpy(&ver, buf + 4, 2);
+    return ver;
+}
+
+int spz3_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
+              uint8_t* has_transpose, uint8_t* codec) {
+    try {
+        if (len < sizeof(HeaderV3)) throw std::runtime_error("buffer too small");
+        HeaderV3 h;
+        std::memcpy(&h, buf, sizeof(h));
+        if (std::memcmp(h.magic, "SPRZ", 4) != 0 || h.version != 3)
+            throw std::runtime_error("not a SparsePress v3 buffer");
+        *m = h.m; *n = h.n;
+        *has_transpose = h.has_transpose;
+        *codec = h.reserved[0];
+        return 0;
+    } catch (const std::exception& e) { g_error = e.what(); return -1; }
+}
+
+// Encode a dense column-major (m x n) fp32 matrix.  codec: 0 raw, 1 fp16.
+// Two-pass size query like spz_encode (out=nullptr).
+int64_t spz3_encode(uint32_t m, uint32_t n, const float* data, uint8_t codec,
+                    uint32_t chunk_cols, int with_transpose, uint8_t* out,
+                    uint64_t out_cap) {
+    try {
+        if (chunk_cols == 0) chunk_cols = 2048;
+        std::vector<DenseChunkDesc> descs, t_descs;
+        std::vector<uint8_t> panels, t_panels;
+        v3_encode_panels(data, m, n, chunk_cols, codec, descs, panels);
+        std::vector<float> At;
+        if (with_transpose) {
+            At.resize(static_cast<uint64_t>(m) * n);
+            for (uint32_t j = 0; j < n; ++j)
+                for (uint32_t i = 0; i < m; ++i)
+                    At[static_cast<uint64_t>(i) * n + j] =
+                        data[static_cast<uint64_t>(j) * m + i];
+            v3_encode_panels(At.data(), n, m, chunk_cols, codec, t_descs,
+                             t_panels);
+        }
+
+        HeaderV3 h;
+        std::memset(&h, 0, sizeof(h));
+        std::memcpy(h.magic, "SPRZ", 4);
+        h.version = 3;
+        h.header_size = 128;
+        h.m = m; h.n = n;
+        h.nnz = static_cast<uint64_t>(m) * n;
+        h.chunk_cols = chunk_cols;
+        h.num_chunks = static_cast<uint32_t>(descs.size());
+        h.num_transpose_chunks = static_cast<uint32_t>(t_descs.size());
+        h.value_type = 3;  // FLOAT32 logical type
+        h.has_transpose = with_transpose ? 1 : 0;
+        h.reserved[0] = codec;
+        h.chunk_index_offset = sizeof(HeaderV3);
+        h.data_offset = h.chunk_index_offset + descs.size() * sizeof(DenseChunkDesc);
+        uint64_t pos = h.data_offset + panels.size();
+        if (with_transpose) {
+            h.transpose_index_offset = pos;
+            pos += t_descs.size() * sizeof(DenseChunkDesc);
+            h.transpose_data_offset = pos;
+            pos += t_panels.size();
+        }
+        uint64_t total = pos + 16;   // footer
+        if (!out) return static_cast<int64_t>(total);
+        if (out_cap < total) throw std::runtime_error("output buffer too small");
+
+        uint8_t* w = out;
+        std::memcpy(w, &h, sizeof(h)); w += sizeof(h);
+        std::memcpy(w, descs.data(), descs.size() * sizeof(DenseChunkDesc));
+        w += descs.size() * sizeof(DenseChunkDesc);
+        std::memcpy(w, panels.data(), panels.size()); w += panels.size();
+        if (with_transpose) {
+            std::memcpy(w, t_descs.data(), t_descs.size() * sizeof(DenseChunkDesc));
+            w += t_descs.size() * sizeof(DenseChunkDesc);
+            std::memcpy(w, t_panels.data(), t_panels.size()); w += t_panels.size();
+        }
+        uint32_t zero = 0;
+        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &h.num_chunks, 4); w += 4;
+        std::memcpy(w, "SPEN", 4); w += 4;
+        return static_cast<int64_t>(total);
+    } catch (const std::exception& e) { g_error = e.what(); return -1; }
+}
+
+// Decode full v3 matrix into caller-allocated column-major fp32 (m*n) —
+// transpose=1 decodes the transpose stream (n*m).
+int spz3_decode(const uint8_t* buf, uint64_t len, int transpose,
+                float* out) {
+    try {
+        HeaderV3 h;
+        std::memcpy(&h, buf, sizeof(h));
+        if (h.version != 3) throw std::runtime_error("not v3");
+        uint64_t desc_off = transpose ? h.transpose_index_offset
+                                      : h.chunk_index_offset;
+        uint64_t data_off = transpose ? h.transpose_data_offset : h.data_offset;
+        uint32_t nchunks = transpose ? h.num_transpose_chunks : h.num_chunks;
+        uint32_t nrows = transpose ? h.n : h.m;
+        if (transpose && !h.has_transpose)
+            throw std::runtime_error("no transpose stream");
+        (void)len;
+        std::vector<DenseChunkDesc> descs(nchunks);
+        std::memcpy(descs.data(), buf + desc_off,
+                    nchunks * sizeof(DenseChunkDesc));
+        uint8_t codec = h.reserved[0];
+        for (auto& d : descs) {
+            const uint8_t* src = buf + data_off + d.byte_offset;
+            float* dst = out + static_cast<uint64_t>(d.col_start) * nrows;
+            uint64_t count = static_cast<uint64_t>(nrows) * d.num_cols;
+            if (codec == 1) {
+                const uint16_t* hsrc = reinterpret_cast<const uint16_t*>(src);
+                for (uint64_t i = 0; i < count; ++i)
+                    dst[i] = half_to_float(hsrc[i]);
+            } else {
+                std::memcpy(dst, src, count * 4);
+            }
+        }
+        return 0;
+    } catch (const std::exception& e) { g_error = e.what(); return -1; }
+}
+
+int spz3_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
+                      uint32_t chunk_idx, uint32_t* col_start,
+                      uint32_t* num_cols, float* out) {
+    try {
+        HeaderV3 h;
+        std::memcpy(&h, buf, sizeof(h));
+        uint64_t desc_off = transpose ? h.transpose_index_offset
+                                      : h.chunk_index_offset;
+        uint64_t data_off = transpose ? h.transpose_data_offset : h.data_offset;
+        uint32_t nchunks = transpose ? h.num_transpose_chunks : h.num_chunks;
+        uint32_t nrows = transpose ? h.n : h.m;
+        (void)len;
+        if (chunk_idx >= nchunks) throw std::runtime_error("chunk out of range");
+        DenseChunkDesc d;
+        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(DenseChunkDesc),
+                    sizeof(d));
+        *col_start = d.col_start;
+        *num_cols = d.num_cols;
+        if (!out) return 0;
+        uint64_t count = static_cast<uint64_t>(nrows) * d.num_cols;
+        const uint8_t* src = buf + data_off + d.byte_offset;
+        if (h.reserved[0] == 1) {
+            const uint16_t* hsrc = reinterpret_cast<const uint16_t*>(src);
+            for (uint64_t i = 0; i < count; ++i) out[i] = half_to_float(hsrc[i]);
+        } else {
+            std::memcpy(out, src, count * 4);
+        }
+        return 0;
+    } catch (const std::exception& e) { g_error = e.what(); return -1; }
+}
+
+int spz3_num_chunks(const uint8_t* buf, uint64_t len, int transpose,
+                    uint32_t* out) {
+    HeaderV3 h;
+    (void)len;
+    std::memcpy(&h, buf, sizeof(h));
+    *out = transpose ? h.num_transpose_chunks : h.num_chunks;
+    return 0;
+}
+
+}  // extern "C"

@@ -103,28 +103,78 @@ class InMemoryLoader(DataLoader):
 
 
 class SpzLoader(DataLoader):
-    """Chunk-at-a-time decode of a .spz v2 file (io/spz_loader.hpp:45).
+    """Chunk-at-a-time decode of a .spz file — v2 sparse or v3 dense panels
+    (io/spz_loader.hpp:45, io/dense_spz_loader.hpp:40, version detection per
+    fit_streaming_spz.hpp:66-93).
 
     Requires a transpose stream for W-updates, like the reference
     (fit_streaming_spz.hpp:94-101).
     """
 
     def __init__(self, path_or_bytes):
-        from .spz import SpzChunkReader
-        self.reader = SpzChunkReader(path_or_bytes)
-        info = self.reader.info
-        self.shape = (info["m"], info["n"])
-        if not info["has_transpose"]:
+        from . import spz as spz_mod
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            data = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
+        self.version = spz_mod.spz_version_bytes(data)
+        if self.version == 2:
+            self.reader = spz_mod.SpzChunkReader(data)
+            info = self.reader.info
+            self.shape = (info["m"], info["n"])
+            has_t = info["has_transpose"]
+        elif self.version == 3:
+            import ctypes
+            self._data = data
+            self._lib = spz_mod._load_lib()
+            self._buf = spz_mod._as_buf(data)
+            m = ctypes.c_uint32()
+            n = ctypes.c_uint32()
+            ht = ctypes.c_uint8()
+            cd = ctypes.c_uint8()
+            if self._lib.spz3_info(self._buf, len(data), ctypes.byref(m),
+                                   ctypes.byref(n), ctypes.byref(ht),
+                                   ctypes.byref(cd)):
+                raise ValueError(spz_mod._err(self._lib))
+            self.shape = (m.value, n.value)
+            has_t = bool(ht.value)
+        else:
+            raise ValueError(f"unsupported spz version {self.version}")
+        if not has_t:
             raise ValueError(
                 "streaming NMF needs a transpose stream; re-write the .spz "
                 "with with_transpose=True (st_add_transpose)")
 
     def num_chunks(self, transpose: bool = False) -> int:
-        return self.reader.num_chunks(transpose)
+        if self.version == 2:
+            return self.reader.num_chunks(transpose)
+        import ctypes
+        out = ctypes.c_uint32()
+        self._lib.spz3_num_chunks(self._buf, len(self._data), int(transpose),
+                                  ctypes.byref(out))
+        return out.value
 
     def chunk(self, idx: int, transpose: bool = False) -> Chunk:
-        col_start, sub = self.reader.chunk(idx, transpose)
-        return Chunk(col_start, np.asarray(sub.todense(), dtype=np.float32))
+        if self.version == 2:
+            col_start, sub = self.reader.chunk(idx, transpose)
+            return Chunk(col_start, np.asarray(sub.todense(),
+                                               dtype=np.float32))
+        import ctypes
+        cs = ctypes.c_uint32()
+        nc = ctypes.c_uint32()
+        if self._lib.spz3_decode_chunk(self._buf, len(self._data),
+                                       int(transpose), idx, ctypes.byref(cs),
+                                       ctypes.byref(nc), None):
+            from . import spz as spz_mod
+            raise ValueError(spz_mod._err(self._lib))
+        nrows = self.shape[1] if transpose else self.shape[0]
+        out = np.zeros(nrows * nc.value, dtype=np.float32)
+        self._lib.spz3_decode_chunk(
+            self._buf, len(self._data), int(transpose), idx, ctypes.byref(cs),
+            ctypes.byref(nc),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return Chunk(cs.value, out.reshape((nc.value, nrows)).T)
 
 
 class CachingLoader(DataLoader):

@@ -213,3 +213,176 @@ class SpzChunkReader:
         rows = self.info["n"] if transpose else self.info["m"]
         sub = sp.csc_matrix((x, i, p), shape=(rows, nc.value))
         return cs.value, sub
+
+
+# ---------------------------------------------------------------------------
+# v3 dense column-panel format (format/header_v3.hpp)
+# ---------------------------------------------------------------------------
+
+DENSE_CODECS = {"raw": 0, "raw_fp32": 0, "none": 0, "fp16": 1}
+
+
+def spz_version_bytes(data: bytes) -> int:
+    lib = _load_lib()
+    return int(lib.spz_version(_as_buf(data[:16]), min(len(data), 16)))
+
+
+def compress_dense_to_spz_bytes(A, *, codec: str = "raw",
+                                chunk_cols: int = 2048,
+                                with_transpose: bool = True) -> bytes:
+    """Encode a dense (m, n) matrix into a v3 buffer (st_write_dense)."""
+    lib = _load_lib()
+    lib.spz3_encode.restype = ctypes.c_int64
+    A = np.asarray(A, dtype=np.float32)
+    m, n = A.shape
+    col_major = np.asfortranarray(A).ravel(order="F")
+    cp = col_major.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    cd = DENSE_CODECS[codec]
+    size = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
+                           None, 0)
+    if size < 0:
+        raise ValueError(f"spz3_encode: {_err(lib)}")
+    out = np.zeros(size, dtype=np.uint8)
+    rc = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         size)
+    if rc < 0:
+        raise ValueError(f"spz3_encode: {_err(lib)}")
+    return out[:rc].tobytes()
+
+
+def decompress_dense_spz_bytes(data: bytes, transpose: bool = False):
+    """Decode a v3 buffer into a dense (m, n) float32 array."""
+    lib = _load_lib()
+    m = ctypes.c_uint32()
+    n = ctypes.c_uint32()
+    ht = ctypes.c_uint8()
+    cd = ctypes.c_uint8()
+    buf = _as_buf(data)
+    if lib.spz3_info(buf, len(data), ctypes.byref(m), ctypes.byref(n),
+                     ctypes.byref(ht), ctypes.byref(cd)):
+        raise ValueError(f"spz3_info: {_err(lib)}")
+    rows, cols = (n.value, m.value) if transpose else (m.value, n.value)
+    out = np.zeros(rows * cols, dtype=np.float32)
+    if lib.spz3_decode(buf, len(data), int(transpose),
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+        raise ValueError(f"spz3_decode: {_err(lib)}")
+    return out.reshape((cols, rows)).T   # stored column-major
+
+
+def st_write_dense(A, path: str, *, codec: str = "raw",
+                   chunk_cols: int = 2048, with_transpose: bool = True):
+    """R/streampress.R st_write_dense — dense v3 panels."""
+    data = compress_dense_to_spz_bytes(A, codec=codec, chunk_cols=chunk_cols,
+                                       with_transpose=with_transpose)
+    with open(path, "wb") as f:
+        f.write(data)
+    return {"m": A.shape[0], "n": A.shape[1], "version": 3,
+            "file_size": len(data)}
+
+
+def st_read_dense(path: str, transpose: bool = False):
+    with open(path, "rb") as f:
+        return decompress_dense_spz_bytes(f.read(), transpose=transpose)
+
+
+def st_read_auto(path: str):
+    """Version-detecting read (detect_version in fit_streaming_spz.hpp:66-93):
+    v2 -> scipy CSC, v3 -> dense ndarray."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ver = spz_version_bytes(data)
+    if ver == 2:
+        return decompress_spz_bytes(data)
+    if ver == 3:
+        return decompress_dense_spz_bytes(data)
+    raise ValueError(f"unsupported spz version {ver}")
+
+
+def st_add_transpose(path: str) -> None:
+    """Rewrite a .spz with an embedded transpose stream (st_add_transpose)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ver = spz_version_bytes(data)
+    if ver == 2:
+        mat = decompress_spz_bytes(data)
+        with open(path, "wb") as f:
+            f.write(compress_to_spz_bytes(mat, with_transpose=True))
+    elif ver == 3:
+        dense = decompress_dense_spz_bytes(data)
+        with open(path, "wb") as f:
+            f.write(compress_dense_to_spz_bytes(dense, with_transpose=True))
+    else:
+        raise ValueError(f"unsupported spz version {ver}")
+
+
+# ---------------------------------------------------------------------------
+# st_convert — foreign formats -> .spz (R/streampress.R st_convert)
+# ---------------------------------------------------------------------------
+
+def st_convert(src: str, dst: str, *, value_type: str = "auto",
+               with_transpose: bool = True, **kw) -> dict:
+    """Convert .mtx / .csv / .h5ad / .loom / .h5 to SparsePress v2."""
+    import scipy.sparse as sp
+    lower = src.lower()
+    if lower.endswith(".mtx") or lower.endswith(".mtx.gz"):
+        from scipy.io import mmread
+        mat = mmread(src).tocsc()
+    elif lower.endswith(".csv") or lower.endswith(".csv.gz"):
+        mat = sp.csc_matrix(np.loadtxt(src, delimiter=",", ndmin=2))
+    elif lower.endswith(".h5ad"):
+        mat = _read_h5ad_x(src)
+    elif lower.endswith(".loom"):
+        mat = _read_loom(src)
+    elif lower.endswith(".h5"):
+        mat = _read_10x_h5(src)
+    else:
+        raise ValueError(f"unsupported source format: {src}")
+    return st_write(mat, dst, value_type=value_type,
+                    with_transpose=with_transpose, **kw)
+
+
+def _read_h5ad_x(path: str):
+    """Minimal AnnData X reader: genes x cells CSC (transposing AnnData's
+    cells x genes layout to the reference's convention)."""
+    import h5py
+    import scipy.sparse as sp
+    with h5py.File(path, "r") as f:
+        X = f["X"]
+        if isinstance(X, h5py.Dataset):
+            return sp.csc_matrix(np.asarray(X).T)
+        enc = X.attrs.get("encoding-type", b"")
+        enc = enc.decode() if isinstance(enc, bytes) else enc
+        data = np.asarray(X["data"])
+        indices = np.asarray(X["indices"])
+        indptr = np.asarray(X["indptr"])
+        shape = tuple(X.attrs["shape"])
+        if "csr" in enc:
+            mat = sp.csr_matrix((data, indices, indptr), shape=shape)
+        else:
+            mat = sp.csc_matrix((data, indices, indptr), shape=shape)
+        return mat.T.tocsc()
+
+
+def _read_loom(path: str):
+    import h5py
+    import scipy.sparse as sp
+    with h5py.File(path, "r") as f:
+        return sp.csc_matrix(np.asarray(f["matrix"]))
+
+
+def _read_10x_h5(path: str):
+    import h5py
+    import scipy.sparse as sp
+    with h5py.File(path, "r") as f:
+        grp = None
+        for key in f.keys():
+            if isinstance(f[key], h5py.Group) and "data" in f[key]:
+                grp = f[key]
+                break
+        if grp is None:
+            raise ValueError("no CSC group found in .h5")
+        shape = tuple(np.asarray(grp["shape"]))
+        return sp.csc_matrix((np.asarray(grp["data"]),
+                              np.asarray(grp["indices"]),
+                              np.asarray(grp["indptr"])), shape=shape)

@@ -79,10 +79,8 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
     def solve_block(blk_idx):
         A_blk = lax.dynamic_slice_in_dim(A_pad, blk_idx * bc, bc, axis=1)
         w_blk = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
-        Fw = F[None, :, :] * w_blk.T[:, None, :]                  # (bc, k, m)
-        Gb = jnp.einsum("jkm,lm->jkl", Fw, F, precision=PREC)
+        Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk)
         Gb = Gb + (1e-15 + fc.L2) * eye[None]
-        b = jnp.dot(F, w_blk * A_blk, precision=PREC)             # (k, bc)
         if fc.L1 > 0:
             b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:

@@ -55,7 +55,7 @@ class IRLSState(NamedTuple):
     loss_hist: jax.Array
 
 
-def _block_count(n: int, k: int, m: int, budget_floats: float = 3.0e7) -> int:
+def _block_count(n: int, k: int, m: int, budget_floats: float = 1.2e8) -> int:
     """Column block size for the weighted-Gram solve: bound the (BC, k, m)
     intermediate to ~budget floats."""
     bc = max(8, int(budget_floats / max(k * m, 1)))
@@ -120,12 +120,10 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
                 w_extra = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc,
                                                    axis=1)
                 w = w * w_extra
-            # per-column weighted Gram: G_j = F diag(w_j) F^T
-            Fw = F[None, :, :] * w.T[:, None, :]                    # (bc, k, m)
-            Gb = jnp.einsum("jkm,lm->jkl", Fw, F, precision=PREC)   # (bc, k, k)
+            # per-column weighted Gram + RHS (bf16-in/f32-accum on TPU)
+            Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk)
             if fc.L2 > 0:
                 Gb = Gb + fc.L2 * jnp.eye(k, dtype=dtype)[None]
-            b = jnp.dot(F, w * A_blk, precision=PREC)               # (k, bc)
 
             X_old = X
             B_res = b - solvers.batched_gram_matvec(Gb, X)

@@ -130,12 +130,27 @@ def cd_nnls_batch(G: jax.Array, B: jax.Array, X: jax.Array | None = None, *,
                       upper_bound=upper_bound)
 
 
+def _pallas_ok(k: int) -> bool:
+    """Use the fused Pallas CD kernel on TPU backends for moderate k
+    (VMEM per 128-lane tile must stay well under the 16 MB budget)."""
+    from .pallas_kernels import pallas_available
+    return pallas_available() and k <= 100
+
+
 def cd_nnls_batch_traced(G, B_res, X0, L1, *, nonneg: bool, maxit: int,
                          cd_tol: float, upper_bound: float = 0.0):
     """In-trace variant for use inside a jitted fit loop (no re-jit).
 
     ``B_res`` must already be in residual form relative to ``X0``.
+    On TPU this dispatches to the fused Pallas kernel (whole solve in one
+    program, G in VMEM); elsewhere the lax implementation runs.
     """
+    if _pallas_ok(G.shape[0]):
+        from .pallas_kernels import cd_nnls_pallas_shared
+        return cd_nnls_pallas_shared(
+            G, B_res, X0, jnp.asarray(L1, B_res.dtype),
+            jnp.asarray(cd_tol, B_res.dtype), nonneg=nonneg, maxit=maxit,
+            upper_bound=upper_bound)
     return _cd_sweeps.__wrapped__(G, B_res, X0,
                                   jnp.asarray(L1, B_res.dtype),
                                   jnp.asarray(cd_tol, B_res.dtype),
@@ -157,19 +172,74 @@ def batched_gram_matvec(Gb, X):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def batched_spd_solve(Gb, B):
+    """Vectorized batched SPD solve: Gb (n, k, k), B (k, n) -> X (k, n).
+
+    XLA's batched ``lax.linalg.cholesky`` serializes over the batch on TPU;
+    for the small k (<~128) systems of the CV/IRLS paths this Cholesky-Crout
+    factorization runs k static steps with every op vectorized over the
+    whole batch (batch on lanes), followed by vectorized forward/back
+    substitution.
+    """
+    n, k, _ = Gb.shape
+    dtype = Gb.dtype
+    G = jnp.transpose(Gb, (1, 2, 0))                  # (k, k, n)
+
+    # Cholesky-Crout: k steps, each O(k * n) vectorized work
+    L = jnp.zeros((k, k, n), dtype)
+
+    def chol_step(j, L):
+        # l_jj = sqrt(g_jj - sum_{s<j} L_js^2)
+        row_j = lax.dynamic_slice_in_dim(L, j, 1, axis=0)[0]      # (k, n)
+        sum_sq = jnp.sum(row_j * row_j, axis=0)                   # (n,)
+        g_jj = lax.dynamic_slice_in_dim(
+            lax.dynamic_slice_in_dim(G, j, 1, axis=0), j, 1, axis=1)[0, 0]
+        l_jj = jnp.sqrt(jnp.maximum(g_jj - sum_sq, 1e-30))        # (n,)
+        # column j below the diagonal: L_ij = (g_ij - <L_i., L_j.>) / l_jj
+        g_col = lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]   # (k, n)
+        dots = jnp.sum(L * row_j[None, :, :], axis=1)             # (k, n)
+        col = (g_col - dots) / l_jj[None, :]
+        mask = (jnp.arange(k) > j)[:, None]
+        col = jnp.where(mask, col, 0.0)
+        col = col.at[j].set(l_jj)
+        return lax.dynamic_update_slice_in_dim(
+            L.transpose(1, 0, 2), col[None], j, axis=0).transpose(1, 0, 2)
+
+    L = lax.fori_loop(0, k, chol_step, L)
+
+    # forward substitution L y = b
+    def fwd(i, Y):
+        row_i = lax.dynamic_slice_in_dim(L, i, 1, axis=0)[0]      # (k, n)
+        l_ii = lax.dynamic_slice_in_dim(row_i, i, 1, axis=0)[0]   # (n,)
+        b_i = lax.dynamic_slice_in_dim(B, i, 1, axis=0)[0]
+        acc = jnp.sum(row_i * Y, axis=0)
+        y_i = (b_i - acc) / jnp.maximum(l_ii, 1e-30)
+        return lax.dynamic_update_slice_in_dim(Y, y_i[None], i, axis=0)
+
+    Y = lax.fori_loop(0, k, fwd, jnp.zeros((k, n), dtype))
+
+    # back substitution L^T x = y
+    def bwd(step, X):
+        i = k - 1 - step
+        col_i = lax.dynamic_slice_in_dim(L.transpose(1, 0, 2), i, 1,
+                                         axis=0)[0]               # (k, n)
+        l_ii = lax.dynamic_slice_in_dim(col_i, i, 1, axis=0)[0]
+        y_i = lax.dynamic_slice_in_dim(Y, i, 1, axis=0)[0]
+        acc = jnp.sum(col_i * X, axis=0)
+        x_i = (y_i - acc) / jnp.maximum(l_ii, 1e-30)
+        return lax.dynamic_update_slice_in_dim(X, x_i[None], i, axis=0)
+
+    return lax.fori_loop(0, k, bwd, jnp.zeros((k, n), dtype))
+
+
 def cholesky_clip_batched_gram(Gb, B, *, nonneg: bool = True,
                                upper_bound: float = 0.0):
     """Per-column Cholesky + clip: Gb (n, k, k), B (k, n) -> X (k, n).
 
     Equivalent of cholesky_clip_col applied per column
-    (cholesky_clip.hpp:64-106) — batched potrf/potrs, all columns at once.
+    (cholesky_clip.hpp:64-106) — batched factor+solve, all columns at once.
     """
-    L = lax.linalg.cholesky(Gb)                       # (n, k, k)
-    Bt = B.T[..., None]                                # (n, k, 1)
-    Y = lax.linalg.triangular_solve(L, Bt, left_side=True, lower=True)
-    X = lax.linalg.triangular_solve(L, Y, left_side=True, lower=True,
-                                    transpose_a=True)
-    X = X[..., 0].T
+    X = batched_spd_solve(Gb, B)
     if nonneg:
         X = jnp.maximum(X, 0.0)
     if upper_bound > 0:
@@ -182,8 +252,15 @@ def cd_nnls_batched_gram(Gb, B_res, X0, L1, *, nonneg: bool, maxit: int,
     """CD NNLS with a distinct Gram per column.
 
     Gb (n, k, k), B_res (k, n) residual w.r.t. X0 (k, n).  Same sweep /
-    freeze semantics as the shared-Gram solver.
+    freeze semantics as the shared-Gram solver.  TPU dispatches to the
+    fused Pallas kernel with the per-column Grams tiled through VMEM.
     """
+    if _pallas_ok(Gb.shape[1]):
+        from .pallas_kernels import cd_nnls_pallas_batched
+        return cd_nnls_pallas_batched(
+            Gb, B_res, X0, jnp.asarray(L1, B_res.dtype),
+            jnp.asarray(cd_tol, B_res.dtype), nonneg=nonneg, maxit=maxit,
+            upper_bound=upper_bound)
     k = Gb.shape[1]
     n = B_res.shape[1]
     dtype = B_res.dtype

@@ -1,0 +1,75 @@
+"""Solver-primitive unit tests (reference: tests/cpp/test_nnls.cpp,
+test_gram.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rcppml_tpu.ops import linalg, solvers
+
+
+@pytest.fixture
+def spd_system():
+    rs = np.random.RandomState(3)
+    k, n = 12, 200
+    F = rs.rand(k, 50).astype(np.float32)
+    G = F @ F.T + 0.5 * np.eye(k, dtype=np.float32)
+    B = rs.rand(k, n).astype(np.float32) * 5
+    return jnp.asarray(G), jnp.asarray(B)
+
+
+def test_batched_spd_solve_matches_numpy(spd_system):
+    G, B = spd_system
+    k = G.shape[0]
+    n = B.shape[1]
+    rs = np.random.RandomState(0)
+    Gb = jnp.asarray(np.stack([
+        np.asarray(G) + 0.05 * i * np.eye(k, dtype=np.float32)
+        for i in range(n)]))
+    X = solvers.batched_spd_solve(Gb, B)
+    for j in range(0, n, 40):
+        x_ref = np.linalg.solve(np.asarray(Gb[j], np.float64),
+                                np.asarray(B[:, j], np.float64))
+        np.testing.assert_allclose(np.asarray(X[:, j]), x_ref, rtol=2e-3,
+                                   atol=1e-4)
+
+
+def test_cholesky_clip_batch_unconstrained(spd_system):
+    G, B = spd_system
+    X = solvers.cholesky_clip_batch(G, B, nonneg=False)
+    np.testing.assert_allclose(
+        np.asarray(G @ X), np.asarray(B), rtol=2e-2, atol=1e-3)
+
+
+def test_cd_exact_nnls_kkt(spd_system):
+    """CD solution satisfies NNLS KKT: x>=0; grad>=0 where x=0; grad~0
+    where x>0 (grad = Gx - b)."""
+    G, B = spd_system
+    X = solvers.cd_nnls_batch(G, B, nonneg=True, maxit=500, cd_tol=1e-10)
+    grad = np.asarray(G @ X) - np.asarray(B)
+    X = np.asarray(X)
+    assert (X >= 0).all()
+    scale = np.abs(np.asarray(B)).max()
+    assert np.abs(grad[X > 1e-6]).max() < 1e-2 * scale
+    assert grad[X <= 1e-6].min() > -1e-2 * scale
+
+
+def test_cd_warm_start_converges_faster(spd_system):
+    G, B = spd_system
+    X_cold = solvers.cd_nnls_batch(G, B, nonneg=True, maxit=300, cd_tol=1e-10)
+    # warm start from the solution: should stay put
+    B2 = B - G @ X_cold
+    X_warm = solvers.cd_nnls_batch(G, jnp.asarray(B), X_cold, nonneg=True,
+                                   maxit=300, cd_tol=1e-10, warm_start=True)
+    np.testing.assert_allclose(np.asarray(X_warm), np.asarray(X_cold),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gram_psd(spd_system):
+    rs = np.random.RandomState(1)
+    F = jnp.asarray(rs.rand(8, 100).astype(np.float32))
+    G = np.asarray(linalg.gram(F))
+    np.testing.assert_allclose(G, G.T, atol=1e-6)
+    evals = np.linalg.eigvalsh(G.astype(np.float64))
+    assert evals.min() > 0

@@ -105,3 +105,83 @@ def test_empty_columns():
     buf = compress_to_spz_bytes(A, value_type="uint8")
     B = decompress_spz_bytes(buf)
     np.testing.assert_allclose(B.toarray(), A.toarray())
+
+
+# ---------------------------------------------------------------------------
+# v3 dense format + converters
+# ---------------------------------------------------------------------------
+
+def test_v3_dense_roundtrip(tmp_path):
+    from rcppml_tpu.io.spz import st_read_dense, st_write_dense
+    rs = np.random.RandomState(1)
+    A = rs.rand(80, 45).astype(np.float32)
+    p = str(tmp_path / "d.spz")
+    st_write_dense(A, p, chunk_cols=16)
+    np.testing.assert_array_equal(st_read_dense(p), A)
+    np.testing.assert_array_equal(st_read_dense(p, transpose=True), A.T)
+
+
+def test_v3_fp16_codec(tmp_path):
+    from rcppml_tpu.io.spz import st_read_dense, st_write_dense
+    rs = np.random.RandomState(2)
+    A = rs.rand(50, 30).astype(np.float32)
+    p = str(tmp_path / "d16.spz")
+    info = st_write_dense(A, p, codec="fp16")
+    np.testing.assert_allclose(st_read_dense(p), A, atol=2e-3)
+    raw = st_write_dense(A, str(tmp_path / "draw.spz"), codec="raw")
+    assert info["file_size"] < raw["file_size"]
+
+
+def test_version_autodetect(tmp_path):
+    from rcppml_tpu.io.spz import (st_read_auto, st_write, st_write_dense)
+    A = _random_sparse(seed=11)
+    p2 = str(tmp_path / "v2.spz")
+    st_write(A, p2)
+    out2 = st_read_auto(p2)
+    assert scipy_sparse.issparse(out2)
+    p3 = str(tmp_path / "v3.spz")
+    st_write_dense(A.toarray(), p3)
+    out3 = st_read_auto(p3)
+    assert isinstance(out3, np.ndarray)
+
+
+def test_st_convert_mtx(tmp_path):
+    from scipy.io import mmwrite
+    from rcppml_tpu.io.spz import st_convert, st_read
+    rs = np.random.RandomState(3)
+    M = scipy_sparse.random(40, 30, density=0.2, random_state=rs)
+    mp = str(tmp_path / "m.mtx")
+    mmwrite(mp, M)
+    st_convert(mp, str(tmp_path / "m.spz"))
+    np.testing.assert_allclose(st_read(str(tmp_path / "m.spz")).toarray(),
+                               M.toarray(), rtol=1e-5)
+
+
+def test_st_convert_h5ad(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from rcppml_tpu.io.spz import st_convert, st_read
+    rs = np.random.RandomState(4)
+    X = scipy_sparse.random(25, 35, density=0.3, random_state=rs,
+                            format="csr")
+    hp = str(tmp_path / "t.h5ad")
+    with h5py.File(hp, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csr_matrix"
+        g.attrs["shape"] = X.shape
+        g["data"] = X.data
+        g["indices"] = X.indices
+        g["indptr"] = X.indptr
+    st_convert(hp, str(tmp_path / "t.spz"))
+    got = st_read(str(tmp_path / "t.spz"))
+    np.testing.assert_allclose(got.toarray(), X.T.toarray(), rtol=1e-5)
+
+
+def test_st_add_transpose(tmp_path):
+    from rcppml_tpu.io.spz import st_add_transpose, st_info, st_read_transpose, st_write
+    A = _random_sparse(seed=6)
+    p = str(tmp_path / "nt.spz")
+    st_write(A, p, with_transpose=False)
+    assert not st_info(p)["has_transpose"]
+    st_add_transpose(p)
+    assert st_info(p)["has_transpose"]
+    np.testing.assert_allclose(st_read_transpose(p).toarray(), A.toarray().T)

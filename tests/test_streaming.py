@@ -62,3 +62,16 @@ def test_caching_loader(sim):
     c1 = ld.chunk(0)
     c2 = ld.chunk(0)
     assert c1 is c2
+
+
+def test_v3_dense_streaming(sim, tmp_path):
+    """Streaming NMF from a v3 dense .spz file (DenseSpzLoader analog)."""
+    from rcppml_tpu.io.spz import st_write_dense
+    A = sim["A"]
+    path = str(tmp_path / "dense.spz")
+    st_write_dense(A, path, chunk_cols=64)
+    res = rt.nmf(path, 3, seed=42, maxit=12, tol=0.0, sort_model=False)
+    cfg = rt.build_config(3, seed=42, maxit=12, tol=0.0, sort_model=False)
+    from rcppml_tpu.models.nmf import nmf_fit
+    res_mem = nmf_fit(A, cfg)
+    np.testing.assert_allclose(res.train_loss, res_mem.train_loss, rtol=1e-3)
