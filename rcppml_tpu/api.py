@@ -65,6 +65,9 @@ def build_config(
     test_fraction: float = 0.0,
     cv_seed: int = 0,
     mask_zeros: bool = False,
+    cv_col_subsample: float = 1.0,
+    cv_row_subsample: float = 1.0,
+    gp_blend: float = 1.0,
     projective: bool = False,
     symmetric: bool = False,
     zi: str = "none",
@@ -152,6 +155,9 @@ def build_config(
         projective=projective, symmetric=symmetric, sort_model=sort_model,
         test_fraction=float(test_fraction), cv_seed=int(cv_seed),
         mask_zeros=bool(mask_zeros),
+        cv_col_subsample=float(cv_col_subsample),
+        cv_row_subsample=float(cv_row_subsample),
+        gp_blend=float(gp_blend),
         verbose=verbose, enable_profiling=bool(profile),
         has_mask=has_mask, has_graph_W=has_graph_W, has_graph_H=has_graph_H,
         has_target_H=has_target_H, has_target_W=has_target_W,

@@ -128,6 +128,12 @@ class NMFConfig:
     cv_seed: int = 0
     mask_zeros: bool = False
     cv_patience: int = constants.NMF_PATIENCE
+    # row/col subsampling: restrict holdout eligibility for speed
+    # (speckled_cv.hpp:67-73)
+    cv_col_subsample: float = 1.0
+    cv_row_subsample: float = 1.0
+    # GP/KL weight blend (0 = pure KL, 1 = full GP Fisher weight)
+    gp_blend: float = 1.0
 
     track_loss_history: bool = True
     enable_profiling: bool = False

@@ -247,6 +247,17 @@ def build_speckled_mask(cfg: NMFConfig, A: np.ndarray) -> np.ndarray:
     mask = rng_mod.holdout_mask(int(seed), m, n, inv_prob)
     if cfg.mask_zeros:
         mask &= (A != 0)
+    # row/col subsampling (speckled_cv.hpp:67-104)
+    if cfg.cv_row_subsample < 1.0:
+        rows_ok = rng_mod.subsample_mask_1d(int(seed), m,
+                                            cfg.cv_row_subsample,
+                                            use_col_constant=False)
+        mask &= rows_ok[:, None]
+    if cfg.cv_col_subsample < 1.0:
+        cols_ok = rng_mod.subsample_mask_1d(int(seed), n,
+                                            cfg.cv_col_subsample,
+                                            use_col_constant=True)
+        mask &= cols_ok[None, :]
     return mask
 
 

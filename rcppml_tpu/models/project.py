@@ -77,6 +77,24 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
     return X if w is not None else X.T
 
 
+def nnls_streaming(path_or_loader, w, *, chunk_cols=None, **kwargs) -> np.ndarray:
+    """Streaming projection: solve H panel-by-panel over a DataLoader /
+    .spz file (R/solve.R c_nnls_streaming, nmf/nnls_streaming.hpp).
+    """
+    from ..io.loaders import DataLoader, InMemoryLoader, SpzLoader
+    if isinstance(path_or_loader, DataLoader):
+        loader = path_or_loader
+    elif isinstance(path_or_loader, (str, bytes)):
+        loader = SpzLoader(path_or_loader)
+    else:
+        loader = InMemoryLoader(path_or_loader, chunk_cols=chunk_cols)
+    parts = []
+    for ch in loader.iter_chunks():
+        parts.append((ch.col_start, nnls(ch.data, w=w, **kwargs)))
+    parts.sort(key=lambda t: t[0])
+    return np.concatenate([p for _, p in parts], axis=1)
+
+
 def predict(model: NMFResult, newdata, *, L1: float = 0.0, L2: float = 0.0,
             upper_bound: float = 0.0, loss: str = "mse") -> np.ndarray:
     """Project new columns onto a fitted model's W (R/predict_nmf.R:48).

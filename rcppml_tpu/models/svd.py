@@ -637,9 +637,13 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         method = "deflation"          # built-in auto-rank
     if method == "auto":
         method = _auto_select_method(cfg, cfg.k)
-    fn = {"lanczos": lanczos_svd, "irlba": irlba_svd,
-          "randomized": randomized_svd, "krylov": krylov_svd,
-          "deflation": deflation_svd}[method]
+    methods = {"lanczos": lanczos_svd, "irlba": irlba_svd,
+               "randomized": randomized_svd, "krylov": krylov_svd,
+               "deflation": deflation_svd}
+    if method not in methods:
+        raise ValueError(f"unknown SVD method {method!r}; valid: "
+                         f"{sorted(methods)} or 'auto'")
+    fn = methods[method]
     res = fn(data, cfg)
     res.misc["method"] = method
     return res

@@ -87,7 +87,7 @@ def compute_irls_weight(A, mu, cfg: NMFConfig, theta):
     if loss == Loss.KL:
         w = irls_weight_kl(mu)
     elif loss == Loss.GP:
-        w = irls_weight_gp(A, mu, theta)
+        w = irls_weight_gp(A, mu, theta, blend=cfg.gp_blend)
     elif loss == Loss.NB:
         w = irls_weight_nb(mu, theta)
     elif loss == Loss.GAMMA:

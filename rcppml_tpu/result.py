@@ -61,6 +61,61 @@ class NMFResult:
             "H": float(np.mean(h == 0)),
         }
 
+    # -- S4-method equivalents (R/nmf_methods.R:18-498) --------------------
+
+    def subset_factors(self, idx) -> "NMFResult":
+        """model[[i]] — keep a subset of factors."""
+        idx = np.atleast_1d(np.asarray(idx))
+        return NMFResult(W=self.W[:, idx], d=self.d[idx], H=self.H[idx, :],
+                         iterations=self.iterations, converged=self.converged,
+                         train_loss=self.train_loss)
+
+    def subset(self, rows=None, cols=None) -> "NMFResult":
+        """model[i, j] — restrict to feature rows / sample columns."""
+        W = self.W if rows is None else self.W[np.asarray(rows)]
+        H = self.H if cols is None else self.H[:, np.asarray(cols)]
+        return NMFResult(W=W, d=self.d.copy(), H=H,
+                         iterations=self.iterations, converged=self.converged,
+                         train_loss=self.train_loss)
+
+    def t(self) -> "NMFResult":
+        """Transpose the model: A' ~ H' diag(d) W'."""
+        return NMFResult(W=np.ascontiguousarray(self.H.T), d=self.d.copy(),
+                         H=np.ascontiguousarray(self.W.T),
+                         iterations=self.iterations, converged=self.converged,
+                         train_loss=self.train_loss)
+
+    def prod(self) -> np.ndarray:
+        """W diag(d) H (the `prod` S4 method)."""
+        return self.reconstruct()
+
+    def summary(self, group_by) -> np.ndarray:
+        """Mean factor weight per sample group: (k, n_groups)
+        (R/nmf_methods.R summary(group_by))."""
+        groups = np.asarray(group_by)
+        lvls = np.unique(groups)
+        out = np.zeros((self.k, len(lvls)), dtype=np.float64)
+        for gi, g in enumerate(lvls):
+            out[:, gi] = np.asarray(self.H)[:, groups == g].mean(axis=1)
+        return out
+
+    def align_to(self, ref: "NMFResult") -> "NMFResult":
+        """Permute factors to best match a reference model (Hungarian on
+        cosine; R/nmf_methods.R `align`)."""
+        from .models.clustering import align_factors
+        perm, _ = align_factors(np.asarray(ref.W), np.asarray(self.W))
+        return self.subset_factors(perm)
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            rows, cols = key
+            return NMFResult(W=self.W[rows], d=self.d.copy(),
+                             H=self.H[:, cols],
+                             iterations=self.iterations,
+                             converged=self.converged,
+                             train_loss=self.train_loss)
+        return self.subset_factors(key)
+
     def __repr__(self):
         m, n = self.shape
         return (f"NMFResult(k={self.k}, shape=({m}, {n}), iters={self.iterations}, "

@@ -113,6 +113,24 @@ def holdout_mask(seed: int, rows, cols, inv_prob: int) -> np.ndarray:
     return h < thresh
 
 
+def subsample_mask_1d(seed: int, count: int, frac: float,
+                      use_col_constant: bool = True) -> np.ndarray:
+    """Row/column subsample eligibility (speckled_cv.hpp:80-104):
+    1-D SplitMix hash with the dedicated subsample seed
+    ``seed ^ 0xDEADBEEFCAFEBABE``; columns use the golden-ratio constant,
+    rows the column-mix constant, to avoid correlation."""
+    if frac >= 1.0:
+        return np.ones(count, dtype=bool)
+    sub_seed = _canon_seed(seed) ^ np.uint64(0xDEADBEEFCAFEBABE)
+    mult = _GOLDEN if use_col_constant else _COLMIX
+    idx = np.arange(count, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = sub_seed + idx * mult
+    h = _finalize(h)
+    thresh = np.uint64(frac * float(int(_U64_MAX)))
+    return h < thresh
+
+
 # ---------------------------------------------------------------------------
 # Traced (JAX) variant — uint32 limb pairs, usable inside jit / Pallas.
 # ---------------------------------------------------------------------------

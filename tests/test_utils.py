@@ -113,3 +113,62 @@ def test_training_logger(small_factors):
     recs = log.export()
     assert recs[0]["iter"] == 1
     assert recs[-1]["train_loss"] <= recs[0]["train_loss"]
+
+
+def test_model_methods(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=20)
+    sub = res.subset_factors([0, 2])
+    assert sub.k == 2 and sub.W.shape == (60, 2)
+    sl = res[np.arange(10), np.arange(20)]
+    assert sl.W.shape == (10, 4) and sl.H.shape == (4, 20)
+    tt = res.t()
+    assert tt.W.shape == (80, 4) and tt.H.shape == (4, 60)
+    np.testing.assert_allclose(tt.reconstruct(), res.reconstruct().T,
+                               rtol=1e-6)
+    groups = np.repeat([0, 1], 40)
+    s = res.summary(groups)
+    assert s.shape == (4, 2)
+    # align a permuted copy back
+    perm = [2, 0, 3, 1]
+    shuffled = res.subset_factors(perm)
+    aligned = shuffled.align_to(res)
+    np.testing.assert_allclose(aligned.W, res.W, rtol=1e-6)
+
+
+def test_swimmer_rank17():
+    from rcppml_tpu.utils.simulate import simulate_swimmer
+    sw = simulate_swimmer()
+    A = sw["A"]
+    assert A.shape == (1024, 256)
+    assert np.linalg.matrix_rank(A) == 17
+
+
+def test_cv_subsampling():
+    from rcppml_tpu.models.nmf_cv import build_speckled_mask
+    A = np.abs(np.random.RandomState(0).rand(200, 200)).astype(np.float32)
+    full = build_speckled_mask(rt.build_config(4, test_fraction=0.1,
+                                               cv_seed=3), A)
+    sub = build_speckled_mask(rt.build_config(4, test_fraction=0.1, cv_seed=3,
+                                              cv_col_subsample=0.5,
+                                              cv_row_subsample=0.5), A)
+    assert sub.sum() < full.sum()
+    assert (sub & ~full).sum() == 0   # subsample mask is a subset
+    # whole rows/cols are excluded together
+    touched_cols = sub.any(axis=0)
+    assert 0.3 < touched_cols.mean() < 0.7
+
+
+def test_nnls_streaming(small_factors, tmp_path):
+    from rcppml_tpu.models.project import nnls, nnls_streaming
+    A = small_factors["A"]
+    rs = np.random.RandomState(5)
+    W = np.abs(rs.rand(60, 4)).astype(np.float32)
+    full = nnls(A, w=W)
+    stream = nnls_streaming(A, W, chunk_cols=16)
+    np.testing.assert_allclose(stream, full, rtol=1e-5, atol=1e-6)
+
+
+def test_svd_bad_method_error(small_factors):
+    with pytest.raises(ValueError, match="unknown SVD method"):
+        rt.svd(small_factors["A"], 3, method="bogus")
