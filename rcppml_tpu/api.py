@@ -38,7 +38,13 @@ def _is_sparse(data) -> bool:
 
 
 def _to_dense_f32(data):
-    """Accept numpy / scipy.sparse; return dense float32 (m, n)."""
+    """Accept numpy / scipy.sparse / device (jax) arrays; return a dense
+    float32 (m, n) — jax arrays pass through device-resident."""
+    import jax
+    if isinstance(data, jax.Array):
+        if data.ndim != 2:
+            raise ValueError("data must be a 2-D matrix")
+        return data
     if _is_sparse(data):
         return np.asarray(data.todense(), dtype=np.float32)
     arr = np.asarray(data, dtype=np.float32)
@@ -190,13 +196,19 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     sparse_input = _is_sparse(data)
     A = _to_dense_f32(data)
 
+    # CV / sweep / auto-rank paths run host-side mask logic: pull device
+    # arrays back once
+    def _host(x):
+        import jax
+        return np.asarray(x, dtype=np.float32) if isinstance(x, jax.Array) else x
+
     # multi-rank CV sweep / auto-rank dispatch (R/nmf_thin.R:922-1094)
     if isinstance(k, str) and k == "auto":
         from .models.rank_cv import find_optimal_rank
-        return find_optimal_rank(A, mask=mask, **kwargs)
+        return find_optimal_rank(_host(A), mask=mask, **kwargs)
     if not np.isscalar(k):
         from .models.nmf_cv import cv_sweep
-        return cv_sweep(A, list(k), mask=mask, **kwargs)
+        return cv_sweep(_host(A), list(k), mask=mask, **kwargs)
 
     cfg = build_config(int(k),
                        has_mask=mask is not None,
@@ -225,7 +237,7 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     if cfg.is_cv() or mask is not None:
         from .models.nmf_cv import fit_cv_or_masked
-        return fit_cv_or_masked(A, cfg, mask=mask, aux=aux,
+        return fit_cv_or_masked(_host(A), cfg, mask=mask, aux=aux,
                                 w_init=w_init, h_init=h_init,
                                 sparse_zeros=sparse_input)
 

@@ -353,7 +353,10 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
     targets); key presence is static.
     """
     cfg.validate()
-    A = np.asarray(A, dtype=np.float32)
+    if isinstance(A, jax.Array):
+        device_A = A.astype(jnp.float32) if device_A is None else device_A
+    else:
+        A = np.asarray(A, dtype=np.float32)
     m, n = A.shape
     if cfg.rank > min(m, n):
         raise ValueError(f"rank {cfg.rank} exceeds min(dim) = {min(m, n)}")

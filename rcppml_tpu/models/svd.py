@@ -78,7 +78,10 @@ class _Op:
 
 
 def _prep(A, cfg: SVDConfig):
-    A = jnp.asarray(np.asarray(A, dtype=np.float32))
+    if isinstance(A, jax.Array):
+        A = A.astype(jnp.float32)     # device-resident: no host round-trip
+    else:
+        A = jnp.asarray(np.asarray(A, dtype=np.float32))
     center = scale = None
     if cfg.center:
         center = jnp.mean(A, axis=1)
