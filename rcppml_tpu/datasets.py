@@ -59,3 +59,16 @@ def pbmc3k():
     raw = _load_rda("pbmc3k")
     from .io.spz import decompress_spz_bytes
     return decompress_spz_bytes(np.asarray(raw, dtype=np.uint8).tobytes())
+
+
+def pbmc3k_cell_types() -> np.ndarray:
+    """Per-cell type annotations from the embedded obs/var table (written by
+    the reference encoder; decoded via our metadata reader)."""
+    raw = np.asarray(_load_rda("pbmc3k"), dtype=np.uint8).tobytes()
+    from .io.spz_meta import read_obs_var_table, v2_table_offsets
+    for off in v2_table_offsets(raw)[:2]:
+        if off:
+            tbl = read_obs_var_table(raw, off)
+            if "cell_type" in tbl:
+                return np.asarray([str(v) for v in tbl["cell_type"]])
+    raise ValueError("no cell_type table found")

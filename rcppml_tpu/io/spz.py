@@ -386,3 +386,55 @@ def _read_10x_h5(path: str):
         return sp.csc_matrix((np.asarray(grp["data"]),
                               np.asarray(grp["indices"]),
                               np.asarray(grp["indptr"])), shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# obs/var tables + dimnames (R/streampress.R st_read_obs/st_read_var)
+# ---------------------------------------------------------------------------
+
+def _read_table_for_axis(path: str, axis_len_of) -> dict:
+    """Read whichever obs/var table slot annotates the requested axis
+    (tables self-describe their row count; the reference writer has been
+    observed to place the per-column table in either slot)."""
+    import struct
+    from .spz_meta import read_obs_var_table, v2_table_offsets
+    with open(path, "rb") as f:
+        data = f.read()
+    m, n = struct.unpack_from("<II", data, 8)
+    want = axis_len_of(m, n)
+    for off in v2_table_offsets(data)[:2]:
+        if off:
+            tbl = read_obs_var_table(data, off)
+            if tbl and len(next(iter(tbl.values()))) == want:
+                return tbl
+    return {}
+
+
+def st_read_obs(path: str):
+    """Per-column (cell) metadata table -> {name: array}."""
+    return _read_table_for_axis(path, lambda m, n: n)
+
+
+def st_read_var(path: str):
+    """Per-row (gene/feature) metadata table -> {name: array}."""
+    return _read_table_for_axis(path, lambda m, n: m)
+
+
+def st_read_dimnames(path: str) -> dict:
+    from .spz_meta import read_metadata, v2_table_offsets
+    with open(path, "rb") as f:
+        data = f.read()
+    _, _, meta_off = v2_table_offsets(data)
+    return read_metadata(data, meta_off)
+
+
+def st_write_with_metadata(mat, path: str, *, obs=None, var=None,
+                           rownames=None, colnames=None, **kw) -> dict:
+    """st_write plus obs/var tables and dimnames attached."""
+    from .spz_meta import attach_to_v2
+    data = compress_to_spz_bytes(mat, **kw)
+    data = attach_to_v2(data, obs=obs, var=var, rownames=rownames,
+                        colnames=colnames)
+    with open(path, "wb") as f:
+        f.write(data)
+    return spz_info_bytes(data)

@@ -185,3 +185,34 @@ def test_st_add_transpose(tmp_path):
     st_add_transpose(p)
     assert st_info(p)["has_transpose"]
     np.testing.assert_allclose(st_read_transpose(p).toarray(), A.toarray().T)
+
+
+def test_obs_var_tables_roundtrip(tmp_path):
+    from rcppml_tpu.io.spz import (st_read, st_read_dimnames, st_read_obs,
+                                   st_read_var, st_write_with_metadata)
+    A = _random_sparse(seed=21, m=30, n=20)
+    p = str(tmp_path / "meta.spz")
+    st_write_with_metadata(
+        A, p,
+        obs={"group": np.array(["a", "b"] * 10),
+             "score": np.arange(20, dtype=np.float32)},
+        var={"gene_id": np.arange(30, dtype=np.int32)},
+        rownames=[f"g{i}" for i in range(30)],
+        colnames=[f"c{j}" for j in range(20)])
+    obs = st_read_obs(p)
+    assert [str(x) for x in obs["group"][:4]] == ["a", "b", "a", "b"]
+    np.testing.assert_allclose(obs["score"], np.arange(20))
+    var = st_read_var(p)
+    np.testing.assert_array_equal(var["gene_id"], np.arange(30))
+    dn = st_read_dimnames(p)
+    assert dn["rownames"][0] == "g0" and dn["colnames"][-1] == "c19"
+    np.testing.assert_allclose(st_read(p).toarray(), A.toarray())
+
+
+def test_reference_pbmc3k_cell_types():
+    """Decode the obs/var table the REFERENCE encoder embedded in pbmc3k."""
+    from rcppml_tpu.datasets import pbmc3k_cell_types
+    ct = pbmc3k_cell_types()
+    assert len(ct) == 2638
+    assert "Naive CD4 T" in set(ct)
+    assert (ct == "B").sum() == 344

@@ -172,3 +172,20 @@ def test_nnls_streaming(small_factors, tmp_path):
 def test_svd_bad_method_error(small_factors):
     with pytest.raises(ValueError, match="unknown SVD method"):
         rt.svd(small_factors["A"], 3, method="bogus")
+
+
+def test_checkpoint_roundtrip(small_factors, tmp_path):
+    from rcppml_tpu.utils.checkpoint import load_model, resume_kwargs, save_model
+    A = small_factors["A"]
+    cfg = rt.build_config(4, seed=42, maxit=15)
+    res = rt.nmf(A, 4, seed=42, maxit=15)
+    p = str(tmp_path / "model.npz")
+    save_model(res, p, cfg)
+    back = load_model(p)
+    np.testing.assert_array_equal(back.W, res.W)
+    np.testing.assert_array_equal(back.H, res.H)
+    assert back.iterations == res.iterations
+    assert "config_json" in back.misc
+    # resume: warm-started fit improves on the checkpoint
+    res2 = rt.nmf(A, 4, maxit=10, **resume_kwargs(p))
+    assert res2.train_loss <= res.train_loss * 1.01
