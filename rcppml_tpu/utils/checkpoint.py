@@ -56,13 +56,13 @@ def save_model(result: NMFResult, path: str,
     if cfg is not None:
         payload["_config"] = np.asarray(_cfg_to_json(cfg))
     d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    # suffix must be .npz so numpy writes to exactly this name (it appends
+    # .npz otherwise, leaving the mkstemp placeholder empty)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez_compressed(tmp, **payload)
-        # numpy appends .npz when missing; normalize
-        written = tmp if os.path.exists(tmp) else tmp + ".npz"
-        os.replace(written, path)
+        os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
