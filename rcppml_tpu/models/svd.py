@@ -608,8 +608,18 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         nonneg=(False, False), L1=(0.0, 0.0), L2=(0.0, 0.0),
         L21=(0.0, 0.0), upper_bound=(0.0, 0.0), robust=False,
         test_fraction: float = 0.0, cv_seed: int = 0, **kw) -> SVDResult:
-    """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161)."""
+    """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161).
+
+    A ``.spz`` path dispatches to the streaming gateway
+    (svd/gateway.hpp:173-187)."""
     from ..config import FactorConfig as FC
+
+    if isinstance(data, str) and data.endswith(".spz"):
+        return streaming_svd(
+            data, int(k) if not isinstance(k, str) else 10,
+            method=("randomized" if method == "auto" else method),
+            center=center, seed=seed, oversample=oversample,
+            power_iters=power_iters, tol=tol)
 
     def pair(x):
         return (x, x) if np.isscalar(x) else tuple(x)
@@ -660,3 +670,132 @@ def pca(data, k=10, *, center: bool = True, scale: bool = False, **kw) -> SVDRes
     n = np.asarray(data).shape[1]
     res.misc["sdev"] = d / math.sqrt(max(n - 1, 1))
     return res
+
+
+# ---------------------------------------------------------------------------
+# Streaming SVD over a DataLoader (svd/streaming.hpp:77+)
+# ---------------------------------------------------------------------------
+
+class _LoaderOp:
+    """Chunked matvec/matmul operator: panels stream through the device,
+    accumulating products — A itself never lives in device memory whole
+    (svd/streaming_matvec.hpp analog)."""
+
+    def __init__(self, loader, center=None):
+        self.loader = loader
+        self.shape = loader.shape
+        self.center = center
+
+    def mm(self, X):                      # (n, b) -> (m, b)
+        m, n = self.shape
+        X = jnp.asarray(X)
+        Y = jnp.zeros((m, X.shape[1]), jnp.float32)
+        for ch in self.loader.iter_chunks(transpose=False):
+            Xb = X[ch.col_start:ch.col_start + ch.num_cols]
+            Y = Y + jnp.dot(jnp.asarray(ch.data), Xb, precision=PREC)
+        if self.center is not None:
+            Y = Y - jnp.outer(self.center, jnp.sum(X, axis=0))
+        return Y
+
+    def rmm(self, X):                     # (m, b) -> (n, b)
+        m, n = self.shape
+        X = jnp.asarray(X)
+        Y = jnp.zeros((n, X.shape[1]), jnp.float32)
+        # transpose panels are (n, pc) column blocks of A^T; their columns
+        # index the m axis, so each contributes panel @ X[rows-of-A block]
+        for ch in self.loader.iter_chunks(transpose=True):
+            Xb = X[ch.col_start:ch.col_start + ch.num_cols]
+            Y = Y + jnp.dot(jnp.asarray(ch.data), Xb, precision=PREC)
+        if self.center is not None:
+            Y = Y - jnp.outer(jnp.ones((n,), jnp.float32),
+                              jnp.dot(self.center, X, precision=PREC))
+        return Y
+
+    def mv(self, x):
+        return self.mm(x[:, None])[:, 0]
+
+    def rmv(self, x):
+        return self.rmm(x[:, None])[:, 0]
+
+    def row_means(self):
+        m, n = self.shape
+        s = jnp.zeros((m,), jnp.float32)
+        for ch in self.loader.iter_chunks(transpose=False):
+            s = s + jnp.sum(jnp.asarray(ch.data), axis=1)
+        return s / n
+
+
+def streaming_svd(loader, k: int = 10, *, method: str = "randomized",
+                  center: bool = False, seed: int = 0, oversample: int = 10,
+                  power_iters: int = 2, tol: float = 1e-5) -> SVDResult:
+    """Truncated SVD over a DataLoader / .spz path without materializing A
+    (svd/streaming.hpp).  Supports randomized (default, panel-friendly
+    block products) and lanczos (chunked matvecs)."""
+    from ..io.loaders import DataLoader, InMemoryLoader, SpzLoader
+    if isinstance(loader, (str, bytes)):
+        loader = SpzLoader(loader)
+    elif not isinstance(loader, DataLoader):
+        loader = InMemoryLoader(loader)
+    m, n = loader.shape
+    k = min(k, min(m, n))
+    c = None
+    op = _LoaderOp(loader)
+    if center:
+        c = op.row_means()
+        op = _LoaderOp(loader, center=c)
+
+    if method == "randomized":
+        b = k + min(oversample, min(m, n) - k)
+        Omega = jnp.asarray(
+            rng_mod.fill_uniform(seed if seed else 12345, n, b)
+            .astype(np.float32) - 0.5)
+        Y = op.mm(Omega)
+        Q, _ = jnp.linalg.qr(Y)
+        for _ in range(power_iters):
+            Z = op.rmm(Q)
+            Qz, _ = jnp.linalg.qr(Z)
+            Y = op.mm(Qz)
+            Q, _ = jnp.linalg.qr(Y)
+        Bs = op.rmm(Q).T
+        Ub, s, Vt = jnp.linalg.svd(Bs, full_matrices=False)
+        U = jnp.dot(Q, Ub[:, :k], precision=PREC)
+        return SVDResult(U=np.asarray(U), d=np.asarray(s[:k]),
+                         V=np.asarray(Vt[:k].T), k_selected=k,
+                         converged=True, iterations=power_iters,
+                         center=np.asarray(c) if c is not None else None)
+
+    if method == "lanczos":
+        steps = min(min(m, n), max(2 * k + 10, 20))
+        v = jnp.asarray(_seed_vector(n, seed))
+        U = np.zeros((m, steps), np.float32)
+        V = np.zeros((n, steps), np.float32)
+        alphas = np.zeros(steps)
+        betas = np.zeros(steps)
+        Ud = jnp.zeros((m, steps), jnp.float32)
+        Vd = jnp.zeros((n, steps), jnp.float32)
+        for j in range(steps):
+            Vd = Vd.at[:, j].set(v)
+            u = op.mv(v)
+            u = u - jnp.dot(Ud, jnp.dot(Ud.T, u, precision=PREC),
+                            precision=PREC)
+            alpha = float(jnp.sqrt(jnp.sum(u * u)))
+            u = u / max(alpha, 1e-30)
+            Ud = Ud.at[:, j].set(u)
+            alphas[j] = alpha
+            w = op.rmv(u)
+            w = w - jnp.dot(Vd, jnp.dot(Vd.T, w, precision=PREC),
+                            precision=PREC)
+            beta = float(jnp.sqrt(jnp.sum(w * w)))
+            v = w / max(beta, 1e-30)
+            betas[j] = beta
+        B = np.diag(alphas) + np.diag(betas[:-1], 1)
+        P, s, Qt = np.linalg.svd(B)
+        Uk = jnp.dot(Ud, jnp.asarray(P[:, :k], jnp.float32), precision=PREC)
+        Vk = jnp.dot(Vd, jnp.asarray(Qt[:k].T, jnp.float32), precision=PREC)
+        return SVDResult(U=np.asarray(Uk), d=s[:k].astype(np.float32),
+                         V=np.asarray(Vk), k_selected=k, converged=True,
+                         iterations=steps,
+                         center=np.asarray(c) if c is not None else None)
+
+    raise ValueError(f"streaming SVD supports 'randomized' and 'lanczos', "
+                     f"got {method!r}")

@@ -120,3 +120,44 @@ def test_seed_reproducible(lowrank):
     r1 = randomized_svd(lowrank, SVDConfig(k=4, seed=9))
     r2 = randomized_svd(lowrank, SVDConfig(k=4, seed=9))
     np.testing.assert_array_equal(r1.d, r2.d)
+
+
+def test_streaming_svd_matches_in_memory(lowrank, tmp_path):
+    """Streaming SVD over panels equals the in-memory factorization
+    (test_streaming_svd_cv.R analog)."""
+    from rcppml_tpu.models.svd import streaming_svd
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    mem = randomized_svd(lowrank, SVDConfig(k=4, seed=2, power_iters=3))
+    stream = streaming_svd(InMemoryLoader(lowrank, chunk_cols=32), 4,
+                           method="randomized", seed=2, power_iters=3)
+    np.testing.assert_allclose(stream.d, mem.d, rtol=1e-4)
+    # subspaces agree up to sign
+    cos = np.abs(np.sum(stream.U * mem.U, axis=0))
+    assert (cos > 0.999).all()
+
+
+def test_streaming_svd_lanczos(lowrank):
+    from rcppml_tpu.models.svd import streaming_svd
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    res = streaming_svd(InMemoryLoader(lowrank, chunk_cols=32), 4,
+                        method="lanczos", seed=1)
+    exact = _exact_svals(lowrank, 4)
+    np.testing.assert_allclose(res.d, exact, rtol=1e-3)
+
+
+def test_streaming_svd_from_spz(lowrank, tmp_path):
+    from rcppml_tpu.io.spz import st_write_dense
+    path = str(tmp_path / "svd.spz")
+    st_write_dense(lowrank, path, chunk_cols=32)
+    res = svd(path, 4, method="randomized", seed=1, power_iters=3)
+    np.testing.assert_allclose(res.d, _exact_svals(lowrank, 4), rtol=1e-2)
+
+
+def test_streaming_svd_centered(lowrank):
+    from rcppml_tpu.models.svd import streaming_svd
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    res = streaming_svd(InMemoryLoader(lowrank, chunk_cols=32), 3,
+                        method="randomized", center=True, seed=1,
+                        power_iters=3)
+    Ac = lowrank - lowrank.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(res.d, _exact_svals(Ac, 3), rtol=1e-2)

@@ -189,3 +189,33 @@ def test_checkpoint_roundtrip(small_factors, tmp_path):
     # resume: warm-started fit improves on the checkpoint
     res2 = rt.nmf(A, 4, maxit=10, **resume_kwargs(p))
     assert res2.train_loss <= res.train_loss * 1.01
+
+
+def test_resources_info():
+    from rcppml_tpu.utils.resources import select_resources, tpu_available, tpu_info
+    info = tpu_info()
+    assert info["num_devices"] >= 1
+    assert isinstance(tpu_available(), bool)
+    assert select_resources(nnz=1_000_000) in ("cpu", "tpu")
+
+
+def test_load_data_formats(tmp_path):
+    import scipy.sparse as sp
+    from rcppml_tpu.utils.resources import load_data
+    rs = np.random.RandomState(0)
+    A = rs.rand(20, 15).astype(np.float32)
+    np.save(str(tmp_path / "a.npy"), A)
+    np.testing.assert_array_equal(load_data(str(tmp_path / "a.npy")), A)
+    np.savetxt(str(tmp_path / "a.csv"), A, delimiter=",")
+    np.testing.assert_allclose(load_data(str(tmp_path / "a.csv")), A,
+                               rtol=1e-5)
+    S = sp.csc_matrix(A)
+    sp.save_npz(str(tmp_path / "a.npz"), S)
+    np.testing.assert_allclose(load_data(str(tmp_path / "a.npz")).toarray(),
+                               A, rtol=1e-6)
+    from rcppml_tpu.io.spz import st_write
+    st_write(S, str(tmp_path / "a.spz"))
+    np.testing.assert_allclose(load_data(str(tmp_path / "a.spz")).toarray(),
+                               A, rtol=1e-6)
+    # rda via the reference data dir
+    assert load_data("/root/reference/data/aml.rda").shape == (824, 135)
