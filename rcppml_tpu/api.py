@@ -242,5 +242,7 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                                 sparse_zeros=sparse_input)
 
     from .models.nmf import nmf_fit
-    return nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,
-                   sparse_zeros=sparse_input, on_iteration=on_iteration)
+    res = nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,
+                  sparse_zeros=sparse_input, on_iteration=on_iteration)
+    res.misc["config"] = cfg      # predict() reuses stored penalties
+    return res

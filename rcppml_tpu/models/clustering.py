@@ -236,9 +236,24 @@ def consensus_nmf(data, k: int, *, n_runs: int = 10, seed: int = 0,
         res = nmf_api(A, k, seed=seed + r * 1000 + 1, maxit=maxit, tol=tol,
                       **nmf_kwargs)
         runs.append(res)
-        labels = np.argmax(res.H, axis=0)
-        same = labels[:, None] == labels[None, :]
-        consensus += same
+        if method == "knn_jaccard":
+            # co-clustering via shared k-NN sets in embedding space
+            E = np.asarray(res.H).T
+            d2 = ((E[:, None, :] - E[None]) ** 2).sum(-1)
+            knn = min(15, n - 1)
+            nbrs = np.argsort(d2, axis=1)[:, 1:knn + 1]
+            sets = [set(row.tolist()) for row in nbrs]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    inter = len(sets[i] & sets[j])
+                    jac = inter / (2 * knn - inter) if inter else 0.0
+                    consensus[i, j] += jac
+                    consensus[j, i] += jac
+            consensus[np.arange(n), np.arange(n)] += 1.0
+        else:
+            labels = np.argmax(res.H, axis=0)
+            same = labels[:, None] == labels[None, :]
+            consensus += same
     consensus /= n_runs
 
     # cophenetic correlation of the consensus matrix (stability measure)

@@ -242,6 +242,11 @@ class FactorNet:
                    tol=None, seed=None, sort_model=False) -> NMFResult:
         from ..api import nmf as nmf_api
         kw = dict(layer.fit_kwargs)
+        if isinstance(layer, SVDLayer):
+            # SVD layers run the same outer-ALS machinery without the
+            # nonnegativity constraint (graph/fit.hpp handles both layer
+            # kinds through the NMF engine)
+            kw.setdefault("nonneg", (False, False))
         if isinstance(layer, NMFLayer):
             for side, fc in (("W", layer.W), ("H", layer.H)):
                 for key, val in fc.items():

@@ -83,3 +83,12 @@ def test_consensus_nmf():
     assert C.shape == (44, 44)
     assert np.allclose(np.diag(C), 1.0)
     assert 0.0 <= out["cophenetic"] <= 1.0
+
+
+def test_consensus_knn_jaccard():
+    A, _, _ = _two_blob_matrix(m=20, n1=16, n2=18)
+    out = consensus_nmf(A, 2, n_runs=2, seed=5, maxit=20,
+                        method="knn_jaccard")
+    C = out["consensus"]
+    assert C.shape == (34, 34)
+    assert (C >= 0).all() and (C <= 1.0 + 1e-9).all()

@@ -116,3 +116,15 @@ def test_cross_validate_graph(modalities):
                                 seed=42)
     assert len(rows) == 2
     assert all(np.isfinite(r["test_mse"]) for r in rows)
+
+
+def test_svd_layer(modalities):
+    from rcppml_tpu.models.graph import SVDLayer
+    A, _ = modalities
+    inp = Input(A, "x")
+    net = factor_net(inp, SVDLayer(inp, 3, name="S1"), maxit=25, seed=42)
+    res = fit(net)
+    lr = res["S1"]
+    assert lr.W.shape == (40, 3)
+    # unconstrained layer: negative loadings allowed
+    assert (lr.W < 0).any() or (lr.H < 0).any()

@@ -77,3 +77,11 @@ def test_evaluate_masked(small_factors):
     missing = evaluate(res, A, mask=M, missing_only=True)
     assert np.isfinite(masked) and np.isfinite(missing)
     assert masked != missing or abs(full - masked) < 1e-12
+
+
+def test_predict_uses_stored_config(small_factors):
+    A = small_factors["A"]
+    res = rt.nmf(A, 4, seed=42, maxit=20, L1=(0, 0.05), solver="cd")
+    assert "config" in res.misc
+    H_new = predict(res, A)        # picks up stored H-side L1
+    assert (H_new == 0).mean() > 0
