@@ -61,3 +61,16 @@ def test_graft_entry():
     assert np.isfinite(float(out[3]))
 
     mod.dryrun_multichip(8)
+
+
+def test_sharded_irls_fit():
+    """IRLS fit runs under sharded inputs (GSPMD handles the blocked
+    per-column solves across the mesh)."""
+    from rcppml_tpu.parallel.mesh import default_mesh, fit_sharded
+    from rcppml_tpu.utils.simulate import simulate_counts
+    counts = simulate_counts(m=32, n=48, k=2, seed=4)
+    cfg = rt.build_config(2, loss="gp", dispersion="none", seed=3, maxit=3,
+                          tol=0.0, solver="cd", sort_model=False)
+    res = fit_sharded(counts["A"], cfg, default_mesh(shape=(2, 4)))
+    assert np.isfinite(res.train_loss)
+    assert (res.W >= 0).all()

@@ -85,3 +85,36 @@ def test_traced_holdout_matches_numpy():
     jj = jnp.arange(90, dtype=jnp.uint32)[None, :]
     got = np.asarray(rng.is_holdout_traced(77, ii, jj, 5))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_r_matrix_transpose_identical():
+    A = rng.r_matrix(30, 40, seed=5, transpose_identical=True)
+    B = rng.r_matrix(40, 30, seed=5, transpose_identical=True)
+    np.testing.assert_array_equal(A.T, B)
+
+
+def test_r_sparsematrix():
+    S = rng.r_sparsematrix(50, 60, density=0.2, seed=3)
+    assert 0.1 < S.nnz / (50 * 60) < 0.3
+    S2 = rng.r_sparsematrix(50, 60, density=0.2, seed=3)
+    assert (S != S2).nnz == 0
+    T = rng.r_sparsematrix(60, 50, density=0.2, seed=3,
+                           transpose_identical=True)
+    T2 = rng.r_sparsematrix(50, 60, density=0.2, seed=3,
+                            transpose_identical=True)
+    np.testing.assert_allclose(T.toarray().T, T2.toarray())
+
+
+def test_r_sample():
+    s = rng.r_sample(100, 10, seed=1)
+    assert len(set(s.tolist())) == 10
+    np.testing.assert_array_equal(s, rng.r_sample(100, 10, seed=1))
+    sr = rng.r_sample(10, 50, seed=2, replace=True)
+    assert len(sr) == 50 and sr.max() < 10
+
+
+def test_r_unif_binom():
+    u = rng.r_unif(1000, seed=4, lo=2.0, hi=5.0)
+    assert 2.0 <= u.min() and u.max() < 5.0
+    b = rng.r_binom(5000, 0.3, seed=5)
+    assert 0.25 < b.mean() < 0.35
