@@ -89,6 +89,7 @@ def build_config(
     cd_tol: float = constants.CD_TOL,
     cd_maxit: int = constants.CD_MAXIT,
     patience: int = constants.NMF_PATIENCE,
+    cv_patience: int = constants.NMF_PATIENCE,
     norm: str = "L1",
     sort_model: bool = True,
     verbose: bool = False,
@@ -161,6 +162,7 @@ def build_config(
         projective=projective, symmetric=symmetric, sort_model=sort_model,
         test_fraction=float(test_fraction), cv_seed=int(cv_seed),
         mask_zeros=bool(mask_zeros),
+        cv_patience=int(cv_patience),
         cv_col_subsample=float(cv_col_subsample),
         cv_row_subsample=float(cv_row_subsample),
         gp_blend=float(gp_blend),

@@ -96,18 +96,41 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
 
 
 @partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv"))
-def _fit_masked_jit(cfg: NMFConfig, A, M_test, W_T0, H0, d0,
+def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
                     disp_row0, disp_col0, sparse_zeros: bool, is_cv: bool):
     """Unified masked / CV ALS loop.
 
-    ``M_test`` (m, n) bool — held-out (CV) or masked-out (user mask) entries,
-    excluded from every solve.  When ``is_cv``: test-loss early stopping and
-    best-iteration tracking; otherwise standard patience on the masked train
-    loss (masked_nnls.hpp semantics).
-    """
+    ``masks`` is a dict with static key-presence: optional ``user_mask``
+    (m, n) bool and optional ``rows_ok``/``cols_ok`` subsample vectors.
+    The speckled CV holdout itself is computed ON DEVICE from the traced
+    SplitMix64 hash (bit-identical to the host mask; speckled_cv.hpp's lazy
+    design taken to its conclusion — nothing is uploaded).  When
+    ``is_cv``: test-loss early stopping and best-iteration tracking;
+    otherwise standard patience on the masked train loss."""
     dtype = A.dtype
     m, n = A.shape
     max_iter = cfg.max_iter
+
+    # ---- build the test mask in-trace ----
+    M_test = None
+    if is_cv and cfg.test_fraction > 0:
+        inv_prob = int(1.0 / cfg.test_fraction)
+        seed = int(np.uint32(cfg.cv_seed))
+        ii = jnp.arange(m, dtype=jnp.uint32)[:, None]
+        jj = jnp.arange(n, dtype=jnp.uint32)[None, :]
+        M_test = rng_mod.is_holdout_traced(seed, ii, jj, inv_prob)
+        if cfg.mask_zeros:
+            M_test = M_test & (A != 0)
+        if "rows_ok" in masks:
+            M_test = M_test & masks["rows_ok"][:, None]
+        if "cols_ok" in masks:
+            M_test = M_test & masks["cols_ok"][None, :]
+    if "user_mask" in masks:
+        um = masks["user_mask"]
+        M_test = um if M_test is None else (M_test | um)
+    if M_test is None:
+        M_test = jnp.zeros((m, n), dtype=bool)
+
     train_w = (~M_test).astype(dtype)
     test_w = M_test.astype(dtype)
     n_test = jnp.sum(test_w)
@@ -261,16 +284,14 @@ def build_speckled_mask(cfg: NMFConfig, A: np.ndarray) -> np.ndarray:
     return mask
 
 
-def fit_cv_or_masked(A: np.ndarray, cfg: NMFConfig, *, mask=None,
+def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                      aux=None, w_init=None, h_init=None,
                      sparse_zeros: bool = False) -> NMFResult:
-    """Host driver: CV holdout, user mask, or both combined."""
+    """Host driver: CV holdout (computed on device), user mask, or both."""
     m, n = A.shape
     is_cv = cfg.is_cv()
 
-    M = np.zeros((m, n), dtype=bool)
-    if is_cv:
-        M |= build_speckled_mask(cfg, A)
+    masks = {}
     if mask is not None:
         try:
             import scipy.sparse as sp
@@ -278,14 +299,24 @@ def fit_cv_or_masked(A: np.ndarray, cfg: NMFConfig, *, mask=None,
                 mask = np.asarray(mask.todense())
         except ImportError:
             pass
-        M |= np.asarray(mask).astype(bool)
+        masks["user_mask"] = jnp.asarray(np.asarray(mask).astype(bool))
+    if is_cv and cfg.cv_row_subsample < 1.0:
+        masks["rows_ok"] = jnp.asarray(rng_mod.subsample_mask_1d(
+            int(np.uint32(cfg.cv_seed)), m, cfg.cv_row_subsample,
+            use_col_constant=False))
+    if is_cv and cfg.cv_col_subsample < 1.0:
+        masks["cols_ok"] = jnp.asarray(rng_mod.subsample_mask_1d(
+            int(np.uint32(cfg.cv_seed)), n, cfg.cv_col_subsample,
+            use_col_constant=True))
 
+    A_dev = (A.astype(jnp.float32) if isinstance(A, jax.Array)
+             else jnp.asarray(np.asarray(A, dtype=np.float32)))
     W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
                                         h_init=h_init)
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
 
-    state = _fit_masked_jit(cfg, jnp.asarray(A, jnp.float32),
-                            jnp.asarray(M), jnp.asarray(W_T0),
+    state = _fit_masked_jit(cfg, A_dev,
+                            masks, jnp.asarray(W_T0),
                             jnp.asarray(H0), jnp.asarray(d0),
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
                             sparse_zeros, is_cv)
