@@ -64,8 +64,7 @@ def _nnls2_batch(a00, a01, a11, b0, b1, nonneg):
     return x0, x1
 
 
-@jax.jit
-def _rank2_als_step(A_sub, w):
+def _rank2_body(A_sub, w):
     """One rank-2 ALS sweep over all selected columns (bipartition.hpp:342-371).
 
     A_sub (m, ns); w (2, m).  Returns (w_new, h, d)."""
@@ -83,6 +82,32 @@ def _rank2_als_step(A_sub, w):
     dw = jnp.sum(jnp.abs(w_new), axis=1) + 1e-15
     w_new = w_new / dw[:, None]
     return w_new, h, dw
+
+
+@jax.jit
+def _rank2_als_step(A_sub, w):
+    return _rank2_body(A_sub, w)
+
+
+@jax.jit
+def _rank2_als_block(A_sub, w, h, d):
+    """Ten ALS sweeps in one device call (cuts host round-trips) plus the
+    correlation-distance convergence metric between the first and last w."""
+    w_start = w
+
+    def body(i, carry):
+        w, h, d = carry
+        return _rank2_body(A_sub, w)
+
+    w, h, d = jax.lax.fori_loop(0, 10, body, (w, h, d))
+    # Pearson correlation of flattened consecutive iterates (cor() tol)
+    a = w.ravel()
+    b = w_start.ravel()
+    am = a - jnp.mean(a)
+    bm = b - jnp.mean(b)
+    denom = jnp.sqrt(jnp.sum(am * am) * jnp.sum(bm * bm))
+    cor = jnp.where(denom > 0, jnp.sum(am * bm) / denom, 1.0)
+    return w, h, d, 1.0 - cor
 
 
 def _cor_dist(w, w_old):
@@ -131,12 +156,12 @@ def bipartition(data, *, tol: float = 1e-5, maxit: int = 100,
     w = jnp.asarray((vals.astype(np.float32) / np.float32(2 ** 64))
                     .reshape(2, m))
 
-    h = None
+    h = jnp.zeros((2, len(samples)), jnp.float32)
     d = jnp.ones((2,))
-    for _ in range(maxit):
-        w_old = w
-        w, h, d = _rank2_als_step(A_sub, w)
-        if _cor_dist(w, w_old) < tol:
+    # blocks of 10 sweeps per device call; convergence checked per block
+    for _ in range(max(1, maxit // 10)):
+        w, h, d, cd = _rank2_als_block(A_sub, w, h, d)
+        if float(cd) < tol:
             break
 
     h_np = np.asarray(h)

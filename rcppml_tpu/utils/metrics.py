@@ -148,6 +148,77 @@ def logistic_classify(X_train, y_train, X_test, *, l2: float = 1e-3,
     return lvls[(Xt @ W).argmax(axis=1)]
 
 
+class _Tree:
+    """Depth-limited CART on quantile thresholds (gini)."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "label")
+
+    def __init__(self):
+        self.feature = -1
+        self.label = 0
+
+    def fit(self, X, yi, n_classes, depth, rs, max_depth, min_leaf=3):
+        counts = np.bincount(yi, minlength=n_classes)
+        self.label = int(counts.argmax())
+        if depth >= max_depth or len(yi) < 2 * min_leaf or counts.max() == len(yi):
+            return self
+        p = X.shape[1]
+        feats = rs.choice(p, max(1, int(np.sqrt(p))), replace=False)
+        best = (None, None, 1e18)
+        for f in feats:
+            vals = X[:, f]
+            for q in (0.25, 0.5, 0.75):
+                t = np.quantile(vals, q)
+                left = vals <= t
+                nl = left.sum()
+                if nl < min_leaf or len(yi) - nl < min_leaf:
+                    continue
+                gl = 1 - ((np.bincount(yi[left], minlength=n_classes) /
+                           nl) ** 2).sum()
+                gr = 1 - ((np.bincount(yi[~left], minlength=n_classes) /
+                           (len(yi) - nl)) ** 2).sum()
+                g = (nl * gl + (len(yi) - nl) * gr) / len(yi)
+                if g < best[2]:
+                    best = (f, t, g)
+        if best[0] is None:
+            return self
+        self.feature, self.threshold = best[0], best[1]
+        mask = X[:, self.feature] <= self.threshold
+        self.left = _Tree().fit(X[mask], yi[mask], n_classes, depth + 1, rs,
+                                max_depth, min_leaf)
+        self.right = _Tree().fit(X[~mask], yi[~mask], n_classes, depth + 1,
+                                 rs, max_depth, min_leaf)
+        return self
+
+    def predict(self, X):
+        out = np.full(len(X), self.label, dtype=np.int64)
+        if self.feature < 0:
+            return out
+        mask = X[:, self.feature] <= self.threshold
+        if mask.any():
+            out[mask] = self.left.predict(X[mask])
+        if (~mask).any():
+            out[~mask] = self.right.predict(X[~mask])
+        return out
+
+
+def rf_classify(X_train, y_train, X_test, *, n_trees: int = 30,
+                max_depth: int = 6, seed: int = 0):
+    """Random-forest classifier (the reference's classify_rf analog,
+    R/classifier_metrics.R) — bootstrap + sqrt-feature CART ensemble."""
+    lvls, yi = np.unique(y_train, return_inverse=True)
+    C = len(lvls)
+    rs = np.random.RandomState(seed)
+    votes = np.zeros((len(X_test), C), dtype=np.int64)
+    n = len(yi)
+    for _ in range(n_trees):
+        idx = rs.randint(0, n, n)
+        tree = _Tree().fit(X_train[idx], yi[idx], C, 0, rs, max_depth)
+        pred = tree.predict(X_test)
+        votes[np.arange(len(X_test)), pred] += 1
+    return lvls[votes.argmax(axis=1)]
+
+
 def cv_classification_accuracy(X, y, *, classifier: str = "knn",
                                n_folds: int = 5, seed: int = 42,
                                k_nn: int = 15) -> float:
@@ -163,6 +234,8 @@ def cv_classification_accuracy(X, y, *, classifier: str = "knn",
             pred = knn_classify(X[train], y[train], X[test], k=k_nn)
         elif classifier == "lr":
             pred = logistic_classify(X[train], y[train], X[test])
+        elif classifier == "rf":
+            pred = rf_classify(X[train], y[train], X[test], seed=seed)
         else:
             raise ValueError(f"unknown classifier {classifier!r}")
         correct += (pred == y[test]).sum()

@@ -219,3 +219,15 @@ def test_load_data_formats(tmp_path):
                                A, rtol=1e-6)
     # rda via the reference data dir
     assert load_data("/root/reference/data/aml.rda").shape == (824, 135)
+
+
+def test_rf_classifier():
+    from rcppml_tpu.utils.metrics import cv_classification_accuracy, rf_classify
+    rs = np.random.RandomState(0)
+    X = np.vstack([rs.randn(50, 4) + [4, 0, 0, 0],
+                   rs.randn(50, 4) + [0, 4, 0, 0]])
+    y = np.repeat([0, 1], 50)
+    pred = rf_classify(X[::2], y[::2], X[1::2], seed=1)
+    assert (pred == y[1::2]).mean() > 0.85
+    acc = cv_classification_accuracy(X, y, classifier="rf", seed=1)
+    assert acc > 0.85
