@@ -382,7 +382,11 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
 
 
 def finalize_result(cfg: NMFConfig, state: FitState, extra=None) -> NMFResult:
-    """Convert a device FitState into a host NMFResult (fit_cpu.hpp:1827-1854)."""
+    """Convert a device FitState into a host NMFResult (fit_cpu.hpp:1827-1854).
+
+    One batched device_get — per-array pulls each pay a full tunnel
+    round-trip on remote backends."""
+    state = jax.device_get(state)
     it = int(state.it)
     hist = np.asarray(state.loss_hist)[:it]
     res = NMFResult(

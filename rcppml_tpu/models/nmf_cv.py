@@ -320,6 +320,7 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                             jnp.asarray(H0), jnp.asarray(d0),
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
                             sparse_zeros, is_cv)
+    state = jax.device_get(state)   # one batched transfer
 
     it = int(state.it)
     res = NMFResult(

@@ -436,6 +436,7 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
                           jnp.asarray(d0), jnp.asarray(disp_row0),
                           jnp.asarray(disp_col0), jnp.asarray(pi_row0),
                           jnp.asarray(pi_col0), sparse_zeros)
+    state = jax.device_get(state)   # one batched transfer
 
     per_col = cfg.dispersion == Dispersion.PER_COL
     extra = {}
