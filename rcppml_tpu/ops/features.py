@@ -70,7 +70,12 @@ def apply_target(G, B, fc: FactorConfig, target, target_gram):
     scale = jnp.where(trace_GT > 1e-10, trace_G / jnp.maximum(trace_GT, 1e-10), 0.0)
     G = G - abs_lam * scale * target_gram
     evals, evecs = jnp.linalg.eigh(G)
-    evals = jnp.maximum(evals, 1e-8)
+    # clip RELATIVE to G's scale: the reference's constant 1e-8
+    # (variant_helpers.hpp:132) is below fp32 resolution of typical Gram
+    # magnitudes, letting the reconstructed G go indefinite and the
+    # downstream Cholesky produce NaNs
+    floor = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(evals)))
+    evals = jnp.maximum(evals, floor)
     G = jnp.dot(evecs * evals[None, :], evecs.T, precision=PREC)
     return G, B
 

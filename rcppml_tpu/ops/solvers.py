@@ -30,8 +30,16 @@ from .. import constants
 
 
 def _chol_solve(G: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve G X = B via Cholesky (G symmetric positive definite, k x k)."""
-    L = lax.linalg.cholesky(G)
+    """Solve G X = B via Cholesky (G symmetric positive definite, k x k).
+
+    A trace-relative ridge (1e-6) keeps fp32 factorization finite when G is
+    numerically rank-deficient (e.g. after PROJ_ADV eigen-clipping or L21
+    factor death) — a ~1e-6 relative solution perturbation, below the fp32
+    noise of the surrounding algebra.
+    """
+    k = G.shape[0]
+    ridge = (1e-6 / k) * jnp.trace(G)
+    L = lax.linalg.cholesky(G + ridge * jnp.eye(k, dtype=G.dtype))
     Y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
                                     transpose_a=False)
     return lax.linalg.triangular_solve(L, Y, left_side=True, lower=True,
