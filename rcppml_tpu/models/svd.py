@@ -122,15 +122,23 @@ def _gkb_extend(A, center_vec, scale_vec, U, V, alphas, betas, start, v_next,
         # full reorthogonalization against all stored U columns
         u = u - jnp.dot(U, jnp.dot(U.T, u, precision=PREC), precision=PREC)
         alpha = jnp.sqrt(jnp.sum(u * u))
-        u = u / jnp.maximum(alpha, 1e-30)
+        # breakdown guard: once the residual falls below ~fp32 noise of the
+        # leading coefficient, the invariant subspace is exhausted — zero
+        # the chain instead of normalizing rounding junk (which compounds
+        # into a fake spectrum on exactly rank-deficient inputs)
+        amax = jnp.maximum(jnp.max(alphas), jnp.max(betas))
+        ok_a = alpha > 1e-5 * jnp.maximum(amax, 1e-30)
+        u = jnp.where(ok_a, u / jnp.maximum(alpha, 1e-30), 0.0)
+        alpha = jnp.where(ok_a, alpha, 0.0)
         U = jnp.where(jnp.arange(steps)[None, :] == j, u[:, None], U)
         alphas = alphas.at[j].set(alpha)
 
         w = op.rmv(u)
         w = w - jnp.dot(V, jnp.dot(V.T, w, precision=PREC), precision=PREC)
         beta = jnp.sqrt(jnp.sum(w * w))
-        v_next = w / jnp.maximum(beta, 1e-30)
-        betas = betas.at[j].set(beta)
+        ok_b = ok_a & (beta > 1e-5 * jnp.maximum(amax, 1e-30))
+        v_next = jnp.where(ok_b, w / jnp.maximum(beta, 1e-30), 0.0)
+        betas = betas.at[j].set(jnp.where(ok_b, beta, 0.0))
         return U, V, alphas, betas, v_next
 
     return lax.fori_loop(start, steps, body,
