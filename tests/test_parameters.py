@@ -1,0 +1,96 @@
+"""Parameter / combination matrix (reference: test_parameters.R 644 LoC,
+test_unsupported_combos.R, test_validation_errors.R).
+
+Every fit in the matrix must produce finite, correctly-shaped factors.
+Kept to a compile-budget-friendly subset of the cross product.
+"""
+
+import numpy as np
+import pytest
+
+import rcppml_tpu as rt
+from rcppml_tpu.utils.simulate import simulate_counts, simulate_nmf
+
+A_DENSE = simulate_nmf(m=24, n=30, k=3, noise=0.05, seed=71)["A"]
+A_COUNTS = simulate_counts(m=24, n=30, k=3, seed=72)["A"]
+
+
+def _check(res, m=24, n=30, k=3):
+    assert res.W.shape == (m, k)
+    assert res.H.shape == (k, n)
+    assert np.isfinite(res.W).all() and np.isfinite(res.H).all()
+    assert np.isfinite(res.train_loss)
+
+
+@pytest.mark.parametrize("solver", ["cd", "cholesky"])
+@pytest.mark.parametrize("norm", ["L1", "L2", "none"])
+def test_solver_norm_matrix(solver, norm):
+    _check(rt.nmf(A_DENSE, 3, seed=42, maxit=8, solver=solver, norm=norm,
+                  sort_model=False))
+
+
+@pytest.mark.parametrize("loss,disp", [
+    ("gp", "none"), ("gp", "per_row"), ("gp", "per_col"), ("gp", "global"),
+    ("nb", "per_row"), ("nb", "global"),
+    ("gamma", "per_row"), ("inverse_gaussian", "none"),
+    ("tweedie", "per_row"),
+])
+def test_loss_dispersion_matrix(loss, disp):
+    _check(rt.nmf(A_COUNTS, 3, seed=42, maxit=4, loss=loss, dispersion=disp,
+                  sort_model=False))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(L1=(0.01, 0.01), solver="cd"),
+    dict(L2=(0.1, 0.1)),
+    dict(L21=(0.5, 0.5)),
+    dict(angular=(0.05, 0.05)),
+    dict(upper_bound=(1.0, 1.0)),
+    dict(L1=(0.01, 0.0), L2=(0.0, 0.1), solver="cd"),
+    dict(projective=True),
+    dict(nonneg=(False, True)),
+    dict(robust=True, solver="cd"),
+    dict(robust="mae", solver="cd"),
+])
+def test_feature_combos(kw):
+    _check(rt.nmf(A_DENSE, 3, seed=42, maxit=8, sort_model=False, **kw))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(test_fraction=0.1, cv_seed=1),
+    dict(test_fraction=0.2, cv_seed=2, mask_zeros=True),
+    dict(test_fraction=0.1, cv_seed=1, loss="gp", dispersion="none",
+         solver="cd"),
+])
+def test_cv_combos(kw):
+    res = rt.nmf(A_COUNTS if "loss" in kw else A_DENSE, 3, seed=42, maxit=6,
+                 sort_model=False, **kw)
+    _check(res)
+    assert np.isfinite(res.test_loss)
+
+
+@pytest.mark.parametrize("bad", [
+    dict(loss="nb", solver="cholesky"),
+    dict(robust=True, solver="cholesky"),
+    dict(projective=True, symmetric=True),
+    dict(zi="row"),                      # zi requires gp/nb
+    dict(test_fraction=1.5),
+    dict(loss="nope"),
+])
+def test_unsupported_combos(bad):
+    with pytest.raises((ValueError, KeyError)):
+        rt.nmf(A_DENSE, 3, maxit=2, **bad)
+
+
+@pytest.mark.parametrize("seed_str", ["lanczos", "irlba", "svd"])
+def test_svd_init_modes(seed_str):
+    _check(rt.nmf(A_DENSE, 3, seed=seed_str, maxit=8, sort_model=False))
+
+
+def test_zi_modes():
+    for zi in ("row", "col"):
+        res = rt.nmf(A_COUNTS, 3, seed=42, maxit=4, loss="nb", zi=zi,
+                     sort_model=False)
+        _check(res)
+        pi = res.pi_row if zi == "row" else res.pi_col
+        assert pi is not None and np.isfinite(pi).all()
