@@ -176,7 +176,7 @@ def build_config(
 
 def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         target_W=None, w_init=None, h_init=None, streaming=False,
-        chunk_cols=None, on_iteration=None, **kwargs):
+        chunk_cols=None, on_iteration=None, mesh=None, **kwargs):
     """Fit A ~ W diag(d) H.  The main entry point (R/nmf_thin.R:219).
 
     ``k`` may be an int (single fit), a sequence of ints with
@@ -236,6 +236,13 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         aux["target_W"] = t
         if cfg.W.target_lambda < 0:
             aux["target_W_gram"] = (t @ t.T) / t.shape[1]
+
+    if mesh is not None:
+        from .parallel.mesh import fit_sharded
+        res = fit_sharded(np.asarray(A, dtype=np.float32), cfg, mesh,
+                          w_init=w_init, h_init=h_init)
+        res.misc["config"] = cfg
+        return res
 
     if cfg.is_cv() or mask is not None:
         from .models.nmf_cv import fit_cv_or_masked

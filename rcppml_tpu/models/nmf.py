@@ -169,10 +169,13 @@ def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
 
     def body(state: FitState) -> FitState:
         W_T, H, d, it = state.W_T, state.H, state.d, state.it
-        H, d = h_update(A, W_T, H, d, it)
-        W_T, H, d, B_w, G_w = w_update(A, W_T, H, d, it)
+        with jax.named_scope("h_update"):
+            H, d = h_update(A, W_T, H, d, it)
+        with jax.named_scope("w_update"):
+            W_T, H, d, B_w, G_w = w_update(A, W_T, H, d, it)
 
-        loss = compute_loss(trAtA, A, W_T, H, d, B_w, G_w)
+        with jax.named_scope("loss"):
+            loss = compute_loss(trAtA, A, W_T, H, d, B_w, G_w)
 
         # relative-tolerance + patience convergence (fit_cpu.hpp:1770-1809)
         rel = jnp.abs(state.prev_loss - loss) / (jnp.abs(state.prev_loss) + 1e-15)

@@ -74,3 +74,13 @@ def test_sharded_irls_fit():
     res = fit_sharded(counts["A"], cfg, default_mesh(shape=(2, 4)))
     assert np.isfinite(res.train_loss)
     assert (res.W >= 0).all()
+
+
+def test_api_mesh_kwarg():
+    from rcppml_tpu.parallel.mesh import default_mesh
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=32, n=48, k=2, noise=0.02, seed=8)
+    res = rt.nmf(sim["A"], 2, seed=5, maxit=5, tol=0.0, sort_model=False,
+                 mesh=default_mesh(shape=(2, 4)))
+    assert np.isfinite(res.train_loss)
+    assert "config" in res.misc
