@@ -665,6 +665,22 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         raise ValueError(f"unknown SVD method {method!r}; valid: "
                          f"{sorted(methods)} or 'auto'")
     fn = methods[method]
+
+    # SVD CV for non-deflation methods (svd/test_entries.hpp analog):
+    # fit on the train matrix (held-out entries zeroed), evaluate held-out
+    # MSE.  Deflation carries its own per-factor holdout machinery.
+    if cfg.test_fraction > 0 and method != "deflation":
+        from .. import rng as rng_mod
+        A_np = np.asarray(data, dtype=np.float32)
+        inv_prob = int(1.0 / cfg.test_fraction)
+        M = rng_mod.holdout_mask(cfg.cv_seed if cfg.cv_seed else cfg.seed,
+                                 A_np.shape[0], A_np.shape[1], inv_prob)
+        res = fn(A_np * (~M), cfg)
+        rec = res.reconstruct()
+        res.test_loss = float(np.mean((A_np[M] - rec[M]) ** 2))
+        res.misc["method"] = method
+        return res
+
     res = fn(data, cfg)
     res.misc["method"] = method
     return res

@@ -161,3 +161,14 @@ def test_streaming_svd_centered(lowrank):
                         power_iters=3)
     Ac = lowrank - lowrank.mean(axis=1, keepdims=True)
     np.testing.assert_allclose(res.d, _exact_svals(Ac, 3), rtol=1e-2)
+
+
+def test_svd_cv_nondeflation(lowrank):
+    """Held-out CV for krylov/lanczos methods (test_entries.hpp analog):
+    test error should discriminate rank."""
+    t4 = svd(lowrank, 4, method="lanczos", test_fraction=0.1, cv_seed=3,
+             seed=1).test_loss
+    t8 = svd(lowrank, 8, method="lanczos", test_fraction=0.1, cv_seed=3,
+             seed=1).test_loss
+    assert np.isfinite(t4) and np.isfinite(t8)
+    assert t8 < t4            # true rank is 8: more factors help
