@@ -676,7 +676,9 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         M = rng_mod.holdout_mask(cfg.cv_seed if cfg.cv_seed else cfg.seed,
                                  A_np.shape[0], A_np.shape[1], inv_prob)
         res = fn(A_np * (~M), cfg)
-        rec = res.reconstruct()
+        # zeroed holdout entries shrink the fitted scale by (1 - fraction);
+        # unbias like deflation's cv_denom_correction (deflation.hpp:548-556)
+        rec = res.reconstruct() / (1.0 - cfg.test_fraction)
         res.test_loss = float(np.mean((A_np[M] - rec[M]) ** 2))
         res.misc["method"] = method
         return res
