@@ -97,7 +97,8 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
 
 @partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv"))
 def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
-                    disp_row0, disp_col0, sparse_zeros: bool, is_cv: bool):
+                    disp_row0, disp_col0, cv_seed_pair,
+                    sparse_zeros: bool, is_cv: bool):
     """Unified masked / CV ALS loop.
 
     ``masks`` is a dict with static key-presence: optional ``user_mask``
@@ -111,14 +112,14 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
     m, n = A.shape
     max_iter = cfg.max_iter
 
-    # ---- build the test mask in-trace ----
+    # ---- build the test mask in-trace (seed is TRACED: one executable
+    # serves every CV repetition) ----
     M_test = None
     if is_cv and cfg.test_fraction > 0:
         inv_prob = int(1.0 / cfg.test_fraction)
-        seed = int(np.uint32(cfg.cv_seed))
         ii = jnp.arange(m, dtype=jnp.uint32)[:, None]
         jj = jnp.arange(n, dtype=jnp.uint32)[None, :]
-        M_test = rng_mod.is_holdout_traced(seed, ii, jj, inv_prob)
+        M_test = rng_mod.is_holdout_traced(cv_seed_pair, ii, jj, inv_prob)
         if cfg.mask_zeros:
             M_test = M_test & (A != 0)
         if "rows_ok" in masks:
@@ -315,11 +316,16 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                                         h_init=h_init)
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
 
-    state = _fit_masked_jit(cfg, A_dev,
+    # seed travels as a traced uint32 pair; strip it from the static config
+    # so different CV repetitions hit the same compiled executable
+    seed_pair = jnp.asarray(rng_mod.seed_to_u32_pair(int(np.uint32(cfg.cv_seed))))
+    cfg_static = cfg.replace(cv_seed=0)
+
+    state = _fit_masked_jit(cfg_static, A_dev,
                             masks, jnp.asarray(W_T0),
                             jnp.asarray(H0), jnp.asarray(d0),
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
-                            sparse_zeros, is_cv)
+                            seed_pair, sparse_zeros, is_cv)
     state = jax.device_get(state)   # one batched transfer
 
     it = int(state.it)

@@ -248,22 +248,36 @@ def _finalize_traced(z):
     return _u64_xor(z, _u64_shr(z, 31))
 
 
-def position_hash_traced(seed: int, i, j):
+def seed_to_u32_pair(seed: int) -> np.ndarray:
+    """Canonical seed as a (lo32, hi32) uint32 array — lets the seed be a
+    TRACED jit argument so CV repetitions share one compiled executable."""
+    s = int(_canon_seed(seed))
+    return np.asarray([s & 0xFFFFFFFF, (s >> 32) & 0xFFFFFFFF],
+                      dtype=np.uint32)
+
+
+def position_hash_traced(seed, i, j):
     """JAX-traced hash(seed, i, j) -> (lo32, hi32) uint32 pair.
 
-    ``i``/``j`` are int32/uint32 arrays (broadcastable).  Bit-identical to
+    ``seed`` is an int (static) or a traced uint32[2] (lo, hi) array from
+    :func:`seed_to_u32_pair`.  ``i``/``j`` broadcast.  Bit-identical to
     :func:`position_hash` / the reference hash.
     """
-    s = int(_canon_seed(seed))
+    if isinstance(seed, (int, np.integer)):
+        s = int(_canon_seed(seed))
+        seed_pair = (jnp.uint32(s & 0xFFFFFFFF),
+                     jnp.uint32((s >> 32) & 0xFFFFFFFF))
+    else:
+        seed_pair = (seed[0], seed[1])
     i = i.astype(jnp.uint32)
     j = j.astype(jnp.uint32)
     ti = _u64_mul((i, jnp.zeros_like(i)), _u64_const(0x9E3779B97F4A7C15))
     tj = _u64_mul((j, jnp.zeros_like(j)), _u64_const(0x6C62272E07BB0142))
-    h = _u64_add(_u64_add(_u64_const(s), ti), tj)
+    h = _u64_add(_u64_add(seed_pair, ti), tj)
     return _finalize_traced(h)
 
 
-def is_holdout_traced(seed: int, i, j, inv_prob: int):
+def is_holdout_traced(seed, i, j, inv_prob: int):
     """Traced boolean holdout test, identical to rng.hpp:164-170."""
     if inv_prob <= 0:
         return jnp.zeros(jnp.broadcast_shapes(i.shape, j.shape), dtype=bool)
