@@ -158,6 +158,15 @@ class NMFConfig:
     def replace(self, **kw) -> "NMFConfig":
         return dataclasses.replace(self, **kw)
 
+    def device_static(self) -> "NMFConfig":
+        """Canonicalize host-only fields so jit caching ignores them —
+        seeds, init mode, sorting, verbosity never appear inside the
+        compiled program, and zeroing them lets e.g. every seed / CV
+        repetition share one executable."""
+        return self.replace(seed=0, init_mode=0, sort_model=False,
+                            verbose=False, enable_profiling=False,
+                            cv_seed=0)
+
     def validate(self) -> None:
         """Reject illegal combinations (core/config.hpp:421-453)."""
         if self.rank <= 0:

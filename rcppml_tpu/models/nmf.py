@@ -379,8 +379,8 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
         return fit_stepwise(A_dev, cfg, W_T0, H0, d0, aux_dev,
                             on_iteration=on_iteration)
 
-    state = _fit_mse(cfg, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
-                     jnp.asarray(d0), aux_dev)
+    state = _fit_mse(cfg.device_static(), A_dev, jnp.asarray(W_T0),
+                     jnp.asarray(H0), jnp.asarray(d0), aux_dev)
     return finalize_result(cfg, state)
 
 

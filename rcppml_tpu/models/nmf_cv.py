@@ -319,7 +319,7 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     # seed travels as a traced uint32 pair; strip it from the static config
     # so different CV repetitions hit the same compiled executable
     seed_pair = jnp.asarray(rng_mod.seed_to_u32_pair(int(np.uint32(cfg.cv_seed))))
-    cfg_static = cfg.replace(cv_seed=0)
+    cfg_static = cfg.device_static()
 
     state = _fit_masked_jit(cfg_static, A_dev,
                             masks, jnp.asarray(W_T0),

@@ -432,7 +432,7 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
         pi_row0 = np.zeros((m,), np.float32)
         pi_col0 = np.zeros((n,), np.float32)
 
-    state = _fit_irls_jit(cfg, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
+    state = _fit_irls_jit(cfg.device_static(), A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
                           jnp.asarray(d0), jnp.asarray(disp_row0),
                           jnp.asarray(disp_col0), jnp.asarray(pi_row0),
                           jnp.asarray(pi_col0), sparse_zeros)
