@@ -195,6 +195,11 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                   else InMemoryLoader(data, chunk_cols=chunk_cols))
         return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init)
 
+    # other file paths auto-load in-memory (R/nmf_validation.R:30-120)
+    if isinstance(data, str):
+        from .utils.resources import load_data
+        data = load_data(data)
+
     sparse_input = _is_sparse(data)
     A = _to_dense_f32(data)
 

@@ -86,6 +86,43 @@ def simulate_swimmer(size: int = 32) -> dict:
     return {"A": A, "images": images}
 
 
+def simulate_gp_counts(m: int = 60, n: int = 100, k: int = 3, *,
+                       theta_range=(0.0, 0.6), scale: float = 5.0,
+                       seed: int = 11):
+    """Generalized-Poisson counts with known per-row dispersion theta.
+
+    Samples Consul's GP(s, theta) by inversion of the pmf
+    P(X=x) = s (s + theta x)^(x-1) exp(-(s + theta x)) / x!  — the
+    distribution the reference's GP loss models (math/loss.hpp:383-398).
+    """
+    rs = np.random.RandomState(seed)
+    W = rs.gamma(1.0, 1.0, (m, k))
+    H = rs.gamma(1.0, 1.0, (k, n))
+    mu = scale * (W @ H) / k
+    theta = np.linspace(theta_range[0], theta_range[1], m)
+    rs.shuffle(theta)
+
+    # GP mean = s / (1 - theta)  =>  s = mu * (1 - theta)
+    xs = np.arange(0, 200)
+    log_fact = np.concatenate([[0.0], np.cumsum(np.log(xs[1:]))])
+
+    A = np.zeros((m, n), dtype=np.float32)
+    for i in range(m):
+        th = theta[i]
+        for j in range(n):
+            s = max(mu[i, j] * (1.0 - th), 1e-3)
+            lam = s + th * xs
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logp = (np.log(s) + (xs - 1) * np.log(np.maximum(lam, 1e-12))
+                        - lam - log_fact)
+            logp[0] = -s                        # P(0) = exp(-s)
+            p = np.exp(logp - logp.max())
+            p[lam <= 0] = 0
+            p = p / p.sum()
+            A[i, j] = rs.choice(xs, p=p)
+    return {"A": A, "theta": theta, "mu": mu.astype(np.float32)}
+
+
 def simulate_counts(m: int = 80, n: int = 120, k: int = 4, *,
                     theta: float = 0.0, nb_size: Optional[float] = None,
                     zi_pi: float = 0.0, scale: float = 5.0, seed: int = 7):

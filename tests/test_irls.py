@@ -132,3 +132,39 @@ def test_sparse_input_weights_zeros_differently(counts):
     assert np.isfinite(res_sparse.train_loss)
     # different weighting semantics -> different (but both valid) fits
     assert not np.allclose(res_dense.H, res_sparse.H)
+
+
+def test_gp_theta_recovery():
+    """Per-row GP dispersion estimates track the simulated truth
+    (test_gp_nmf.R statistical-correctness analog)."""
+    from rcppml_tpu.utils.simulate import simulate_gp_counts
+    sim = simulate_gp_counts(m=50, n=120, k=3, theta_range=(0.0, 0.6),
+                             seed=13)
+    res = rt.nmf(sim["A"], 3, loss="gp", dispersion="per_row", seed=42,
+                 maxit=25)
+    rho = np.corrcoef(res.theta, sim["theta"])[0, 1]
+    assert rho > 0.5
+    # high-theta rows estimated materially higher than low-theta rows
+    lo = res.theta[sim["theta"] < 0.15].mean()
+    hi = res.theta[sim["theta"] > 0.45].mean()
+    assert hi > lo + 0.1
+
+
+def test_nb_size_ordering():
+    """Per-row NB size estimates preserve the true dispersion ordering
+    (test_nb_nmf.R analog)."""
+    rs = np.random.RandomState(17)
+    m, n, k = 60, 150, 3
+    W = rs.gamma(1.0, 1.0, (m, k))
+    H = rs.gamma(1.0, 1.0, (k, n))
+    mu = 8.0 * (W @ H) / k
+    r_true = np.repeat([0.5, 2.0, 8.0, 1000.0], m // 4)
+    A = np.zeros((m, n), np.float32)
+    for i in range(m):
+        p = r_true[i] / (r_true[i] + mu[i])
+        A[i] = rs.negative_binomial(r_true[i], np.clip(p, 1e-9, 1.0))
+    res = rt.nmf(A, k, loss="nb", dispersion="per_row", seed=42, maxit=25)
+    med = [np.median(res.theta[r_true == r]) for r in (0.5, 2.0, 8.0)]
+    assert med[0] < med[1] < med[2]
+    # heavy overdispersion (r=0.5) estimated well below the Poisson cap
+    assert med[0] < 5.0
