@@ -77,11 +77,21 @@ class _Op:
         return Y
 
 
+def _densify(A):
+    """numpy / scipy.sparse / jax input -> host dense f32 or device array."""
+    if isinstance(A, jax.Array):
+        return A
+    if hasattr(A, "todense"):
+        return np.asarray(A.todense(), dtype=np.float32)
+    return np.asarray(A, dtype=np.float32)
+
+
 def _prep(A, cfg: SVDConfig):
+    A = _densify(A)
     if isinstance(A, jax.Array):
         A = A.astype(jnp.float32)     # device-resident: no host round-trip
     else:
-        A = jnp.asarray(np.asarray(A, dtype=np.float32))
+        A = jnp.asarray(A)
     center = scale = None
     if cfg.center:
         center = jnp.mean(A, axis=1)
@@ -336,7 +346,7 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
     cfg via max(2, ...)).
     """
     from .. import rng as rng_mod
-    A_np = np.asarray(A, dtype=np.float32)
+    A_np = np.asarray(_densify(A), dtype=np.float32)
     m, n = A_np.shape
     k_max = min(cfg.k, min(m, n))
     do_cv = cfg.test_fraction > 0
@@ -510,7 +520,7 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     if not has_constraints:
         return seed_res
 
-    A_np = np.asarray(A, dtype=np.float32)
+    A_np = np.asarray(_densify(A), dtype=np.float32)
     m, n = A_np.shape
     k = seed_res.k
     if cfg.center:
@@ -644,7 +654,7 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
 
     auto_k = isinstance(k, str) and k == "auto"
     cfg = SVDConfig(
-        k=(min(*np.asarray(data, dtype=np.float32).shape) if auto_k else int(k)),
+        k=(min(*data.shape) if auto_k else int(k)),
         tol=tol, max_iter=maxit, center=center, scale=scale, seed=seed,
         oversample=oversample, power_iters=power_iters,
         robust_delta=robust_delta,
@@ -671,7 +681,8 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     # MSE.  Deflation carries its own per-factor holdout machinery.
     if cfg.test_fraction > 0 and method != "deflation":
         from .. import rng as rng_mod
-        A_np = np.asarray(data, dtype=np.float32)
+        A_np = _densify(data)
+        A_np = np.asarray(A_np, dtype=np.float32)
         inv_prob = int(1.0 / cfg.test_fraction)
         M = rng_mod.holdout_mask(cfg.cv_seed if cfg.cv_seed else cfg.seed,
                                  A_np.shape[0], A_np.shape[1], inv_prob)

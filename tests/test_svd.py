@@ -174,3 +174,14 @@ def test_svd_cv_nondeflation(lowrank):
     assert np.isfinite(t2) and np.isfinite(t4) and np.isfinite(t12)
     assert t4 < t2            # strong components help
     assert t12 > t4           # weak components overfit the holdout
+
+
+def test_svd_sparse_input():
+    import scipy.sparse as sp
+    rs = np.random.RandomState(9)
+    A = sp.random(60, 40, density=0.2, random_state=rs, format="csc")
+    res = svd(A, 4, method="lanczos", seed=1)
+    np.testing.assert_allclose(
+        res.d, np.linalg.svd(A.toarray(), compute_uv=False)[:4], rtol=1e-3)
+    res2 = svd(A, 4, method="deflation", seed=1)
+    assert np.isfinite(res2.d).all()
