@@ -178,3 +178,87 @@ def pallas_available() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Weighted Gram + RHS kernel (IRLS / CV hot op)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("tc", "mt"))
+def weighted_gram_pallas(F, w, A_blk, *, tc: int = 8, mt: int = 512):
+    """G_j = F diag(w_j) F^T and b_j = F (w_j * a_j) without materializing
+    the (n, k, m) intermediate: accumulate over m-chunks in VMEM.
+
+    NOT DISPATCHED: measured 6.0 ms vs 1.75 ms for the bf16 blocked einsum
+    in ``linalg.weighted_gram_and_rhs`` (k=16, m=13714, n=512, v5e) — the
+    per-column (k, mt)x(mt, k) matmuls are too skinny to fill the MXU,
+    while the einsum batches all tc Grams into one big contraction.  Kept
+    as a correct (rel err ~1e-4 vs fp32) reference for k large enough to
+    tile the MXU, where the einsum's (n, k, m) bf16 intermediate becomes
+    the bottleneck.
+
+    Layout note: the column chunk (tc) must live on the SUBLANE axis —
+    Pallas TPU requires lane-dim block sizes to be multiples of 128 (or the
+    full array dim), so w/A are fed transposed (n, m) and b is emitted
+    (n, k) then transposed back.
+
+    F (k, m), w (m, n), A_blk (m, n) -> (Gb (n, k, k), b (k, n)).
+    """
+    k, m = F.shape
+    n = w.shape[1]
+
+    m_pad = ((m + mt - 1) // mt) * mt
+    n_pad = ((n + tc - 1) // tc) * tc
+    if m_pad != m:
+        F = jnp.pad(F, ((0, 0), (0, m_pad - m)))
+        w = jnp.pad(w, ((0, m_pad - m), (0, 0)))
+        A_blk = jnp.pad(A_blk, ((0, m_pad - m), (0, 0)))
+    if n_pad != n:
+        w = jnp.pad(w, ((0, 0), (0, n_pad - n)))
+        A_blk = jnp.pad(A_blk, ((0, 0), (0, n_pad - n)))
+    wT = w.T                                    # (n_pad, m_pad)
+    aT = A_blk.T
+
+    grid = (n_pad // tc, m_pad // mt)
+
+    def kernel(f_ref, w_ref, a_ref, g_out, b_out):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            g_out[:] = jnp.zeros_like(g_out)
+            b_out[:] = jnp.zeros_like(b_out)
+
+        f_tile = f_ref[:]                       # (k, mt)
+        for c in range(tc):                     # static unroll
+            w_c = w_ref[c, :]                   # (mt,)
+            fw = f_tile * w_c[None, :]          # (k, mt)
+            g_out[c, :, :] += jnp.dot(fw, f_tile.T,
+                                      preferred_element_type=jnp.float32)
+            wa = w_c * a_ref[c, :]              # (mt,)
+            b_out[c, :] += jnp.dot(f_tile, wa[:, None],
+                                   preferred_element_type=jnp.float32)[:, 0]
+
+    Gb, bT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, mt), lambda j, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mt), lambda j, t: (j, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mt), lambda j, t: (j, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, k, k), lambda j, t: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, k), lambda j, t: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+        ),
+    )(F, wT, aT)
+    return Gb[:n], bT[:n].T
