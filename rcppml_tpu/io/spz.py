@@ -191,6 +191,17 @@ class SpzChunkReader:
             raise ValueError(_err(self.lib))
         return out.value
 
+    def chunk_info(self, idx: int, transpose: bool = False):
+        """(col_start, n_cols, nnz) of chunk ``idx`` without decoding."""
+        cs = ctypes.c_uint32()
+        nc = ctypes.c_uint32()
+        nz = ctypes.c_uint32()
+        if self.lib.spz_chunk_info(self._buf, len(self.data), int(transpose),
+                                   idx, ctypes.byref(cs), ctypes.byref(nc),
+                                   ctypes.byref(nz)):
+            raise ValueError(_err(self.lib))
+        return cs.value, nc.value, nz.value
+
     def chunk(self, idx: int, transpose: bool = False):
         """Decode chunk ``idx`` -> (col_start, csc_submatrix)."""
         import scipy.sparse as sp
@@ -438,3 +449,143 @@ def st_write_with_metadata(mat, path: str, *, obs=None, var=None,
     with open(path, "wb") as f:
         f.write(data)
     return spz_info_bytes(data)
+
+
+# ---------------------------------------------------------------------------
+# Slicing / chunk mapping / metadata filters (R/streampress.R:488-760)
+# ---------------------------------------------------------------------------
+
+def st_chunk_ranges(path, transpose: bool = False):
+    """Column ranges per chunk as a list of 0-based half-open ``(start, end)``
+    tuples (R/streampress.R:583 is 1-based inclusive)."""
+    r = SpzChunkReader(path)
+    out = []
+    for idx in range(r.num_chunks(transpose)):
+        cs, nc, _ = r.chunk_info(idx, transpose)
+        out.append((int(cs), int(cs) + int(nc)))
+    return out
+
+
+def _slice_cols_reader(r: "SpzChunkReader", cols, transpose: bool):
+    """Decode only the chunks covering ``cols`` — chunk-level random access
+    instead of the reference's full-file read (R/streampress.R:496-501)."""
+    import scipy.sparse as sp
+    cols = np.asarray(cols, dtype=np.int64)
+    decoded = {}          # chunk idx -> (col_start, csc)
+    ranges = []           # (lo, hi, idx) from header info only
+    for idx in range(r.num_chunks(transpose)):
+        cs, nc, _ = r.chunk_info(idx, transpose)
+        ranges.append((int(cs), int(cs) + int(nc), idx))
+    pieces = []
+    for c in cols:
+        for lo, hi, idx in ranges:
+            if lo <= c < hi:
+                if idx not in decoded:
+                    decoded[idx] = r.chunk(idx, transpose)
+                lo_d, sub = decoded[idx]
+                pieces.append(sub[:, int(c - lo_d)])
+                break
+        else:
+            raise IndexError(f"column {int(c)} out of range")
+    return sp.hstack(pieces, format="csc")
+
+
+def st_slice_cols(path, cols):
+    """Read a subset of columns (0-based) from a .spz file."""
+    return _slice_cols_reader(SpzChunkReader(path), cols, transpose=False)
+
+
+def st_slice_rows(path, rows):
+    """Read a subset of rows via the pre-stored transpose stream — requires
+    ``include_transpose`` at write time (R/streampress.R:522-529)."""
+    r = SpzChunkReader(path)
+    if r.num_chunks(True) == 0:
+        raise ValueError("file has no transpose stream; rewrite with "
+                         "with_transpose=True or use st_read + row slicing")
+    return _slice_cols_reader(r, rows, transpose=True).T.tocsc()
+
+
+def st_slice(path, rows=None, cols=None):
+    """Row and/or column slice (R/streampress.R:549-557)."""
+    import scipy.sparse as sp
+    if cols is not None and rows is not None:
+        A = st_slice_cols(path, cols)
+        return A[np.asarray(rows, dtype=np.int64)].tocsc()
+    if cols is not None:
+        return st_slice_cols(path, cols)
+    if rows is not None:
+        return st_slice_rows(path, rows)
+    return st_read(path)
+
+
+def st_map_chunks(path, fn, transpose: bool = False):
+    """Apply ``fn(chunk_csc, start, end)`` to each column-panel without ever
+    materializing the full matrix (R/streampress.R:613-634); returns the list
+    of per-chunk results."""
+    r = SpzChunkReader(path)
+    out = []
+    for idx in range(r.num_chunks(transpose)):
+        cs, sub = r.chunk(idx, transpose)
+        out.append(fn(sub, int(cs), int(cs) + sub.shape[1]))
+    return out
+
+
+def _filter_indices(table: dict, predicate) -> np.ndarray:
+    """predicate: callable(table_dict) -> bool mask, or {col: value} equality
+    dict (the Python analog of R's subset() expressions)."""
+    if not table:
+        raise ValueError("file has no metadata table")
+    if callable(predicate):
+        mask = np.asarray(predicate(table), dtype=bool)
+    else:
+        if not predicate:
+            raise ValueError("empty filter predicate")
+        mask = None
+        for col, val in predicate.items():
+            m = np.asarray(table[col]) == val
+            mask = m if mask is None else (mask & m)
+    return np.flatnonzero(mask)
+
+
+def st_obs_indices(path, predicate) -> np.ndarray:
+    """Indices into the obs table matching a filter (R/streampress.R:657-663).
+
+    obs is per-COLUMN metadata (cells) in the format
+    (format/obs_var_table.hpp), so these index columns.  The reference's R
+    wrapper feeds them to a row slice, contradicting its own writer
+    (R/streampress.R:753 ``obs nrow == total cols``); here the axes follow
+    the format."""
+    return _filter_indices(st_read_obs(path), predicate)
+
+
+def st_filter_cols(path, predicate):
+    """Slice columns whose obs entries match, e.g.
+    ``st_filter_cols(p, {"cell_type": "B cell"})``."""
+    idx = st_obs_indices(path, predicate)
+    if idx.size == 0:
+        raise ValueError("no columns match filter criteria")
+    return st_slice_cols(path, idx)
+
+
+def st_filter_rows(path, predicate):
+    """Slice rows whose var (per-row, e.g. gene) entries match."""
+    idx = _filter_indices(st_read_var(path), predicate)
+    if idx.size == 0:
+        raise ValueError("no rows match filter criteria")
+    return st_slice_rows(path, idx)
+
+
+def st_write_list(mats, path: str, *, obs=None, var=None, **kw) -> dict:
+    """Column-concatenate matrices and write one .spz
+    (R/streampress.R:741-760); all matrices must share nrow."""
+    import scipy.sparse as sp
+    mats = [m if sp.issparse(m) else sp.csc_matrix(np.asarray(m, np.float32))
+            for m in mats]
+    nr = mats[0].shape[0]
+    if any(m.shape[0] != nr for m in mats):
+        raise ValueError("all matrices must have the same number of rows")
+    combined = sp.hstack(mats, format="csc")
+    if obs is not None or var is not None:
+        return st_write_with_metadata(combined, path, obs=obs, var=var, **kw)
+    st_write(combined, path, **kw)
+    return st_info(path)

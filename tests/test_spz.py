@@ -216,3 +216,59 @@ def test_reference_pbmc3k_cell_types():
     assert len(ct) == 2638
     assert "Naive CD4 T" in set(ct)
     assert (ct == "B").sum() == 344
+
+
+def test_slice_and_chunk_ranges(tmp_path):
+    from rcppml_tpu.io.spz import (st_chunk_ranges, st_map_chunks, st_slice,
+                                   st_slice_cols, st_slice_rows, st_write)
+    A = _random_sparse(seed=31, m=40, n=100)
+    p = str(tmp_path / "slice.spz")
+    st_write(A, p, chunk_cols=32, with_transpose=True)
+    ranges = st_chunk_ranges(p)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 100
+    assert all(e - s <= 32 for s, e in ranges)
+    cols = [5, 33, 34, 99]
+    np.testing.assert_allclose(st_slice_cols(p, cols).toarray(),
+                               A[:, cols].toarray())
+    rows = [0, 7, 39]
+    np.testing.assert_allclose(st_slice_rows(p, rows).toarray(),
+                               A[rows].toarray())
+    np.testing.assert_allclose(st_slice(p, rows=rows, cols=cols).toarray(),
+                               A[np.ix_(rows, cols)].toarray())
+    sums = st_map_chunks(p, lambda c, s, e: np.asarray(c.sum(axis=0)).ravel())
+    np.testing.assert_allclose(np.concatenate(sums),
+                               np.asarray(A.sum(axis=0)).ravel(), rtol=1e-6)
+
+
+def test_filter_by_metadata(tmp_path):
+    from rcppml_tpu.io.spz import (st_filter_cols, st_filter_rows,
+                                   st_obs_indices, st_write_with_metadata)
+    A = _random_sparse(seed=32, m=30, n=24)
+    p = str(tmp_path / "filt.spz")
+    st_write_with_metadata(
+        A, p,
+        obs={"cell_type": np.array(["B", "T", "NK"] * 8)},
+        var={"hv": np.array([True, False] * 15)},
+        with_transpose=True)
+    idx = st_obs_indices(p, {"cell_type": "B"})
+    np.testing.assert_array_equal(idx, np.arange(0, 24, 3))
+    B = st_filter_cols(p, {"cell_type": "B"})
+    np.testing.assert_allclose(B.toarray(), A[:, idx].toarray())
+    # callable predicate on the var (per-row) table
+    R = st_filter_rows(p, lambda t: np.asarray(t["hv"], dtype=bool))
+    np.testing.assert_allclose(R.toarray(), A[::2].toarray())
+
+
+def test_st_write_list(tmp_path):
+    import scipy.sparse as sp
+    from rcppml_tpu.io.spz import st_read, st_write_list
+    A = _random_sparse(seed=33, m=25, n=10)
+    B = _random_sparse(seed=34, m=25, n=14)
+    p = str(tmp_path / "list.spz")
+    info = st_write_list([A, B], p)
+    assert info["n"] == 24
+    np.testing.assert_allclose(
+        st_read(p).toarray(), sp.hstack([A, B]).toarray())
+    with pytest.raises(ValueError):
+        st_write_list([A, _random_sparse(seed=35, m=11, n=3)],
+                      str(tmp_path / "bad.spz"))
