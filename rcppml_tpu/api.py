@@ -242,18 +242,18 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         if cfg.W.target_lambda < 0:
             aux["target_W_gram"] = (t @ t.T) / t.shape[1]
 
+    if cfg.is_cv() or mask is not None:
+        from .models.nmf_cv import fit_cv_or_masked
+        return fit_cv_or_masked(_host(A), cfg, mask=mask, aux=aux,
+                                w_init=w_init, h_init=h_init,
+                                sparse_zeros=sparse_input, mesh=mesh)
+
     if mesh is not None:
         from .parallel.mesh import fit_sharded
         res = fit_sharded(np.asarray(A, dtype=np.float32), cfg, mesh,
                           w_init=w_init, h_init=h_init)
         res.misc["config"] = cfg
         return res
-
-    if cfg.is_cv() or mask is not None:
-        from .models.nmf_cv import fit_cv_or_masked
-        return fit_cv_or_masked(_host(A), cfg, mask=mask, aux=aux,
-                                w_init=w_init, h_init=h_init,
-                                sparse_zeros=sparse_input)
 
     from .models.nmf import nmf_fit
     res = nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,

@@ -132,7 +132,18 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
     if M_test is None:
         M_test = jnp.zeros((m, n), dtype=bool)
 
-    train_w = (~M_test).astype(dtype)
+    # mesh-padding validity: padded rows/cols leave train AND test
+    valid = None
+    if "valid_rows" in masks:
+        valid = masks["valid_rows"][:, None]
+    if "valid_cols" in masks:
+        vc = masks["valid_cols"][None, :]
+        valid = vc if valid is None else (valid & vc)
+    if valid is not None:
+        M_test = M_test & valid
+        train_w = ((~M_test) & valid).astype(dtype)
+    else:
+        train_w = (~M_test).astype(dtype)
     test_w = M_test.astype(dtype)
     n_test = jnp.sum(test_w)
     if sparse_zeros:
@@ -287,8 +298,14 @@ def build_speckled_mask(cfg: NMFConfig, A: np.ndarray) -> np.ndarray:
 
 def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                      aux=None, w_init=None, h_init=None,
-                     sparse_zeros: bool = False) -> NMFResult:
-    """Host driver: CV holdout (computed on device), user mask, or both."""
+                     sparse_zeros: bool = False, mesh=None) -> NMFResult:
+    """Host driver: CV holdout (computed on device), user mask, or both.
+
+    ``mesh``: optional jax.sharding.Mesh — shards A/factors with the
+    canonical (rows, cols) layout (parallel/mesh.py) and runs the SAME
+    compiled masked/CV program multi-chip; the speckled holdout is computed
+    in-jit from the traced hash, so every shard derives its own mask
+    locally with zero mask traffic."""
     m, n = A.shape
     is_cv = cfg.is_cv()
 
@@ -321,16 +338,49 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     seed_pair = jnp.asarray(rng_mod.seed_to_u32_pair(int(np.uint32(cfg.cv_seed))))
     cfg_static = cfg.device_static()
 
+    W_T0, H0, d0 = jnp.asarray(W_T0), jnp.asarray(H0), jnp.asarray(d0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import mesh_padding, shard_arrays
+        pm, pn = mesh_padding(mesh, m, n)
+        if pm or pn:
+            disp_row0, disp_col0 = _init_dispersion(cfg, m + pm, n + pn,
+                                                    np.float32)
+            # pads are excluded from BOTH train and test accounting via
+            # valid_rows/valid_cols (their factors solve to exact zeros)
+            if pm:
+                masks["valid_rows"] = jnp.pad(
+                    jnp.ones(m, bool), (0, pm))
+            if pn:
+                masks["valid_cols"] = jnp.pad(
+                    jnp.ones(n, bool), (0, pn))
+            if "user_mask" in masks:
+                masks["user_mask"] = jnp.pad(
+                    masks["user_mask"], ((0, pm), (0, pn)))
+            if "rows_ok" in masks:
+                masks["rows_ok"] = jnp.pad(masks["rows_ok"], (0, pm))
+            if "cols_ok" in masks:
+                masks["cols_ok"] = jnp.pad(masks["cols_ok"], (0, pn))
+        A_dev, W_T0, H0, d0 = shard_arrays(mesh, A_dev, W_T0, H0, d0)
+        if "user_mask" in masks:
+            masks["user_mask"] = jax.device_put(
+                masks["user_mask"], NamedSharding(mesh, P("rows", "cols")))
+        for key, axis in (("rows_ok", "rows"), ("valid_rows", "rows"),
+                          ("cols_ok", "cols"), ("valid_cols", "cols")):
+            if key in masks:
+                masks[key] = jax.device_put(
+                    masks[key], NamedSharding(mesh, P(axis)))
+
     state = _fit_masked_jit(cfg_static, A_dev,
-                            masks, jnp.asarray(W_T0),
-                            jnp.asarray(H0), jnp.asarray(d0),
+                            masks, W_T0, H0, d0,
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
                             seed_pair, sparse_zeros, is_cv)
     state = jax.device_get(state)   # one batched transfer
 
     it = int(state.it)
     res = NMFResult(
-        W=np.asarray(state.W_T).T, d=np.asarray(state.d), H=np.asarray(state.H),
+        W=np.asarray(state.W_T).T[:m], d=np.asarray(state.d),
+        H=np.asarray(state.H)[:, :n],
         iterations=it,
         converged=bool(state.converged),
         final_tol=float(state.final_tol),
@@ -342,10 +392,13 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     )
     res.misc["best_test_loss"] = float(state.best_test_loss)
     per_col = cfg.dispersion == Dispersion.PER_COL
+    disp_len = n if per_col else m      # slice off any mesh padding
     if cfg.loss in (Loss.GP, Loss.NB):
-        res.theta = np.asarray(state.disp_col if per_col else state.disp_row)
+        res.theta = np.asarray(
+            state.disp_col if per_col else state.disp_row)[:disp_len]
     elif cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE):
-        res.dispersion = np.asarray(state.disp_col if per_col else state.disp_row)
+        res.dispersion = np.asarray(
+            state.disp_col if per_col else state.disp_row)[:disp_len]
     if cfg.sort_model:
         res.sort()
     return res

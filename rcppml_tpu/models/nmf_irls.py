@@ -303,11 +303,20 @@ def _zi_pi_init(A: np.ndarray, cfg: NMFConfig):
     return pi_row, pi_col
 
 
-@partial(jax.jit, static_argnames=("cfg", "sparse_zeros"))
+@partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "valid_dims"))
 def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
-                  pi_row0, pi_col0, sparse_zeros: bool):
+                  pi_row0, pi_col0, sparse_zeros: bool, valid_dims=None):
     dtype = A.dtype
     m, n = A.shape
+    # mesh-padding support: accounting (loss, dispersion, ZI) runs on the
+    # statically sliced (vm, vn) true region so padded zeros never bias
+    # NLLs, moment sums, or zero counts; the solves stay on padded shapes
+    # (padded factors solve to exact zeros — parallel/mesh.py)
+    vm, vn = valid_dims if valid_dims is not None else (m, n)
+    padded = (vm != m) or (vn != n)
+
+    def _t(X):
+        return X[:vm, :vn] if padded else X
     max_iter = cfg.max_iter
     is_gp = cfg.loss == Loss.GP
     is_nb = cfg.loss == Loss.NB
@@ -359,37 +368,51 @@ def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
         # --- dispersion updates on reconstruction S (fit_cpu.hpp:914-1672) ---
         W_Td = W_T * d[:, None]
         S = jnp.maximum(jnp.dot(W_Td.T, H, precision=PREC), 1e-10)
+        A_t, S_t = _t(A), _t(S)
+
+        def _pad_row(v):
+            return jnp.pad(v, (0, m - vm), mode="edge") if padded else v
+
+        def _pad_col(v):
+            return jnp.pad(v, (0, n - vn), mode="edge") if padded else v
+
         if has_disp:
             if is_gp:
                 if per_col:
-                    disp_col = gp_theta_update(A, S, disp_col, cfg, axis=0)
+                    disp_col = _pad_col(gp_theta_update(
+                        A_t, S_t, disp_col[:vn], cfg, axis=0))
                 else:
-                    disp_row = gp_theta_update(A, S, disp_row, cfg, axis=1)
+                    disp_row = _pad_row(gp_theta_update(
+                        A_t, S_t, disp_row[:vm], cfg, axis=1))
             elif is_nb:
                 if per_col:
-                    disp_col = nb_size_update(A, S, cfg, axis=0)
+                    disp_col = _pad_col(nb_size_update(A_t, S_t, cfg, axis=0))
                 else:
-                    disp_row = nb_size_update(A, S, cfg, axis=1)
+                    disp_row = _pad_row(nb_size_update(A_t, S_t, cfg, axis=1))
             elif is_phi:
                 if per_col:
-                    disp_col = phi_update(A, S, cfg, axis=0)
+                    disp_col = _pad_col(phi_update(A_t, S_t, cfg, axis=0))
                 else:
-                    disp_row = phi_update(A, S, cfg, axis=1)
+                    disp_row = _pad_row(phi_update(A_t, S_t, cfg, axis=1))
 
         # --- ZI EM + soft imputation (fit_cpu.hpp:1285-1552) ---
         pi_row, pi_col, A_imp = state.pi_row, state.pi_col, state.A_imp
         if is_zi:
-            pi_row, pi_col, A_imp = zi_em_step(A, S, cfg, disp_row,
-                                               pi_row, pi_col)
+            pr, pc, A_imp_t = zi_em_step(A_t, S_t, cfg, disp_row[:vm],
+                                         pi_row[:vm], pi_col[:vn])
+            pi_row, pi_col = _pad_row(pr), _pad_col(pc)
+            A_imp = (jnp.pad(A_imp_t, ((0, m - vm), (0, n - vn)))
+                     if padded else A_imp_t)
             if cfg.theta_min > 0 and is_gp:
                 disp_row = jnp.maximum(disp_row, cfg.theta_min)
 
         # --- explicit loss on original A (fit_cpu.hpp:1690-1709) ---
         theta_for_loss_row = disp_col if per_col else disp_row
         loss = losses.explicit_loss(
-            A, W_Td, H, cfg,
-            theta_row=None if per_col else theta_for_loss_row,
-            theta_col=disp_col if per_col else None,
+            A_t, W_Td[:, :vm] if padded else W_Td,
+            H[:, :vn] if padded else H, cfg,
+            theta_row=None if per_col else theta_for_loss_row[:vm],
+            theta_col=disp_col[:vn] if per_col else None,
             nz_only=sparse_zeros)
 
         rel = jnp.abs(state.prev_loss - loss) / (jnp.abs(state.prev_loss) + 1e-15)
@@ -422,8 +445,11 @@ def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
 
 
 def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
-             sparse_zeros: bool = False) -> NMFResult:
-    """Host driver for the IRLS path (dispatched from models.nmf.nmf_fit)."""
+             sparse_zeros: bool = False, valid_dims=None) -> NMFResult:
+    """Host driver for the IRLS path (dispatched from models.nmf.nmf_fit).
+
+    ``valid_dims``: true (m, n) when A arrives zero-padded for a device
+    mesh — accounting is restricted to the valid region."""
     m, n = A_dev.shape
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
     if cfg.has_zi():
@@ -435,7 +461,8 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
     state = _fit_irls_jit(cfg.device_static(), A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
                           jnp.asarray(d0), jnp.asarray(disp_row0),
                           jnp.asarray(disp_col0), jnp.asarray(pi_row0),
-                          jnp.asarray(pi_col0), sparse_zeros)
+                          jnp.asarray(pi_col0), sparse_zeros,
+                          valid_dims=valid_dims)
     state = jax.device_get(state)   # one batched transfer
 
     per_col = cfg.dispersion == Dispersion.PER_COL

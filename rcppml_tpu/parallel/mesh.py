@@ -47,8 +47,37 @@ def default_mesh(devices=None, shape=None) -> Mesh:
     return Mesh(arr, ("rows", "cols"))
 
 
-def shard_arrays(mesh: Mesh, A, W_T, H, d):
-    """Place the factor model onto the mesh with the canonical shardings."""
+def mesh_padding(mesh: Mesh, m: int, n: int):
+    """Zero-padding needed to make (m, n) divisible by the mesh shape."""
+    mr, mc = mesh.shape["rows"], mesh.shape["cols"]
+    return (-m) % mr, (-n) % mc
+
+
+def pad_to_mesh(mesh: Mesh, A, W_T, H):
+    """Zero-pad A/W_T/H so every dimension divides the mesh.
+
+    Exact for ALS-NMF: an all-zero row/column has RHS b = 0, so its factor
+    solves to exactly 0 (nonneg clip, or b=0 with L1=0) and contributes
+    nothing to Grams, losses, or normalization.  The one combination where
+    pads could go nonzero is L1 > 0 with nonneg=False (b = -L1 pushes the
+    unconstrained solve off zero) — callers keep the semi-NMF + L1 combo on
+    divisible shapes.
+    """
+    pm, pn = mesh_padding(mesh, A.shape[0], A.shape[1])
+    if pm:
+        A = jnp.pad(A, ((0, pm), (0, 0)))
+        W_T = jnp.pad(W_T, ((0, 0), (0, pm)))
+    if pn:
+        A = jnp.pad(A, ((0, 0), (0, pn)))
+        H = jnp.pad(H, ((0, 0), (0, pn)))
+    return A, W_T, H
+
+
+def shard_arrays(mesh: Mesh, A, W_T, H, d, *, pad: bool = True):
+    """Place the factor model onto the mesh with the canonical shardings,
+    zero-padding to mesh-divisible shapes first (see :func:`pad_to_mesh`)."""
+    if pad:
+        A, W_T, H = pad_to_mesh(mesh, A, W_T, H)
     s_A = NamedSharding(mesh, P("rows", "cols"))
     s_W = NamedSharding(mesh, P(None, "rows"))
     s_H = NamedSharding(mesh, P(None, "cols"))
@@ -70,8 +99,27 @@ def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
     W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
                                         h_init=h_init)
     A_d, W_d, H_d, d_d = shard_arrays(mesh, A, W_T0, H0, d0)
+    padded = A_d.shape != (m, n)
     if cfg.requires_irls():
         from ..models.nmf_irls import fit_irls
-        return fit_irls(A_d, cfg, W_d, H_d, d_d, {})
-    state = nmf_mod._fit_mse(cfg, A_d, W_d, H_d, d_d, {})
-    return nmf_mod.finalize_result(cfg, state)
+        res = fit_irls(A_d, cfg, W_d, H_d, d_d, {},
+                       valid_dims=(m, n) if padded else None)
+    else:
+        state = nmf_mod._fit_mse(cfg, A_d, W_d, H_d, d_d, {})
+        res = nmf_mod.finalize_result(cfg, state)
+    # slice any mesh padding back off (pads solve to exact zeros)
+    if res.W.shape[0] != m:
+        res.W = res.W[:m]
+    if res.H.shape[1] != n:
+        res.H = res.H[:, :n]
+    from ..config import Dispersion
+    per_col = cfg.dispersion == Dispersion.PER_COL
+    for attr in ("theta", "dispersion"):
+        v = getattr(res, attr, None)
+        if v is not None and np.ndim(v) == 1:
+            setattr(res, attr, v[:n] if per_col else v[:m])
+    if getattr(res, "pi_row", None) is not None:
+        res.pi_row = res.pi_row[:m]
+    if getattr(res, "pi_col", None) is not None:
+        res.pi_col = res.pi_col[:n]
+    return res

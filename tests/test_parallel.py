@@ -84,3 +84,84 @@ def test_api_mesh_kwarg():
                  mesh=default_mesh(shape=(2, 4)))
     assert np.isfinite(res.train_loss)
     assert "config" in res.misc
+
+
+def test_sharded_cv_matches_single_chip():
+    """Speckled-CV fit under a mesh equals the single-device CV fit: the
+    holdout mask is derived in-jit from the traced hash, so each shard
+    computes its local mask bit-identically."""
+    from rcppml_tpu.models.nmf_cv import fit_cv_or_masked
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=48, n=64, k=3, noise=0.05, seed=21)
+    cfg = rt.build_config(3, seed=7, maxit=10, tol=0.0, test_fraction=0.15,
+                          cv_seed=5, sort_model=False)
+    single = fit_cv_or_masked(sim["A"], cfg)
+    shard = fit_cv_or_masked(sim["A"], cfg, mesh=default_mesh(shape=(2, 4)))
+    assert np.isfinite(shard.test_loss)
+    np.testing.assert_allclose(shard.test_loss, single.test_loss, rtol=2e-3)
+    np.testing.assert_allclose(shard.W, single.W, rtol=2e-3, atol=2e-4)
+
+
+def test_api_mesh_cv_dispatch():
+    """nmf(..., mesh=, test_fraction=) routes through the CV path (it used
+    to silently drop the holdout)."""
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=32, n=48, k=2, noise=0.05, seed=9)
+    res = rt.nmf(sim["A"], 2, seed=5, maxit=6, tol=0.0, test_fraction=0.2,
+                 cv_seed=3, sort_model=False, mesh=default_mesh(shape=(2, 4)))
+    assert np.isfinite(res.test_loss)
+    assert len(res.test_loss_history) == res.iterations
+
+
+def test_sharded_masked_fit():
+    """User-supplied mask under a mesh."""
+    from rcppml_tpu.models.nmf_cv import fit_cv_or_masked
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    rs = np.random.RandomState(3)
+    sim = simulate_nmf(m=32, n=40, k=2, noise=0.05, seed=10)
+    mask = rs.uniform(size=sim["A"].shape) < 0.1   # True = held out
+    cfg = rt.build_config(2, seed=2, maxit=5, tol=0.0, has_mask=True,
+                          sort_model=False)
+    single = fit_cv_or_masked(sim["A"], cfg, mask=mask)
+    shard = fit_cv_or_masked(sim["A"], cfg, mask=mask,
+                             mesh=default_mesh(shape=(4, 2)))
+    np.testing.assert_allclose(shard.W, single.W, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_nondivisible_dims():
+    """Matrix dims that don't divide the mesh are zero-padded; results match
+    single-chip (pads solve to exact zeros, accounting is restricted to the
+    valid region)."""
+    from rcppml_tpu.models.nmf import nmf_fit
+    from rcppml_tpu.utils.simulate import simulate_nmf, simulate_counts
+    mesh = default_mesh(shape=(2, 4))
+    sim = simulate_nmf(m=81, n=97, k=3, noise=0.05, seed=5)
+
+    cfg = rt.build_config(3, seed=7, maxit=8, tol=0.0, sort_model=False)
+    s = nmf_fit(sim["A"], cfg)
+    p = fit_sharded(sim["A"], cfg, mesh)
+    assert p.W.shape == (81, 3) and p.H.shape == (3, 97)
+    np.testing.assert_allclose(p.W, s.W, rtol=2e-3, atol=2e-4)
+    tr = float((sim["A"] ** 2).sum())
+    assert abs(p.train_loss - s.train_loss) < 1e-6 * tr
+
+    # CV on non-divisible dims: holdout accounting excludes pads exactly
+    kw = dict(seed=2, maxit=8, tol=0.0, test_fraction=0.2, cv_seed=1,
+              sort_model=False)
+    sc = rt.nmf(sim["A"], 3, **kw)
+    pc = rt.nmf(sim["A"], 3, mesh=mesh, **kw)
+    np.testing.assert_allclose(pc.test_loss, sc.test_loss, rtol=1e-4)
+
+    # IRLS explicit-NLL accounting restricted to the valid region
+    counts = simulate_counts(m=33, n=49, k=2, seed=4)
+    cfgk = rt.build_config(2, loss="gp", dispersion="none", seed=3, maxit=4,
+                           tol=0.0, solver="cd", sort_model=False)
+    sk = nmf_fit(counts["A"], cfgk)
+    pk = fit_sharded(counts["A"], cfgk, mesh)
+    np.testing.assert_allclose(pk.train_loss, sk.train_loss, rtol=1e-5)
+
+    # per-row NB theta sliced to true length
+    cfgn = rt.build_config(2, loss="nb", dispersion="per_row", seed=3,
+                           maxit=3, tol=0.0, solver="cd", sort_model=False)
+    pn = fit_sharded(counts["A"], cfgn, mesh)
+    assert pn.theta.shape == (33,) and np.isfinite(pn.theta).all()
