@@ -174,6 +174,23 @@ def build_config(
     return cfg
 
 
+def _extract_dimnames(data):
+    """Pull (row_names, col_names) off a pandas DataFrame, mirroring R's
+    dimnames carry-through (tests/testthat/test_dimnames.R: rownames(A) ->
+    rownames(W), colnames(A) -> colnames(H))."""
+    if hasattr(data, "index") and hasattr(data, "columns") \
+            and hasattr(data, "to_numpy"):
+        def names(ix):
+            # a default RangeIndex is "no names", like an unnamed R matrix
+            if type(ix).__name__ == "RangeIndex" and ix.start == 0 \
+                    and ix.step == 1:
+                return None
+            return np.asarray(ix.astype(str))
+        return (names(data.index), names(data.columns),
+                data.to_numpy(dtype=np.float32))
+    return None, None, data
+
+
 def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         target_W=None, w_init=None, h_init=None, streaming=False,
         chunk_cols=None, on_iteration=None, mesh=None, **kwargs):
@@ -200,6 +217,7 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         from .utils.resources import load_data
         data = load_data(data)
 
+    row_names, col_names, data = _extract_dimnames(data)
     sparse_input = _is_sparse(data)
     A = _to_dense_f32(data)
 
@@ -242,21 +260,25 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         if cfg.W.target_lambda < 0:
             aux["target_W_gram"] = (t @ t.T) / t.shape[1]
 
+    def _named(res):
+        res.row_names, res.col_names = row_names, col_names
+        return res
+
     if cfg.is_cv() or mask is not None:
         from .models.nmf_cv import fit_cv_or_masked
-        return fit_cv_or_masked(_host(A), cfg, mask=mask, aux=aux,
-                                w_init=w_init, h_init=h_init,
-                                sparse_zeros=sparse_input, mesh=mesh)
+        return _named(fit_cv_or_masked(_host(A), cfg, mask=mask, aux=aux,
+                                       w_init=w_init, h_init=h_init,
+                                       sparse_zeros=sparse_input, mesh=mesh))
 
     if mesh is not None:
         from .parallel.mesh import fit_sharded
         res = fit_sharded(np.asarray(A, dtype=np.float32), cfg, mesh,
                           w_init=w_init, h_init=h_init)
         res.misc["config"] = cfg
-        return res
+        return _named(res)
 
     from .models.nmf import nmf_fit
     res = nmf_fit(A, cfg, w_init=w_init, h_init=h_init, aux=aux,
                   sparse_zeros=sparse_input, on_iteration=on_iteration)
     res.misc["config"] = cfg      # predict() reuses stored penalties
-    return res
+    return _named(res)

@@ -631,6 +631,11 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     A ``.spz`` path dispatches to the streaming gateway
     (svd/gateway.hpp:173-187)."""
     from ..config import FactorConfig as FC
+    from ..api import _extract_dimnames
+
+    row_names = col_names = None
+    if not isinstance(data, str):
+        row_names, col_names, data = _extract_dimnames(data)
 
     if isinstance(data, str) and data.endswith(".spz"):
         return streaming_svd(
@@ -692,10 +697,12 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         rec = res.reconstruct() / (1.0 - cfg.test_fraction)
         res.test_loss = float(np.mean((A_np[M] - rec[M]) ** 2))
         res.misc["method"] = method
+        res.row_names, res.col_names = row_names, col_names
         return res
 
     res = fn(data, cfg)
     res.misc["method"] = method
+    res.row_names, res.col_names = row_names, col_names
     return res
 
 

@@ -32,10 +32,17 @@ class NMFResult:
     pi_col: Optional[np.ndarray] = None             # ZI dropout probs per col
     profile: Dict[str, float] = field(default_factory=dict)
     misc: Dict[str, Any] = field(default_factory=dict)
+    row_names: Optional[np.ndarray] = None          # A's rownames -> W rows
+    col_names: Optional[np.ndarray] = None          # A's colnames -> H cols
 
     @property
     def k(self) -> int:
         return int(self.d.shape[0])
+
+    def dimnames(self):
+        """(rownames of W, colnames of H) — the R S4 dimnames analog
+        (R/nmf_methods.R dimnames; tests/testthat/test_dimnames.R)."""
+        return (self.row_names, self.col_names)
 
     @property
     def shape(self):
@@ -68,22 +75,31 @@ class NMFResult:
         idx = np.atleast_1d(np.asarray(idx))
         return NMFResult(W=self.W[:, idx], d=self.d[idx], H=self.H[idx, :],
                          iterations=self.iterations, converged=self.converged,
-                         train_loss=self.train_loss)
+                         train_loss=self.train_loss,
+                         row_names=self.row_names, col_names=self.col_names)
 
     def subset(self, rows=None, cols=None) -> "NMFResult":
         """model[i, j] — restrict to feature rows / sample columns."""
         W = self.W if rows is None else self.W[np.asarray(rows)]
         H = self.H if cols is None else self.H[:, np.asarray(cols)]
+
+        def _sub(names, idx):
+            return (None if names is None else
+                    np.asarray(names)[np.asarray(idx)] if idx is not None
+                    else names)
         return NMFResult(W=W, d=self.d.copy(), H=H,
                          iterations=self.iterations, converged=self.converged,
-                         train_loss=self.train_loss)
+                         train_loss=self.train_loss,
+                         row_names=_sub(self.row_names, rows),
+                         col_names=_sub(self.col_names, cols))
 
     def t(self) -> "NMFResult":
         """Transpose the model: A' ~ H' diag(d) W'."""
         return NMFResult(W=np.ascontiguousarray(self.H.T), d=self.d.copy(),
                          H=np.ascontiguousarray(self.W.T),
                          iterations=self.iterations, converged=self.converged,
-                         train_loss=self.train_loss)
+                         train_loss=self.train_loss,
+                         row_names=self.col_names, col_names=self.row_names)
 
     def prod(self) -> np.ndarray:
         """W diag(d) H (the `prod` S4 method)."""
@@ -109,11 +125,7 @@ class NMFResult:
     def __getitem__(self, key):
         if isinstance(key, tuple):
             rows, cols = key
-            return NMFResult(W=self.W[rows], d=self.d.copy(),
-                             H=self.H[:, cols],
-                             iterations=self.iterations,
-                             converged=self.converged,
-                             train_loss=self.train_loss)
+            return self.subset(rows=rows, cols=cols)
         return self.subset_factors(key)
 
     def __repr__(self):
@@ -135,6 +147,8 @@ class SVDResult:
     center: Optional[np.ndarray] = None
     scale: Optional[np.ndarray] = None
     misc: Dict[str, Any] = field(default_factory=dict)
+    row_names: Optional[np.ndarray] = None          # A's rownames -> U rows
+    col_names: Optional[np.ndarray] = None          # A's colnames -> V rows
 
     @property
     def k(self) -> int:

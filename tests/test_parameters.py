@@ -94,3 +94,57 @@ def test_zi_modes():
         _check(res)
         pi = res.pi_row if zi == "row" else res.pi_col
         assert pi is not None and np.isfinite(pi).all()
+
+
+# --------------------------------------------------------------------------
+# dimnames carry-through (tests/testthat/test_dimnames.R, 5 cases + methods)
+# --------------------------------------------------------------------------
+
+def _named_df(m=30, n=10, rows=True, cols=True, seed=123):
+    pd = pytest.importorskip("pandas")
+    rs = np.random.RandomState(seed)
+    A = np.abs(rs.normal(size=(m, n))).astype(np.float32)
+    return pd.DataFrame(A,
+                        index=[f"gene{i+1}" for i in range(m)] if rows else None,
+                        columns=[f"sample{j+1}" for j in range(n)] if cols else None)
+
+
+def test_dimnames_dense():
+    df = _named_df()
+    res = rt.nmf(df, 3, maxit=10, seed=1)
+    assert list(res.row_names) == [f"gene{i+1}" for i in range(30)]
+    assert list(res.col_names) == [f"sample{j+1}" for j in range(10)]
+    rn, cn = res.dimnames()
+    assert rn is not None and cn is not None
+
+
+def test_dimnames_absent():
+    rs = np.random.RandomState(0)
+    res = rt.nmf(np.abs(rs.normal(size=(20, 12))).astype(np.float32), 2,
+                 maxit=5, seed=1)
+    assert res.row_names is None and res.col_names is None
+
+
+def test_dimnames_methods_propagate():
+    df = _named_df(m=20, n=12)
+    res = rt.nmf(df, 3, maxit=8, seed=1)
+    sub = res.subset(rows=[0, 2, 4])
+    assert list(sub.row_names) == ["gene1", "gene3", "gene5"]
+    assert list(sub.col_names) == [f"sample{j+1}" for j in range(12)]
+    tt = res.t()
+    assert list(tt.row_names) == list(res.col_names)
+    ff = res[[0, 1]]
+    assert list(ff.row_names) == list(res.row_names)
+
+
+def test_dimnames_svd():
+    df = _named_df(m=25, n=15)
+    res = rt.svd(df, 3, method="randomized", seed=1)
+    assert list(res.row_names)[:2] == ["gene1", "gene2"]
+    assert list(res.col_names)[:2] == ["sample1", "sample2"]
+
+
+def test_dimnames_cv_path():
+    df = _named_df(m=24, n=16)
+    res = rt.nmf(df, 2, maxit=6, seed=1, test_fraction=0.2, cv_seed=3)
+    assert res.row_names is not None and len(res.row_names) == 24
