@@ -429,5 +429,11 @@ def cv_sweep(A: np.ndarray, ks, *, cv_seed=0, mask=None, **kwargs):
                 "train_mse": res.train_loss, "test_mse": res.test_loss,
                 "best_test_loss": res.misc["best_test_loss"],
                 "best_iter": res.best_iter, "iterations": res.iterations,
+                # distribution columns (test_g1_g6_fixes.R G5): NaN for MSE
+                "mean_theta": (float(np.mean(res.theta))
+                               if res.theta is not None else float("nan")),
+                "mean_dispersion": (float(np.mean(res.dispersion))
+                                    if res.dispersion is not None
+                                    else float("nan")),
             })
     return rows

@@ -113,20 +113,25 @@ def predict(model: NMFResult, newdata, *, L1: float = 0.0, L2: float = 0.0,
 
 
 def evaluate(model: NMFResult, A, *, mask=None, loss: str = "mse",
-             missing_only: bool = False) -> float:
+             missing_only: bool = False, mask_zeros: bool = False) -> float:
     """Mean per-entry loss of the model on A (R/nmf_methods.R evaluate),
-    optionally restricted to masked (missing) entries."""
+    optionally restricted to masked (missing) or nonzero entries
+    (tests/testthat/test_evaluate.R)."""
+    if missing_only and mask is None:
+        raise ValueError("a mask matrix must be specified with missing_only")
     A = np.asarray(A, dtype=np.float32)
     rec = model.reconstruct()
     from ..api import build_config
     cfg = build_config(model.k, loss=loss, solver="cd" if loss != "mse" else "auto")
     contrib = np.asarray(losses.compute_loss_elements(
         jnp.asarray(A), jnp.asarray(rec), cfg, jnp.zeros_like(jnp.asarray(A))))
+    sel = np.ones(A.shape, dtype=bool)
     if mask is not None:
         M = np.asarray(mask).astype(bool)
         sel = M if missing_only else ~M
-        return float(contrib[sel].mean()) if sel.any() else float("nan")
-    return float(contrib.mean())
+    if mask_zeros:
+        sel = sel & (A != 0)
+    return float(contrib[sel].mean()) if sel.any() else float("nan")
 
 
 def mse(model: NMFResult, A, **kw) -> float:

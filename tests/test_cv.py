@@ -119,3 +119,17 @@ def test_cv_irls(sim):
                  test_fraction=0.1, cv_seed=5, seed=42, maxit=15)
     assert np.isfinite(res.test_loss)
     assert np.isfinite(res.train_loss)
+
+
+def test_cv_sweep_distribution_columns():
+    """GP sweeps report mean_theta; MSE sweeps report NaN distribution
+    columns (test_g1_g6_fixes.R G5)."""
+    from rcppml_tpu.models.nmf_cv import cv_sweep
+    from rcppml_tpu.utils.simulate import simulate_counts
+    A = simulate_counts(m=30, n=40, k=2, seed=6)["A"]
+    rows_gp = cv_sweep(A, [2], cv_seed=1, maxit=6, loss="gp",
+                       dispersion="per_row", test_fraction=0.15)
+    assert np.isfinite(rows_gp[0]["mean_theta"])
+    rows_mse = cv_sweep(A, [2], cv_seed=1, maxit=6, test_fraction=0.15)
+    assert np.isnan(rows_mse[0]["mean_theta"])
+    assert np.isnan(rows_mse[0]["mean_dispersion"])

@@ -85,3 +85,23 @@ def test_predict_uses_stored_config(small_factors):
     assert "config" in res.misc
     H_new = predict(res, A)        # picks up stored H-side L1
     assert (H_new == 0).mean() > 0
+
+
+def test_evaluate_mask_zeros(small_factors):
+    """evaluate(mask_zeros=True) restricts to nonzero entries
+    (test_evaluate.R:45-54)."""
+    from rcppml_tpu.models.project import evaluate
+    A = small_factors["A"].copy()
+    A[A < np.median(A)] = 0
+    res = rt.nmf(A, 4, seed=42, maxit=20)
+    full = evaluate(res, A)
+    nz = evaluate(res, A, mask_zeros=True)
+    assert np.isfinite(nz) and nz != full
+
+
+def test_evaluate_missing_only_requires_mask(small_factors):
+    """missing_only without a mask errors (test_evaluate.R:71-78)."""
+    from rcppml_tpu.models.project import evaluate
+    res = rt.nmf(small_factors["A"], 4, seed=42, maxit=5)
+    with pytest.raises(ValueError, match="mask"):
+        evaluate(res, small_factors["A"], missing_only=True)
