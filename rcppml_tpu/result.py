@@ -166,6 +166,23 @@ class SVDResult:
         d2 = np.asarray(self.d) ** 2
         return d2 / d2.sum()
 
+    def predict(self, newdata) -> np.ndarray:
+        """Project new samples (rows) onto the right singular vectors:
+        scores = newdata @ V / d — PCA out-of-sample prediction
+        (R/svd_methods.R:141-174).  newdata rows are re-centered per sample
+        when the model was centered."""
+        X = np.asarray(
+            newdata.todense() if hasattr(newdata, "todense") else newdata,
+            dtype=np.float32)
+        V = np.asarray(self.V)
+        if X.shape[1] != V.shape[0]:
+            raise ValueError(
+                f"newdata has {X.shape[1]} features; model expects "
+                f"{V.shape[0]}")
+        if self.center is not None:
+            X = X - X.mean(axis=1, keepdims=True)
+        return (X @ V) / np.asarray(self.d)[None, :]
+
     def __repr__(self):
         return (f"SVDResult(k={self.k}, shape=({self.U.shape[0]}, {self.V.shape[0]}), "
                 f"d[0]={float(self.d[0]):.6g})")

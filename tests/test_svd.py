@@ -185,3 +185,13 @@ def test_svd_sparse_input():
         res.d, np.linalg.svd(A.toarray(), compute_uv=False)[:4], rtol=1e-3)
     res2 = svd(A, 4, method="deflation", seed=1)
     assert np.isfinite(res2.d).all()
+
+
+def test_svd_predict_new_samples(lowrank):
+    """predict() projects new samples onto V (R/svd_methods.R:141-174):
+    predicting the training rows recovers U."""
+    res = lanczos_svd(lowrank, SVDConfig(k=4, seed=1))
+    scores = res.predict(lowrank)          # rows of A are "samples"
+    np.testing.assert_allclose(scores, np.asarray(res.U), atol=1e-3)
+    with pytest.raises(ValueError, match="features"):
+        res.predict(np.zeros((3, 7), np.float32))
