@@ -31,9 +31,15 @@ def __getattr__(name):
     if name in ("bipartition", "dclust"):
         from .models import clustering as _cl
         return getattr(_cl, name)
-    if name == "nnls":
-        from .models.project import nnls as _nnls
-        return _nnls
+    if name in ("nnls", "predict", "evaluate", "mse"):
+        from .models import project as _proj
+        return getattr(_proj, name)
+    if name == "consensus_nmf":
+        from .models.clustering import consensus_nmf as _cn
+        return _cn
+    if name == "default_mesh":
+        from .parallel.mesh import default_mesh as _dm
+        return _dm
     if name == "simulate_nmf":
         from .utils.simulate import simulate_nmf as _sim
         return _sim
