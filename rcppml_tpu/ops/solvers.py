@@ -40,6 +40,11 @@ def _chol_solve(G: jax.Array, B: jax.Array) -> jax.Array:
     k = G.shape[0]
     ridge = (1e-6 / k) * jnp.trace(G)
     L = lax.linalg.cholesky(G + ridge * jnp.eye(k, dtype=G.dtype))
+    # Measured alternative (k=50, n=610 on v5e): explicit G^-1 + GEMM is
+    # within tunnel-variance of the two triangular solves for speed, but
+    # its fp32 inverse fails outright on near-rank-deficient Grams
+    # (constant/rank-1 inputs: residual 7.6 vs 1e-6 even WITH one step of
+    # iterative refinement), so the backward-stable solves stay.
     Y = lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
                                     transpose_a=False)
     return lax.linalg.triangular_solve(L, Y, left_side=True, lower=True,
