@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import rng as rng_mod
 from ..config import NMFConfig, Solver
 from ..io.loaders import DataLoader, InMemoryLoader, Prefetcher, SpzLoader
 from ..ops import features as feat
@@ -58,6 +59,55 @@ def _panel_solve(cfg: NMFConfig, side: str, G, F, A_panel, X_warm, warm):
     return X
 
 
+def _panel_train_w(seed_pair, row0, col0, rows, cols, inv_prob: int,
+                   mask_zeros: bool, A_panel, transposed: bool):
+    """In-jit speckled train weights for a panel whose element (r, c) is
+    A[row0 + r, col0 + c] (or A[col0 + c, row0 + r] when ``transposed`` —
+    the W-update's A^T panels).  Identical hash to the in-memory path
+    (nmf/speckled_cv.hpp via rng.is_holdout_traced)."""
+    rr = jnp.arange(rows, dtype=jnp.uint32)[:, None] + jnp.uint32(row0)
+    cc = jnp.arange(cols, dtype=jnp.uint32)[None, :] + col0.astype(jnp.uint32)
+    i, j = (cc, rr) if transposed else (rr, cc)
+    M = rng_mod.is_holdout_traced(seed_pair, i, j, inv_prob)
+    if mask_zeros:
+        M = M & (A_panel != 0)
+    return (~M).astype(A_panel.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "side", "inv_prob", "mask_zeros",
+                                   "transposed"))
+def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
+                    seed_pair, col0, *, inv_prob: int, mask_zeros: bool,
+                    transposed: bool):
+    """Masked panel solve: per-column Gram over train entries only (the
+    streaming analog of nmf_cv.masked_mse_solve_batch; reference
+    fit_streaming_spz.hpp:267-286)."""
+    from .nmf_cv import masked_mse_solve_batch
+    fc = cfg.H if side == "H" else cfg.W
+    m, nc = A_panel.shape
+    train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
+                             mask_zeros, A_panel, transposed)
+    Xw = X_warm * warm.astype(A_panel.dtype)
+    return masked_mse_solve_batch(A_panel, F, train_w, cfg, fc, Xw)
+
+
+@partial(jax.jit, static_argnames=("inv_prob", "mask_zeros", "sparse_zeros"))
+def _panel_cv_losses(W_T, d, H_panel, A_panel, seed_pair, col0, *,
+                     inv_prob: int, mask_zeros: bool, sparse_zeros: bool):
+    """(train_sse, n_train, test_sse, n_test) for one forward panel."""
+    rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
+    sq = (A_panel - rec) ** 2
+    m, nc = A_panel.shape
+    train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
+                             mask_zeros, A_panel, False)
+    test_w = 1.0 - train_w
+    if sparse_zeros:
+        nz = (A_panel != 0).astype(sq.dtype)
+        train_w = train_w * nz
+    return (jnp.sum(sq * train_w), jnp.sum(train_w),
+            jnp.sum(sq * test_w), jnp.sum(test_w))
+
+
 @jax.jit
 def _panel_cross_term(W_T, d, H_panel, A_panel):
     """Panel contribution to the loss cross term: sum d_i <W_T A_panel, H>."""
@@ -85,28 +135,47 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     H = jnp.asarray(H0)
     d = jnp.asarray(d0)
 
+    # streaming speckled CV (fit_streaming_spz.hpp:129-386): the panel
+    # holdout mask is derived in-jit from the traced hash, so no mask is
+    # ever built host-side — identical entries to the in-memory CV path
+    is_cv = cfg.is_cv()
+    seed_pair = (jnp.asarray(rng_mod.seed_to_u32_pair(
+        int(np.uint32(cfg.cv_seed)))) if is_cv else None)
+    inv_prob = int(1.0 / cfg.test_fraction) if is_cv else 0
+    cfgs = cfg.device_static()
+
     trAtA = loader.trace_sq()
 
     prev_loss = np.inf
+    best_test = np.inf
+    best_iter = -1
     patience = 0
     hist = []
+    test_hist = []
     converged = False
     it = 0
     for it in range(cfg.max_iter):
         warm = jnp.bool_(it > 0)
 
         # ---- H-update over forward panels ----
-        G = linalg.gram(W_T)
-        G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
-        G = feat.apply_l21(G, H, cfg.H.L21)
+        if not is_cv:
+            G = linalg.gram(W_T)
+            G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
+            G = feat.apply_l21(G, H, cfg.H.L21)
         H_parts = {}
         pf = Prefetcher(loader, transpose=False)
         for ch in pf:
             A_panel = jnp.asarray(ch.data)
             X_warm = jax.lax.dynamic_slice_in_dim(H, ch.col_start,
                                                   ch.num_cols, axis=1)
-            H_parts[ch.col_start] = _panel_solve(cfg, "H", G, W_T, A_panel,
-                                                 X_warm, warm)
+            if is_cv:
+                H_parts[ch.col_start] = _panel_solve_cv(
+                    cfgs, "H", W_T, A_panel, X_warm, warm, seed_pair,
+                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    mask_zeros=cfg.mask_zeros, transposed=False)
+            else:
+                H_parts[ch.col_start] = _panel_solve(cfg, "H", G, W_T,
+                                                     A_panel, X_warm, warm)
         pf.close()
         H = jnp.concatenate([H_parts[cs] for cs in sorted(H_parts)], axis=1)
         if cfg.H.angular > 0:
@@ -115,23 +184,59 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         # ---- W-update over transpose panels ----
         G_w = linalg.gram(H)                             # saved for loss
-        G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
-        G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
+        if not is_cv:
+            G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
+            G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
         W_parts = {}
         pt = Prefetcher(loader, transpose=True)
         for ch in pt:
             At_panel = jnp.asarray(ch.data)              # (n, pc) cols of A^T
             X_warm = jax.lax.dynamic_slice_in_dim(W_T, ch.col_start,
                                                   ch.num_cols, axis=1)
-            W_parts[ch.col_start] = _panel_solve(cfg, "W", G2, H, At_panel,
-                                                 X_warm, warm)
+            if is_cv:
+                W_parts[ch.col_start] = _panel_solve_cv(
+                    cfgs, "W", H, At_panel, X_warm, warm, seed_pair,
+                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    mask_zeros=cfg.mask_zeros, transposed=True)
+            else:
+                W_parts[ch.col_start] = _panel_solve(cfg, "W", G2, H,
+                                                     At_panel, X_warm, warm)
         pt.close()
         W_T = jnp.concatenate([W_parts[cs] for cs in sorted(W_parts)], axis=1)
         if cfg.W.angular > 0:
             W_T = feat.apply_angular_posthoc(W_T, cfg.W.angular)
         W_T, d = linalg.extract_scaling(W_T, cfg.norm)
 
-        # ---- loss: Gram trick with panel-wise cross term ----
+        # ---- loss ----
+        if is_cv:
+            tr_sse = tr_n = te_sse = te_n = 0.0
+            for ch in loader.iter_chunks(transpose=False):
+                out = _panel_cv_losses(
+                    W_T, d,
+                    H[:, ch.col_start:ch.col_start + ch.num_cols],
+                    jnp.asarray(ch.data), seed_pair,
+                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    mask_zeros=cfg.mask_zeros, sparse_zeros=False)
+                tr_sse += float(out[0]); tr_n += float(out[1])
+                te_sse += float(out[2]); te_n += float(out[3])
+            loss = tr_sse / max(tr_n, 1.0)
+            test_loss = te_sse / max(te_n, 1.0)
+            hist.append(loss)
+            test_hist.append(test_loss)
+            if test_loss < best_test:
+                best_test = test_loss
+                best_iter = it
+                patience = 0
+            else:
+                patience += 1
+            rel = abs(prev_loss - test_loss) / (abs(prev_loss) + 1e-15)
+            prev_loss = test_loss
+            if patience >= cfg.cv_patience or (it > 0 and rel < cfg.tol):
+                converged = True
+                it += 1
+                break
+            continue
+
         cross = 0.0
         for ch in loader.iter_chunks(transpose=False):
             cross += float(_panel_cross_term(W_T, d,
@@ -159,9 +264,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         W=np.asarray(W_T).T, d=np.asarray(d), H=np.asarray(H),
         iterations=it if converged else it + 1,
         converged=converged,
-        train_loss=float(prev_loss),
+        train_loss=float(hist[-1]) if hist else float("nan"),
+        test_loss=float(test_hist[-1]) if test_hist else float("nan"),
+        best_iter=best_iter,
         loss_history=np.asarray(hist, dtype=np.float64),
+        test_loss_history=(np.asarray(test_hist, dtype=np.float64)
+                           if test_hist else None),
     )
+    if is_cv:
+        res.misc["best_test_loss"] = float(best_test)
     if cfg.sort_model:
         res.sort()
     return res

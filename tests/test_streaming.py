@@ -75,3 +75,41 @@ def test_v3_dense_streaming(sim, tmp_path):
     from rcppml_tpu.models.nmf import nmf_fit
     res_mem = nmf_fit(A, cfg)
     np.testing.assert_allclose(res.train_loss, res_mem.train_loss, rtol=1e-3)
+
+
+def test_streaming_cv_matches_in_memory(tmp_path):
+    """Streaming speckled CV equals the in-memory CV fit: the panel masks
+    come from the same traced hash (fit_streaming_spz.hpp:129-386 analog)."""
+    from rcppml_tpu.models.nmf_cv import fit_cv_or_masked
+    from rcppml_tpu.models.nmf_chunked import nmf_chunked
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    import rcppml_tpu as rt
+
+    sim = simulate_nmf(m=48, n=80, k=3, noise=0.05, seed=31)
+    cfg = rt.build_config(3, seed=9, maxit=8, tol=0.0, test_fraction=0.15,
+                          cv_seed=4, sort_model=False)
+    mem = fit_cv_or_masked(sim["A"], cfg)
+    stream = nmf_chunked(InMemoryLoader(sim["A"], chunk_cols=32), cfg)
+    assert np.isfinite(stream.test_loss)
+    np.testing.assert_allclose(stream.test_loss, mem.test_loss, rtol=2e-3)
+    np.testing.assert_allclose(stream.W, mem.W, rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_cv_from_spz(tmp_path):
+    """nmf('file.spz', k, test_fraction=...) runs holdout CV out of core."""
+    import scipy.sparse as sp
+    import rcppml_tpu as rt
+    from rcppml_tpu.io.spz import st_write
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=40, n=64, k=3, noise=0.05, seed=7)
+    A = sim["A"].copy()
+    A[A < np.quantile(A, 0.5)] = 0          # sparsify for the codec
+    p = str(tmp_path / "cv.spz")
+    st_write(sp.csc_matrix(A), p, chunk_cols=24, with_transpose=True)
+    res = rt.nmf(p, 3, seed=2, maxit=6, tol=0.0, test_fraction=0.2,
+                 cv_seed=5, mask_zeros=True)
+    assert np.isfinite(res.test_loss)
+    assert res.test_loss_history is not None
+    assert len(res.test_loss_history) == res.iterations
+    assert "best_test_loss" in res.misc
