@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import rng as rng_mod
-from ..config import NMFConfig, Solver
+from ..config import Dispersion, Loss, NMFConfig, Solver
 from ..io.loaders import DataLoader, InMemoryLoader, Prefetcher, SpzLoader
 from ..ops import features as feat
 from ..ops import linalg, solvers
@@ -91,12 +91,18 @@ def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
     return masked_mse_solve_batch(A_panel, F, train_w, cfg, fc, Xw)
 
 
-@partial(jax.jit, static_argnames=("inv_prob", "mask_zeros", "sparse_zeros"))
-def _panel_cv_losses(W_T, d, H_panel, A_panel, seed_pair, col0, *,
-                     inv_prob: int, mask_zeros: bool, sparse_zeros: bool):
-    """(train_sse, n_train, test_sse, n_test) for one forward panel."""
+@partial(jax.jit, static_argnames=("cfg", "inv_prob", "mask_zeros",
+                                   "sparse_zeros"))
+def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
+                     col0, theta_row, theta_col, *, inv_prob: int,
+                     mask_zeros: bool, sparse_zeros: bool):
+    """(train_loss_sum, n_train, test_loss_sum, n_test) for one forward
+    panel — distribution-aware per-entry losses, matching the in-memory CV
+    accounting (nmf_cv._fit_masked_jit)."""
+    from ..ops import losses
     rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
-    sq = (A_panel - rec) ** 2
+    theta = losses._expand_theta(theta_row, theta_col, A_panel.shape)
+    sq = losses.compute_loss_elements(A_panel, rec, cfg, theta)
     m, nc = A_panel.shape
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
                              mask_zeros, A_panel, False)
@@ -106,6 +112,40 @@ def _panel_cv_losses(W_T, d, H_panel, A_panel, seed_pair, col0, *,
         train_w = train_w * nz
     return (jnp.sum(sq * train_w), jnp.sum(train_w),
             jnp.sum(sq * test_w), jnp.sum(test_w))
+
+
+@partial(jax.jit, static_argnames=("cfg", "side", "active_loss",
+                                   "inv_prob", "mask_zeros", "transposed"))
+def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
+                      th_row, th_col, seed_pair, col0, *,
+                      active_loss: Loss, inv_prob: int = 0,
+                      mask_zeros: bool = False, transposed: bool = False):
+    """IRLS panel solve with fixed dispersion — the reference's chunked
+    engine never re-estimates nb_size/theta in streaming mode
+    (fit_chunked.hpp:165-172,300-318, weight_zeros=true) and maps GP -> KL.
+    With ``inv_prob`` > 0, the speckled train weights join the IRLS weights
+    (streaming CV + IRLS, fit_chunked.hpp:280-318)."""
+    from .nmf_irls import irls_solve_batch
+    fc = cfg.H if side == "H" else cfg.W
+    extra_w = None
+    if inv_prob > 0:
+        m, nc = A_panel.shape
+        extra_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
+                                 mask_zeros, A_panel, transposed)
+    Xw = X_warm * warm.astype(A_panel.dtype)
+    return irls_solve_batch(A_panel, F, cfg, active_loss, th_row, th_col,
+                            fc, False, extra_w=extra_w, X_warm=Xw)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _panel_irls_loss(cfg: NMFConfig, W_T, d, H_panel, A_panel,
+                     theta_row, theta_col):
+    """Explicit per-entry NLL/deviance of one forward panel
+    (fit_chunked.hpp:335-390)."""
+    from ..ops import losses
+    rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
+    theta = losses._expand_theta(theta_row, theta_col, A_panel.shape)
+    return jnp.sum(losses.compute_loss_elements(A_panel, rec, cfg, theta))
 
 
 @jax.jit
@@ -123,11 +163,19 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     m, n = loader.shape
     k = cfg.rank
     cfg.validate()
-    if cfg.requires_irls():
+    use_irls = cfg.requires_irls()
+    if use_irls and cfg.has_zi():
         raise NotImplementedError(
-            "streaming IRLS is rejected like the reference's "
-            "streaming loss check (test_streaming_loss_rejection.R); use "
-            "the in-memory path for non-MSE losses")
+            "streaming zero-inflation needs the imputed dense matrix; "
+            "use the in-memory path (the reference chunked engine has the "
+            "same limit — no ZI branch in fit_chunked.hpp)")
+    active_loss = Loss.KL if cfg.loss == Loss.GP else cfg.loss
+    per_col = cfg.dispersion == Dispersion.PER_COL
+    is_nb = cfg.loss == Loss.NB
+    # fixed dispersion, like the reference chunked engine
+    # (fit_chunked.hpp:165-172): per-row (or per-col) NB size at its init
+    nb_vec = (jnp.full((n if per_col else m,), cfg.nb_size_init,
+                       jnp.float32) if is_nb else None)
 
     W_T0, H0, d0 = init_factors(cfg, m, n, A=None, w_init=w_init,
                                 h_init=h_init)
@@ -158,7 +206,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         warm = jnp.bool_(it > 0)
 
         # ---- H-update over forward panels ----
-        if not is_cv:
+        if not is_cv and not use_irls:
             G = linalg.gram(W_T)
             G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
             G = feat.apply_l21(G, H, cfg.H.L21)
@@ -168,7 +216,17 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             A_panel = jnp.asarray(ch.data)
             X_warm = jax.lax.dynamic_slice_in_dim(H, ch.col_start,
                                                   ch.num_cols, axis=1)
-            if is_cv:
+            if use_irls:
+                th_row = nb_vec if (is_nb and not per_col) else None
+                th_col = (jax.lax.dynamic_slice_in_dim(
+                    nb_vec, ch.col_start, ch.num_cols)
+                    if (is_nb and per_col) else None)
+                H_parts[ch.col_start] = _panel_solve_irls(
+                    cfgs, "H", W_T, A_panel, X_warm, warm, th_row, th_col,
+                    seed_pair, jnp.uint32(ch.col_start),
+                    active_loss=active_loss, inv_prob=inv_prob,
+                    mask_zeros=cfg.mask_zeros, transposed=False)
+            elif is_cv:
                 H_parts[ch.col_start] = _panel_solve_cv(
                     cfgs, "H", W_T, A_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start), inv_prob=inv_prob,
@@ -184,7 +242,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         # ---- W-update over transpose panels ----
         G_w = linalg.gram(H)                             # saved for loss
-        if not is_cv:
+        if not is_cv and not use_irls:
             G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
             G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
         W_parts = {}
@@ -193,7 +251,17 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             At_panel = jnp.asarray(ch.data)              # (n, pc) cols of A^T
             X_warm = jax.lax.dynamic_slice_in_dim(W_T, ch.col_start,
                                                   ch.num_cols, axis=1)
-            if is_cv:
+            if use_irls:
+                th_row = nb_vec if (is_nb and per_col) else None
+                th_col = (jax.lax.dynamic_slice_in_dim(
+                    nb_vec, ch.col_start, ch.num_cols)
+                    if (is_nb and not per_col) else None)
+                W_parts[ch.col_start] = _panel_solve_irls(
+                    cfgs, "W", H, At_panel, X_warm, warm, th_row, th_col,
+                    seed_pair, jnp.uint32(ch.col_start),
+                    active_loss=active_loss, inv_prob=inv_prob,
+                    mask_zeros=cfg.mask_zeros, transposed=True)
+            elif is_cv:
                 W_parts[ch.col_start] = _panel_solve_cv(
                     cfgs, "W", H, At_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start), inv_prob=inv_prob,
@@ -208,14 +276,43 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         W_T, d = linalg.extract_scaling(W_T, cfg.norm)
 
         # ---- loss ----
+        if use_irls and not is_cv:
+            tot = 0.0
+            for ch in loader.iter_chunks(transpose=False):
+                th_row = nb_vec if (is_nb and not per_col) else None
+                th_col = (nb_vec[ch.col_start:ch.col_start + ch.num_cols]
+                          if (is_nb and per_col) else None)
+                tot += float(_panel_irls_loss(
+                    cfgs, W_T, d,
+                    H[:, ch.col_start:ch.col_start + ch.num_cols],
+                    jnp.asarray(ch.data), th_row, th_col))
+            loss = tot
+            hist.append(loss)
+            rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
+            if it > 0 and rel < cfg.tol:
+                patience += 1
+                if patience >= cfg.patience:
+                    converged = True
+                    prev_loss = loss
+                    it += 1
+                    break
+            else:
+                patience = 0
+            prev_loss = loss
+            continue
+
         if is_cv:
             tr_sse = tr_n = te_sse = te_n = 0.0
             for ch in loader.iter_chunks(transpose=False):
+                th_row = nb_vec if (is_nb and not per_col) else None
+                th_col = (nb_vec[ch.col_start:ch.col_start + ch.num_cols]
+                          if (is_nb and per_col) else None)
                 out = _panel_cv_losses(
-                    W_T, d,
+                    cfgs, W_T, d,
                     H[:, ch.col_start:ch.col_start + ch.num_cols],
                     jnp.asarray(ch.data), seed_pair,
-                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    jnp.uint32(ch.col_start), th_row, th_col,
+                    inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, sparse_zeros=False)
                 tr_sse += float(out[0]); tr_n += float(out[1])
                 te_sse += float(out[2]); te_n += float(out[3])
@@ -273,6 +370,9 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     )
     if is_cv:
         res.misc["best_test_loss"] = float(best_test)
+    if is_nb:
+        # fixed at init in streaming mode, like the reference chunked engine
+        res.theta = np.asarray(nb_vec)
     if cfg.sort_model:
         res.sort()
     return res

@@ -50,8 +50,35 @@ def test_spz_streaming_roundtrip(sim, tmp_path):
     np.testing.assert_allclose(res.train_loss, res_mem.train_loss, rtol=1e-3)
 
 
-def test_streaming_irls_rejected(sim):
-    cfg = rt.build_config(3, loss="gp", solver="cd", maxit=3)
+def test_streaming_irls_kl(sim):
+    """Streaming KL-IRLS (GP->KL, fixed dispersion like the reference
+    chunked engine, fit_chunked.hpp:165-172,300-318) matches the in-memory
+    KL fit."""
+    from rcppml_tpu.models.nmf import nmf_fit
+    A = np.maximum(sim["A"], 0)
+    cfg = rt.build_config(3, loss="gp", dispersion="none", solver="cd",
+                          seed=4, maxit=6, tol=0.0, sort_model=False)
+    mem = nmf_fit(A, cfg)
+    stream = nmf_chunked(InMemoryLoader(A, chunk_cols=32), cfg)
+    assert np.isfinite(stream.train_loss)
+    np.testing.assert_allclose(stream.train_loss, mem.train_loss, rtol=1e-3)
+    np.testing.assert_allclose(stream.W, mem.W, rtol=2e-2, atol=2e-3)
+
+
+def test_streaming_nb_fixed_size(sim):
+    """Streaming NB runs with the fixed per-row size vector; theta is
+    reported at its init value (reference chunked semantics)."""
+    A = np.round(np.maximum(sim["A"], 0) * 5)
+    cfg = rt.build_config(3, loss="nb", dispersion="per_row", solver="cd",
+                          nb_size_init=8.0, seed=4, maxit=4, tol=0.0,
+                          sort_model=False)
+    res = nmf_chunked(InMemoryLoader(A, chunk_cols=32), cfg)
+    assert np.isfinite(res.train_loss)
+    np.testing.assert_allclose(res.theta, 8.0)
+
+
+def test_streaming_zi_rejected(sim):
+    cfg = rt.build_config(3, loss="nb", zi="row", solver="cd", maxit=3)
     with pytest.raises(NotImplementedError):
         nmf_chunked(InMemoryLoader(sim["A"]), cfg)
 
