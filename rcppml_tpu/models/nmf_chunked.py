@@ -177,8 +177,29 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     nb_vec = (jnp.full((n if per_col else m,), cfg.nb_size_init,
                        jnp.float32) if is_nb else None)
 
-    W_T0, H0, d0 = init_factors(cfg, m, n, A=None, w_init=w_init,
-                                h_init=h_init)
+    if cfg.init_mode in (1, 2) and w_init is None:
+        # SVD init out of core: the reference decompresses the FULL matrix
+        # (with a RAM check + random fallback, fit_streaming_spz.hpp);
+        # here the init SVD itself streams over the loader panels
+        from .svd import streaming_svd
+        # both init modes use the streaming GKB Lanczos (streaming_svd has
+        # no irlba restart; the leading subspace is the same)
+        sres = streaming_svd(loader, cfg.rank, method="lanczos",
+                             seed=cfg.seed)
+        sq = np.sqrt(np.maximum(np.asarray(sres.d, np.float64), 0.0))
+        W_T0 = (np.abs(np.asarray(sres.U)) * sq[None, :]).T.astype(np.float32)
+        H0 = (np.abs(np.asarray(sres.V)) * sq[None, :]).T.astype(np.float32)
+        if W_T0.shape[0] < k:
+            fill_seed = 54321 if cfg.seed == 0 else cfg.seed + 999
+            pad_w = rng_mod.fill_uniform(fill_seed, k - W_T0.shape[0], m)
+            pad_h = rng_mod.fill_uniform(fill_seed, k - H0.shape[0], n,
+                                         offset=(k - H0.shape[0]) * m)
+            W_T0 = np.vstack([W_T0, pad_w])
+            H0 = np.vstack([H0, pad_h])
+        d0 = np.ones((k,), np.float32)
+    else:
+        W_T0, H0, d0 = init_factors(cfg, m, n, A=None, w_init=w_init,
+                                    h_init=h_init)
     W_T = jnp.asarray(W_T0)
     H = jnp.asarray(H0)
     d = jnp.asarray(d0)

@@ -140,3 +140,16 @@ def test_streaming_cv_from_spz(tmp_path):
     assert res.test_loss_history is not None
     assert len(res.test_loss_history) == res.iterations
     assert "best_test_loss" in res.misc
+
+
+def test_streaming_svd_init(sim):
+    """seed='lanczos' on a streaming fit runs the init SVD out of core
+    (better than the reference's full decompress, fit_streaming_spz.hpp)."""
+    from rcppml_tpu.models.nmf import nmf_fit
+    A = sim["A"]
+    cfg = rt.build_config(3, seed="lanczos", maxit=10, tol=0.0,
+                          sort_model=False)
+    stream = nmf_chunked(InMemoryLoader(A, chunk_cols=64), cfg)
+    mem = nmf_fit(A, cfg)
+    assert np.isfinite(stream.train_loss)
+    np.testing.assert_allclose(stream.train_loss, mem.train_loss, rtol=1e-3)
