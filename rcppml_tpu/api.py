@@ -210,7 +210,8 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         cfg = build_config(int(k), **kwargs)
         loader = (SpzLoader(data) if is_spz
                   else InMemoryLoader(data, chunk_cols=chunk_cols))
-        return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init)
+        return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init,
+                           mask=mask)
 
     # other file paths auto-load in-memory (R/nmf_validation.R:30-120)
     if isinstance(data, str):

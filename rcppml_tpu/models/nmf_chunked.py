@@ -60,25 +60,33 @@ def _panel_solve(cfg: NMFConfig, side: str, G, F, A_panel, X_warm, warm):
 
 
 def _panel_train_w(seed_pair, row0, col0, rows, cols, inv_prob: int,
-                   mask_zeros: bool, A_panel, transposed: bool):
+                   mask_zeros: bool, A_panel, transposed: bool,
+                   user_m=None):
     """In-jit speckled train weights for a panel whose element (r, c) is
     A[row0 + r, col0 + c] (or A[col0 + c, row0 + r] when ``transposed`` —
     the W-update's A^T panels).  Identical hash to the in-memory path
-    (nmf/speckled_cv.hpp via rng.is_holdout_traced)."""
-    rr = jnp.arange(rows, dtype=jnp.uint32)[:, None] + jnp.uint32(row0)
-    cc = jnp.arange(cols, dtype=jnp.uint32)[None, :] + col0.astype(jnp.uint32)
-    i, j = (cc, rr) if transposed else (rr, cc)
-    M = rng_mod.is_holdout_traced(seed_pair, i, j, inv_prob)
-    if mask_zeros:
-        M = M & (A_panel != 0)
+    (nmf/speckled_cv.hpp via rng.is_holdout_traced).  ``user_m`` is an
+    optional panel-aligned bool mask of additionally held-out entries."""
+    if inv_prob > 0:
+        rr = jnp.arange(rows, dtype=jnp.uint32)[:, None] + jnp.uint32(row0)
+        cc = (jnp.arange(cols, dtype=jnp.uint32)[None, :]
+              + col0.astype(jnp.uint32))
+        i, j = (cc, rr) if transposed else (rr, cc)
+        M = rng_mod.is_holdout_traced(seed_pair, i, j, inv_prob)
+        if mask_zeros:
+            M = M & (A_panel != 0)
+    else:
+        M = jnp.zeros(A_panel.shape, bool)
+    if user_m is not None:
+        M = M | user_m
     return (~M).astype(A_panel.dtype)
 
 
 @partial(jax.jit, static_argnames=("cfg", "side", "inv_prob", "mask_zeros",
                                    "transposed"))
 def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
-                    seed_pair, col0, *, inv_prob: int, mask_zeros: bool,
-                    transposed: bool):
+                    seed_pair, col0, user_m=None, *, inv_prob: int,
+                    mask_zeros: bool, transposed: bool):
     """Masked panel solve: per-column Gram over train entries only (the
     streaming analog of nmf_cv.masked_mse_solve_batch; reference
     fit_streaming_spz.hpp:267-286)."""
@@ -86,7 +94,7 @@ def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
     fc = cfg.H if side == "H" else cfg.W
     m, nc = A_panel.shape
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
-                             mask_zeros, A_panel, transposed)
+                             mask_zeros, A_panel, transposed, user_m)
     Xw = X_warm * warm.astype(A_panel.dtype)
     return masked_mse_solve_batch(A_panel, F, train_w, cfg, fc, Xw)
 
@@ -94,8 +102,8 @@ def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
 @partial(jax.jit, static_argnames=("cfg", "inv_prob", "mask_zeros",
                                    "sparse_zeros"))
 def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
-                     col0, theta_row, theta_col, *, inv_prob: int,
-                     mask_zeros: bool, sparse_zeros: bool):
+                     col0, theta_row, theta_col, user_m=None, *,
+                     inv_prob: int, mask_zeros: bool, sparse_zeros: bool):
     """(train_loss_sum, n_train, test_loss_sum, n_test) for one forward
     panel — distribution-aware per-entry losses, matching the in-memory CV
     accounting (nmf_cv._fit_masked_jit)."""
@@ -105,7 +113,7 @@ def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
     sq = losses.compute_loss_elements(A_panel, rec, cfg, theta)
     m, nc = A_panel.shape
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
-                             mask_zeros, A_panel, False)
+                             mask_zeros, A_panel, False, user_m)
     test_w = 1.0 - train_w
     if sparse_zeros:
         nz = (A_panel != 0).astype(sq.dtype)
@@ -117,7 +125,7 @@ def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
 @partial(jax.jit, static_argnames=("cfg", "side", "active_loss",
                                    "inv_prob", "mask_zeros", "transposed"))
 def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
-                      th_row, th_col, seed_pair, col0, *,
+                      th_row, th_col, seed_pair, col0, user_m=None, *,
                       active_loss: Loss, inv_prob: int = 0,
                       mask_zeros: bool = False, transposed: bool = False):
     """IRLS panel solve with fixed dispersion — the reference's chunked
@@ -128,10 +136,10 @@ def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
     from .nmf_irls import irls_solve_batch
     fc = cfg.H if side == "H" else cfg.W
     extra_w = None
-    if inv_prob > 0:
+    if inv_prob > 0 or user_m is not None:
         m, nc = A_panel.shape
         extra_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
-                                 mask_zeros, A_panel, transposed)
+                                 mask_zeros, A_panel, transposed, user_m)
     Xw = X_warm * warm.astype(A_panel.dtype)
     return irls_solve_batch(A_panel, F, cfg, active_loss, th_row, th_col,
                             fc, False, extra_w=extra_w, X_warm=Xw)
@@ -156,8 +164,12 @@ def _panel_cross_term(W_T, d, H_panel, A_panel):
 
 
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
-                w_init=None, h_init=None) -> NMFResult:
-    """Streaming ALS over a DataLoader (nmf/fit_chunked.hpp:71)."""
+                w_init=None, h_init=None, mask=None) -> NMFResult:
+    """Streaming ALS over a DataLoader (nmf/fit_chunked.hpp:71).
+
+    ``mask``: optional (m, n) bool, True = held out of training (the
+    streaming analog of the in-memory user mask; reference streaming
+    accepts mask_sexp, R/RcppExports.R Rcpp_nmf_streaming_spz)."""
     if isinstance(loader, (str, bytes)):
         loader = SpzLoader(loader)
     m, n = loader.shape
@@ -213,6 +225,22 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     inv_prob = int(1.0 / cfg.test_fraction) if is_cv else 0
     cfgs = cfg.device_static()
 
+    if mask is not None:
+        if hasattr(mask, "todense"):
+            mask = np.asarray(mask.todense())
+        mask = np.asarray(mask).astype(bool)
+        if mask.shape != (m, n):
+            raise ValueError(f"mask shape {mask.shape} != data {(m, n)}")
+    has_mask = mask is not None
+    use_masked = is_cv or has_mask
+
+    def _mask_panel(cs, nc, transposed):
+        if not has_mask:
+            return None
+        sl = (mask[cs:cs + nc, :].T if transposed
+              else mask[:, cs:cs + nc])
+        return jnp.asarray(np.ascontiguousarray(sl))
+
     trAtA = loader.trace_sq()
 
     prev_loss = np.inf
@@ -227,7 +255,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         warm = jnp.bool_(it > 0)
 
         # ---- H-update over forward panels ----
-        if not is_cv and not use_irls:
+        if not use_masked and not use_irls:
             G = linalg.gram(W_T)
             G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
             G = feat.apply_l21(G, H, cfg.H.L21)
@@ -245,12 +273,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 H_parts[ch.col_start] = _panel_solve_irls(
                     cfgs, "H", W_T, A_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
+                    _mask_panel(ch.col_start, ch.num_cols, False),
                     active_loss=active_loss, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=False)
-            elif is_cv:
+            elif use_masked:
                 H_parts[ch.col_start] = _panel_solve_cv(
                     cfgs, "H", W_T, A_panel, X_warm, warm, seed_pair,
-                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    jnp.uint32(ch.col_start),
+                    _mask_panel(ch.col_start, ch.num_cols, False),
+                    inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=False)
             else:
                 H_parts[ch.col_start] = _panel_solve(cfg, "H", G, W_T,
@@ -263,7 +294,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         # ---- W-update over transpose panels ----
         G_w = linalg.gram(H)                             # saved for loss
-        if not is_cv and not use_irls:
+        if not use_masked and not use_irls:
             G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
             G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
         W_parts = {}
@@ -280,12 +311,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 W_parts[ch.col_start] = _panel_solve_irls(
                     cfgs, "W", H, At_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
+                    _mask_panel(ch.col_start, ch.num_cols, True),
                     active_loss=active_loss, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=True)
-            elif is_cv:
+            elif use_masked:
                 W_parts[ch.col_start] = _panel_solve_cv(
                     cfgs, "W", H, At_panel, X_warm, warm, seed_pair,
-                    jnp.uint32(ch.col_start), inv_prob=inv_prob,
+                    jnp.uint32(ch.col_start),
+                    _mask_panel(ch.col_start, ch.num_cols, True),
+                    inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=True)
             else:
                 W_parts[ch.col_start] = _panel_solve(cfg, "W", G2, H,
@@ -297,7 +331,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         W_T, d = linalg.extract_scaling(W_T, cfg.norm)
 
         # ---- loss ----
-        if use_irls and not is_cv:
+        if use_irls and not is_cv and not has_mask:
             tot = 0.0
             for ch in loader.iter_chunks(transpose=False):
                 th_row = nb_vec if (is_nb and not per_col) else None
@@ -322,7 +356,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             prev_loss = loss
             continue
 
-        if is_cv:
+        if use_masked or use_irls:
             tr_sse = tr_n = te_sse = te_n = 0.0
             for ch in loader.iter_chunks(transpose=False):
                 th_row = nb_vec if (is_nb and not per_col) else None
@@ -333,6 +367,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     H[:, ch.col_start:ch.col_start + ch.num_cols],
                     jnp.asarray(ch.data), seed_pair,
                     jnp.uint32(ch.col_start), th_row, th_col,
+                    _mask_panel(ch.col_start, ch.num_cols, False),
                     inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, sparse_zeros=False)
                 tr_sse += float(out[0]); tr_n += float(out[1])
@@ -341,15 +376,21 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             test_loss = te_sse / max(te_n, 1.0)
             hist.append(loss)
             test_hist.append(test_loss)
-            if test_loss < best_test:
-                best_test = test_loss
-                best_iter = it
-                patience = 0
-            else:
+            conv_loss = test_loss if is_cv else loss
+            if is_cv:
+                if test_loss < best_test:
+                    best_test = test_loss
+                    best_iter = it
+                    patience = 0
+                else:
+                    patience += 1
+            rel = abs(prev_loss - conv_loss) / (abs(prev_loss) + 1e-15)
+            prev_loss = conv_loss
+            if it > 0 and rel < cfg.tol and not is_cv:
                 patience += 1
-            rel = abs(prev_loss - test_loss) / (abs(prev_loss) + 1e-15)
-            prev_loss = test_loss
-            if patience >= cfg.cv_patience or (it > 0 and rel < cfg.tol):
+            if (is_cv and (patience >= cfg.cv_patience
+                           or (it > 0 and rel < cfg.tol))) or \
+               (not is_cv and patience >= cfg.patience):
                 converged = True
                 it += 1
                 break

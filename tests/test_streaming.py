@@ -153,3 +153,25 @@ def test_streaming_svd_init(sim):
     mem = nmf_fit(A, cfg)
     assert np.isfinite(stream.train_loss)
     np.testing.assert_allclose(stream.train_loss, mem.train_loss, rtol=1e-3)
+
+
+def test_streaming_user_mask_matches_in_memory(sim):
+    """Streaming masked NMF (user mask, no CV) equals the in-memory masked
+    fit (streaming mask_sexp analog)."""
+    from rcppml_tpu.models.nmf_cv import fit_cv_or_masked
+    rs = np.random.RandomState(8)
+    A = sim["A"]
+    mask = rs.uniform(size=A.shape) < 0.15
+    cfg = rt.build_config(3, seed=6, maxit=8, tol=0.0, has_mask=True,
+                          sort_model=False)
+    mem = fit_cv_or_masked(A, cfg, mask=mask)
+    stream = nmf_chunked(InMemoryLoader(A, chunk_cols=64), cfg, mask=mask)
+    assert np.isfinite(stream.train_loss)
+    np.testing.assert_allclose(stream.W, mem.W, rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_mask_shape_error(sim):
+    cfg = rt.build_config(3, maxit=3, has_mask=True)
+    with pytest.raises(ValueError, match="mask shape"):
+        nmf_chunked(InMemoryLoader(sim["A"]), cfg,
+                    mask=np.zeros((3, 3), bool))
