@@ -207,11 +207,15 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     if is_spz or streaming:
         from .io.loaders import InMemoryLoader, SpzLoader
         from .models.nmf_chunked import nmf_chunked
-        cfg = build_config(int(k), **kwargs)
+        cfg = build_config(int(k),
+                           has_mask=mask is not None,
+                           has_graph_W=graph_W is not None,
+                           has_graph_H=graph_H is not None,
+                           **kwargs)
         loader = (SpzLoader(data) if is_spz
                   else InMemoryLoader(data, chunk_cols=chunk_cols))
         return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init,
-                           mask=mask)
+                           mask=mask, graph_W=graph_W, graph_H=graph_H)
 
     # other file paths auto-load in-memory (R/nmf_validation.R:30-120)
     if isinstance(data, str):

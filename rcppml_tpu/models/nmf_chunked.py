@@ -164,18 +164,37 @@ def _panel_cross_term(W_T, d, H_panel, A_panel):
 
 
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
-                w_init=None, h_init=None, mask=None) -> NMFResult:
+                w_init=None, h_init=None, mask=None, graph_W=None,
+                graph_H=None) -> NMFResult:
     """Streaming ALS over a DataLoader (nmf/fit_chunked.hpp:71).
 
     ``mask``: optional (m, n) bool, True = held out of training (the
     streaming analog of the in-memory user mask; reference streaming
-    accepts mask_sexp, R/RcppExports.R Rcpp_nmf_streaming_spz)."""
+    accepts mask_sexp, R/RcppExports.R Rcpp_nmf_streaming_spz).
+    ``graph_W``/``graph_H``: Laplacians for graph regularization — they
+    modify only the k x k Gram, so streaming costs nothing extra
+    (reference streaming accepts graph_W_sexp/graph_H_sexp)."""
     if isinstance(loader, (str, bytes)):
         loader = SpzLoader(loader)
     m, n = loader.shape
     k = cfg.rank
     cfg.validate()
     use_irls = cfg.requires_irls()
+    if cfg.symmetric:
+        raise NotImplementedError(
+            "symmetric NMF needs the full square matrix; use the in-memory "
+            "path")
+    graph_W = (jnp.asarray(np.asarray(
+        graph_W.todense() if hasattr(graph_W, "todense") else graph_W,
+        np.float32)) if graph_W is not None else None)
+    graph_H = (jnp.asarray(np.asarray(
+        graph_H.todense() if hasattr(graph_H, "todense") else graph_H,
+        np.float32)) if graph_H is not None else None)
+    if (graph_W is not None or graph_H is not None) and \
+            (cfg.is_cv() or mask is not None or use_irls):
+        raise NotImplementedError(
+            "streaming graph regularization requires the shared-Gram MSE "
+            "path (no CV/mask/IRLS), like the reference chunked engine")
     if use_irls and cfg.has_zi():
         raise NotImplementedError(
             "streaming zero-inflation needs the imputed dense matrix; "
@@ -259,13 +278,17 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             G = linalg.gram(W_T)
             G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
             G = feat.apply_l21(G, H, cfg.H.L21)
+            G = feat.apply_graph_reg(G, graph_H, H, cfg.H.graph_lambda)
         H_parts = {}
         pf = Prefetcher(loader, transpose=False)
         for ch in pf:
             A_panel = jnp.asarray(ch.data)
             X_warm = jax.lax.dynamic_slice_in_dim(H, ch.col_start,
                                                   ch.num_cols, axis=1)
-            if use_irls:
+            if cfg.projective:
+                H_parts[ch.col_start] = jnp.dot(
+                    W_T * d[:, None], A_panel, precision=PREC)
+            elif use_irls:
                 th_row = nb_vec if (is_nb and not per_col) else None
                 th_col = (jax.lax.dynamic_slice_in_dim(
                     nb_vec, ch.col_start, ch.num_cols)
@@ -297,6 +320,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         if not use_masked and not use_irls:
             G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
             G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
+            G2 = feat.apply_graph_reg(G2, graph_W, W_T, cfg.W.graph_lambda)
         W_parts = {}
         pt = Prefetcher(loader, transpose=True)
         for ch in pt:

@@ -175,3 +175,37 @@ def test_streaming_mask_shape_error(sim):
     with pytest.raises(ValueError, match="mask shape"):
         nmf_chunked(InMemoryLoader(sim["A"]), cfg,
                     mask=np.zeros((3, 3), bool))
+
+
+def test_streaming_graph_reg(sim):
+    """Graph Laplacian on H in the streaming path (graph_H_sexp analog):
+    matches the in-memory graph-regularized fit."""
+    from rcppml_tpu.models.nmf import nmf_fit
+    A = sim["A"]
+    n = A.shape[1]
+    # chain-graph Laplacian over samples
+    L = (np.diag(np.r_[1, np.full(n - 2, 2.0), 1])
+         - np.eye(n, k=1) - np.eye(n, k=-1)).astype(np.float32)
+    cfg = rt.build_config(3, seed=11, maxit=8, tol=0.0, sort_model=False,
+                          graph_lambda=(0.0, 0.05), has_graph_H=True)
+    mem = nmf_fit(A, cfg, aux={"graph_H": L})
+    stream = nmf_chunked(InMemoryLoader(A, chunk_cols=64), cfg, graph_H=L)
+    np.testing.assert_allclose(stream.W, mem.W, rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_projective(sim):
+    """Projective streaming NMF: H = diag(d) W^T A per panel."""
+    from rcppml_tpu.models.nmf import nmf_fit
+    A = sim["A"]
+    cfg = rt.build_config(3, seed=11, maxit=6, tol=0.0, sort_model=False,
+                          projective=True)
+    mem = nmf_fit(A, cfg)
+    stream = nmf_chunked(InMemoryLoader(A, chunk_cols=64), cfg)
+    np.testing.assert_allclose(stream.W, mem.W, rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_symmetric_rejected(sim):
+    cfg = rt.build_config(3, maxit=3, symmetric=True)
+    S = sim["A"][:, :50] @ sim["A"][:, :50].T
+    with pytest.raises(NotImplementedError):
+        nmf_chunked(InMemoryLoader(S), cfg)
