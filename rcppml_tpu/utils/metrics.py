@@ -331,3 +331,89 @@ def cosine(a, b=None) -> np.ndarray:
     An = A / np.maximum(np.linalg.norm(A, axis=0), 1e-15)
     Bn = B / np.maximum(np.linalg.norm(B, axis=0), 1e-15)
     return An.T @ Bn
+
+
+# ---------------------------------------------------------------------------
+# R-style classifier evaluations (R/classifier_metrics.R:49-470)
+# ---------------------------------------------------------------------------
+
+def _classifier_eval(X, labels, predict_fn, *, test_fraction=0.2,
+                     test_idx=None, seed=None):
+    """Split, fit, and score; returns the reference's eval structure
+    (accuracy, confusion, per_class, macro_f1, predictions, test_idx)."""
+    X = np.asarray(X, dtype=np.float64)
+    labels = np.asarray(labels)
+    n = X.shape[0]
+    if labels.shape[0] != n:
+        raise ValueError("len(labels) must equal nrow(embedding)")
+    if test_idx is None:
+        rs = np.random.RandomState(42 if seed is None else seed)
+        n_test = max(1, int(round(n * test_fraction)))
+        test_idx = rs.choice(n, size=n_test, replace=False)
+    test_idx = np.asarray(test_idx)
+    train = np.setdiff1d(np.arange(n), test_idx)
+    preds = np.asarray(predict_fn(X[train], labels[train], X[test_idx]))
+    truth = labels[test_idx]
+    classes = np.unique(labels)
+    ci = {c: i for i, c in enumerate(classes)}
+    confusion = np.zeros((len(classes), len(classes)), dtype=np.int64)
+    for t, p in zip(truth, preds):
+        confusion[ci[t], ci[p]] += 1
+    per_class = []
+    f1s = []
+    for i, c in enumerate(classes):
+        tp = confusion[i, i]
+        prec = tp / max(confusion[:, i].sum(), 1)
+        rec = tp / max(confusion[i, :].sum(), 1)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+        f1s.append(f1)
+        per_class.append({"class": c, "precision": float(prec),
+                          "recall": float(rec), "f1": float(f1),
+                          "support": int(confusion[i, :].sum())})
+    return {
+        "accuracy": float(np.mean(preds == truth)),
+        "confusion": confusion,
+        "classes": classes,
+        "per_class": per_class,
+        "macro_f1": float(np.mean(f1s)),
+        "predictions": preds,
+        "test_idx": test_idx,
+    }
+
+
+def classify_embedding(embedding, labels, *, test_fraction=0.2,
+                       test_idx=None, k: int = 5, seed=None,
+                       distance: str = "euclidean") -> dict:
+    """kNN classification of an embedding (R/classifier_metrics.R:49)."""
+    if distance not in ("euclidean", "cosine"):
+        raise ValueError("distance must be 'euclidean' or 'cosine'")
+
+    def predict(Xtr, ytr, Xte):
+        if distance == "cosine":
+            Xtr = Xtr / np.maximum(np.linalg.norm(Xtr, axis=1,
+                                                  keepdims=True), 1e-12)
+            Xte = Xte / np.maximum(np.linalg.norm(Xte, axis=1,
+                                                  keepdims=True), 1e-12)
+        return knn_classify(Xtr, ytr, Xte, k=k)
+    return _classifier_eval(embedding, labels, predict,
+                            test_fraction=test_fraction, test_idx=test_idx,
+                            seed=seed)
+
+
+def classify_logistic(embedding, labels, *, test_fraction=0.2,
+                      test_idx=None, seed=None) -> dict:
+    """Multinomial logistic evaluation (R/classifier_metrics.R:219)."""
+    return _classifier_eval(
+        embedding, labels,
+        lambda Xtr, ytr, Xte: logistic_classify(Xtr, ytr, Xte),
+        test_fraction=test_fraction, test_idx=test_idx, seed=seed)
+
+
+def classify_rf(embedding, labels, *, test_fraction=0.2, test_idx=None,
+                n_trees: int = 100, seed=None) -> dict:
+    """Random-forest evaluation (R/classifier_metrics.R:315)."""
+    return _classifier_eval(
+        embedding, labels,
+        lambda Xtr, ytr, Xte: rf_classify(Xtr, ytr, Xte, n_trees=n_trees,
+                                          seed=0 if seed is None else seed),
+        test_fraction=test_fraction, test_idx=test_idx, seed=seed)

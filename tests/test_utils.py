@@ -231,3 +231,23 @@ def test_rf_classifier():
     assert (pred == y[1::2]).mean() > 0.85
     acc = cv_classification_accuracy(X, y, classifier="rf", seed=1)
     assert acc > 0.85
+
+
+def test_classify_wrappers():
+    """classify_embedding / classify_logistic / classify_rf eval objects
+    (R/classifier_metrics.R:49-470)."""
+    from rcppml_tpu.utils.metrics import (classify_embedding,
+                                          classify_logistic, classify_rf)
+    rs = np.random.RandomState(0)
+    X = np.vstack([rs.normal(0, .4, (40, 4)),
+                   rs.normal(3, .4, (40, 4))])
+    y = np.repeat(["a", "b"], 40)
+    for fn in (classify_embedding, classify_logistic, classify_rf):
+        out = fn(X, y, test_fraction=0.25, seed=1)
+        assert out["accuracy"] > 0.9
+        assert out["confusion"].sum() == len(out["test_idx"])
+        assert {p["class"] for p in out["per_class"]} == {"a", "b"}
+    cos = classify_embedding(X, y, distance="cosine", seed=1)
+    assert np.isfinite(cos["macro_f1"])
+    with pytest.raises(ValueError, match="distance"):
+        classify_embedding(X, y, distance="manhattan")
