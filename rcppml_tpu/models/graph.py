@@ -422,3 +422,27 @@ def cross_validate_graph(data_list, k_values, *, test_fraction: float = 0.1,
                      "test_mse": res.test_loss,
                      "best_test_loss": res.misc.get("best_test_loss")})
     return rows
+
+
+def factor_config(side=None, **kw) -> dict:
+    """Per-side factor config builder (R/factor_net.R factor_config/W/H):
+    returns the kwargs dict ``nmf_layer`` expects for its ``W=``/``H=``.
+    Valid keys: L1, L2, L21, angular, upper_bound, nonneg, graph,
+    graph_lambda, target, target_lambda."""
+    valid = {"L1", "L2", "L21", "angular", "upper_bound", "nonneg",
+             "graph", "graph_lambda", "target", "target_lambda"}
+    bad = set(kw) - valid
+    if bad:
+        raise ValueError(f"unknown factor-config keys {sorted(bad)}; "
+                         f"valid: {sorted(valid)}")
+    return dict(kw)
+
+
+def W(**kw) -> dict:
+    """R-style W-side config: ``nmf_layer(x, k, W=W(L1=0.1))``."""
+    return factor_config("W", **kw)
+
+
+def H(**kw) -> dict:
+    """R-style H-side config: ``nmf_layer(x, k, H=H(L2=0.01))``."""
+    return factor_config("H", **kw)

@@ -63,3 +63,8 @@ class TrainingLogger:
 
 def training_logger(**kw) -> TrainingLogger:
     return TrainingLogger(**kw)
+
+
+def export_log(logger: "TrainingLogger", path: str) -> None:
+    """Write a logger's records as CSV (R/training_log.R export_log)."""
+    logger.to_csv(path)
