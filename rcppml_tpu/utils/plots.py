@@ -138,3 +138,22 @@ def compare_nmf(results: Sequence, labels: Optional[Sequence[str]] = None,
     ax.set_ylabel("train loss")
     ax.legend()
     return fig if fig is not None else ax.figure
+
+
+def plot_convergence(result, *, ax=None):
+    """Per-iteration relative loss change vs tolerance
+    (plot.nmf type='convergence')."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    h = np.asarray(result.loss_history, dtype=np.float64)
+    if len(h) < 2:
+        raise ValueError("need >= 2 recorded iterations to plot convergence")
+    rel = np.abs(np.diff(h)) / (np.abs(h[:-1]) + 1e-15)
+    ax.plot(np.arange(2, len(h) + 1), rel, lw=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("relative loss change")
+    ax.set_title("convergence")
+    return ax.figure if fig is None else fig
