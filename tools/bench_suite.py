@@ -118,6 +118,33 @@ def main():
     _, el = timed(bipartition, A_np, seed=1)
     rec("bipartition_pbmc3k", el)
 
+    # 11-12. reference headline scale: hcabm40k-shape synthetic (the atlas
+    # itself isn't shipped; same shape + ~16.5% uniform density), data
+    # generated ON DEVICE to keep the tunnel out of the measurement
+    if not args.quick:
+        import jax
+
+        def _make(m, n, seed=0, density=0.165):
+            key = jax.random.PRNGKey(seed)
+            k1, k2 = jax.random.split(key)
+            u = jax.random.uniform(k1, (m, n))
+            vals = jnp.round(jax.random.gamma(k2, 2.0, (m, n)) * 3)
+            return jnp.where(u < density, vals, 0.0).astype(jnp.float32)
+
+        gen = jax.jit(_make, static_argnums=(0, 1))
+        Ah = jax.block_until_ready(gen(5000, 40000))
+        cfg = rt.build_config(20, seed=42, maxit=20, tol=0.0,
+                              sort_model=False)
+        _, el = timed(nmf_fit, Ah, cfg, device_A=Ah)
+        rec("nmf_mse_k20_hca40k_shape", el, ref_cpu=38.45, ref_gpu=2.78,
+            iters=20)
+        Ah = jax.block_until_ready(gen(5000, 10000))
+        cfg = rt.build_config(64, seed=42, maxit=20, tol=0.0,
+                              sort_model=False)
+        _, el = timed(nmf_fit, Ah, cfg, device_A=Ah)
+        rec("nmf_mse_k64_hca10k_shape", el, ref_cpu=29.23, ref_gpu=0.88,
+            iters=20)
+
     print(json.dumps({"summary": results}), flush=True)
 
 
