@@ -64,7 +64,18 @@ def load_data(path: str):
         return mmread(path).tocsc()
     if lower.endswith((".csv", ".csv.gz")):
         import numpy as np
-        return np.loadtxt(path, delimiter=",", ndmin=2)
+        try:
+            return np.loadtxt(path, delimiter=",", ndmin=2)
+        except ValueError:
+            # header row / rowname column (R's read.csv tolerates both,
+            # R/nmf_validation.R): let pandas sniff them
+            import pandas as pd
+            df = pd.read_csv(path)
+            first = df.columns[0]
+            if not pd.api.types.is_numeric_dtype(df[first]):  # rownames col
+                df = df.set_index(first)
+                df.index.name = None
+            return df                            # DataFrame: names carry
     if lower.endswith(".h5ad"):
         from ..io.spz import _read_h5ad_x
         return _read_h5ad_x(path)

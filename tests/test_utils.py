@@ -251,3 +251,20 @@ def test_classify_wrappers():
     assert np.isfinite(cos["macro_f1"])
     with pytest.raises(ValueError, match="distance"):
         classify_embedding(X, y, distance="manhattan")
+
+
+def test_load_csv_with_header_and_rownames(tmp_path):
+    """CSV files with header/rowname decorations load like R's read.csv
+    (test_file_input.R analog), and the names carry onto the result."""
+    import rcppml_tpu as rt
+    rs = np.random.RandomState(2)
+    A = np.abs(rs.normal(size=(12, 6))).astype(np.float32)
+    p = str(tmp_path / "named.csv")
+    with open(p, "w") as f:
+        f.write("," + ",".join(f"s{j}" for j in range(6)) + "\n")
+        for i in range(12):
+            f.write(f"g{i}," + ",".join(str(x) for x in A[i]) + "\n")
+    res = rt.nmf(p, 2, seed=1, maxit=5)
+    assert res.shape == (12, 6)
+    assert list(res.row_names) == [f"g{i}" for i in range(12)]
+    assert list(res.col_names) == [f"s{j}" for j in range(6)]
