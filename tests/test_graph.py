@@ -128,3 +128,24 @@ def test_svd_layer(modalities):
     assert lr.W.shape == (40, 3)
     # unconstrained layer: negative loadings allowed
     assert (lr.W < 0).any() or (lr.H < 0).any()
+
+
+def test_layer_with_irls_loss(modalities):
+    """nmf_layer(loss='tweedie') runs (test_g1_g6_fixes.R G4)."""
+    from rcppml_tpu.models.graph import factor_input, factor_net, fit, nmf_layer
+    x = factor_input(np.round(modalities[0] * 4))
+    layer = nmf_layer(x, 3, loss="tweedie", tweedie_power=1.4, maxit=4,
+                      solver="cd", name="tw")
+    res = fit(factor_net([x], layer))
+    assert np.isfinite(res.total_loss)
+    assert res["tw"].W.shape[1] == 3
+
+
+def test_layer_with_W_H_builders(modalities):
+    """W()/H() config builders feed nmf_layer per-side settings."""
+    from rcppml_tpu.models.graph import (H, W, factor_input, factor_net,
+                                         fit, nmf_layer)
+    x = factor_input(modalities[0])
+    layer = nmf_layer(x, 3, W=W(L1=0.05), H=H(L2=0.01), maxit=5, name="reg")
+    res = fit(factor_net([x], layer))
+    assert np.isfinite(res.total_loss)
