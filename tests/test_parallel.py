@@ -165,3 +165,18 @@ def test_sharded_nondivisible_dims():
                            maxit=3, tol=0.0, solver="cd", sort_model=False)
     pn = fit_sharded(counts["A"], cfgn, mesh)
     assert pn.theta.shape == (33,) and np.isfinite(pn.theta).all()
+
+
+def test_multihost_single_process():
+    """multihost.initialize() is a safe no-op in single-process mode and
+    reports the runtime topology; shard_host_data builds a global sharded
+    array from (the only) process-local block."""
+    from rcppml_tpu.parallel import multihost
+    info = multihost.initialize()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8
+    mesh = default_mesh(shape=(2, 4))
+    A = np.arange(64 * 96, dtype=np.float32).reshape(64, 96)
+    arr = multihost.shard_host_data(A, mesh)
+    assert arr.shape == (64, 96)
+    np.testing.assert_array_equal(np.asarray(arr), A)
