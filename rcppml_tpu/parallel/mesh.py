@@ -94,11 +94,30 @@ def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
     from ..models import nmf as nmf_mod
 
     mesh = mesh or default_mesh()
-    A = np.asarray(A, dtype=np.float32)
+    # an already-sharded global jax.Array (e.g. multihost.shard_host_data)
+    # must NOT be pulled to host — in multi-process mode no host holds it
+    device_in = isinstance(A, jax.Array)
+    if not device_in:
+        A = np.asarray(A, dtype=np.float32)
     m, n = A.shape
-    W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
-                                        h_init=h_init)
-    A_d, W_d, H_d, d_d = shard_arrays(mesh, A, W_T0, H0, d0)
+    W_T0, H0, d0 = nmf_mod.init_factors(
+        cfg, m, n, A=None if device_in else A,
+        w_init=w_init, h_init=h_init)
+    if device_in:
+        pm, pn = mesh_padding(mesh, m, n)
+        if pm or pn:
+            raise ValueError(
+                f"device-resident input of shape {(m, n)} does not divide "
+                f"the mesh {dict(mesh.shape)}; pad it before sharding "
+                "(host inputs are padded automatically)")
+        s_W = NamedSharding(mesh, P(None, "rows"))
+        s_H = NamedSharding(mesh, P(None, "cols"))
+        A_d = A
+        W_d = jax.device_put(jnp.asarray(W_T0), s_W)
+        H_d = jax.device_put(jnp.asarray(H0), s_H)
+        d_d = jax.device_put(jnp.asarray(d0), NamedSharding(mesh, P()))
+    else:
+        A_d, W_d, H_d, d_d = shard_arrays(mesh, A, W_T0, H0, d0)
     padded = A_d.shape != (m, n)
     if cfg.requires_irls():
         from ..models.nmf_irls import fit_irls

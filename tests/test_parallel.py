@@ -180,3 +180,22 @@ def test_multihost_single_process():
     arr = multihost.shard_host_data(A, mesh)
     assert arr.shape == (64, 96)
     np.testing.assert_array_equal(np.asarray(arr), A)
+
+
+def test_fit_sharded_device_input():
+    """A pre-sharded device array passes through fit_sharded without a
+    host gather (the multi-host data path)."""
+    from rcppml_tpu.parallel import multihost
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    mesh = default_mesh(shape=(2, 4))
+    sim = simulate_nmf(m=64, n=96, k=3, noise=0.02, seed=9)
+    A_dev = multihost.shard_host_data(sim["A"], mesh)
+    cfg = rt.build_config(3, seed=11, maxit=10, tol=0.0, sort_model=False)
+    res_dev = fit_sharded(A_dev, cfg, mesh)
+    res_host = fit_sharded(sim["A"], cfg, mesh)
+    np.testing.assert_allclose(res_dev.W, res_host.W, rtol=1e-5, atol=1e-6)
+    # non-divisible device input gives a clear error instead of silence
+    sim2 = simulate_nmf(m=63, n=96, k=3, noise=0.02, seed=9)
+    A2 = jax.device_put(sim2["A"])
+    with pytest.raises(ValueError, match="does not divide"):
+        fit_sharded(A2, cfg, mesh)
