@@ -277,8 +277,7 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     if mesh is not None:
         from .parallel.mesh import fit_sharded
-        res = fit_sharded(np.asarray(A, dtype=np.float32), cfg, mesh,
-                          w_init=w_init, h_init=h_init)
+        res = fit_sharded(A, cfg, mesh, w_init=w_init, h_init=h_init)
         res.misc["config"] = cfg
         return _named(res)
 
