@@ -589,3 +589,17 @@ def st_write_list(mats, path: str, *, obs=None, var=None, **kw) -> dict:
         return st_write_with_metadata(combined, path, obs=obs, var=var, **kw)
     st_write(combined, path, **kw)
     return st_info(path)
+
+
+def st_read_device(path, *, transpose: bool = False, device=None):
+    """Decode a .spz straight into accelerator memory as dense fp32 — the
+    analog of the reference's zero-copy GPU read (R/sp_gpu.R:48-126,
+    st_read_gpu).  The returned jax.Array feeds nmf()/svd() with no
+    re-upload (they detect device-resident inputs)."""
+    import jax
+    import numpy as np_
+    sp = st_read_auto(path)
+    if transpose:
+        sp = sp.T
+    dense = np_.asarray(sp.todense(), dtype=np_.float32)
+    return jax.device_put(dense, device)

@@ -272,3 +272,18 @@ def test_st_write_list(tmp_path):
     with pytest.raises(ValueError):
         st_write_list([A, _random_sparse(seed=35, m=11, n=3)],
                       str(tmp_path / "bad.spz"))
+
+
+def test_st_read_device(tmp_path):
+    """Device-resident decode (st_read_gpu analog)."""
+    import jax
+    from rcppml_tpu.io.spz import st_read_device, st_write
+    import rcppml_tpu as rt
+    A = _random_sparse(seed=41, m=30, n=24)
+    p = str(tmp_path / "dev.spz")
+    st_write(A, p)
+    dev = st_read_device(p)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), A.toarray())
+    res = rt.nmf(dev, 3, seed=1, maxit=5)      # no re-upload path
+    assert np.isfinite(res.train_loss)
