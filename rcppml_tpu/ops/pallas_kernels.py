@@ -536,10 +536,14 @@ def fused_als_pallas(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
         to converge (sse 963k vs 510k) — fp64/fp32 numpy replicas of the
         same algorithm DO converge at ns=1, isolating the bf16 B as the
         accuracy gap.
-      * storing A in fp32 (to fix accuracy at ns=1) fails to compile:
-        fp32 multi-pass matmul temporaries blow the 16 MB VMEM budget.
-    Future angle: bf16x2 split-precision RHS (A = hi + lo) would give
-    ~fp32 B at 2x bf16 cost IF the ns>=3 cliff is first understood.
+      * fp32-A compiles once vmem_limit_bytes is raised to 100 MB and
+        also hits 11 us/iter at ns=1 — but STILL converges to sse ~912k
+        (vs 510k), while fp32 numpy replicas of the identical algorithm
+        converge at ns=1; the in-kernel discrepancy is unresolved.
+      * per-config timings fluctuate up to ~30x between runs through the
+        axon tunnel — a dedicated/stable TPU is needed to finish this.
+    Future angle: debug the ns=1 in-kernel accuracy gap (scratch
+    round-trip through VMEM refs?), then bf16x2 split-precision RHS.
 
     A (m, n) with m*n*2 bytes (bf16) <= ~11 MB; returns
     (W_T, H, d, loss_hist).
@@ -580,5 +584,7 @@ def fused_als_pallas(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
         ),
         scratch_shapes=[pltpu.VMEM((k, k), jnp.float32),
                         pltpu.VMEM((k, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(trata, A_p, W_p, H_p)
     return W_T[:, :m], H[:, :n], d[:, 0], hist[:, 0]
