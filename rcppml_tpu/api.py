@@ -46,10 +46,15 @@ def _to_dense_f32(data):
             raise ValueError("data must be a 2-D matrix")
         return data
     if _is_sparse(data):
-        return np.asarray(data.todense(), dtype=np.float32)
-    arr = np.asarray(data, dtype=np.float32)
+        arr = np.asarray(data.todense(), dtype=np.float32)
+    else:
+        arr = np.asarray(data, dtype=np.float32)
     if arr.ndim != 2:
         raise ValueError("data must be a 2-D matrix")
+    if np.isnan(arr).any():
+        # R/nmf_validation.R NA detection: fail loudly, not with NaN factors
+        raise ValueError("data contains NaN/NA values; impute or mask them "
+                         "(use mask= for missing-value factorization)")
     return arr
 
 

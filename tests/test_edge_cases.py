@@ -96,3 +96,11 @@ def test_cv_extreme_fraction():
     A = np.abs(rs.rand(40, 50)).astype(np.float32)
     res = rt.nmf(A, 3, test_fraction=0.5, cv_seed=1, seed=42, maxit=15)
     assert np.isfinite(res.test_loss)
+
+
+def test_nan_input_rejected():
+    """NaN inputs fail loudly (R/nmf_validation.R NA detection)."""
+    A = np.abs(np.random.RandomState(0).normal(size=(10, 8))).astype(np.float32)
+    A[3, 4] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        rt.nmf(A, 2, maxit=3)
