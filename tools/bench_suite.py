@@ -21,15 +21,21 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def timed(fn, *args, **kw):
-    out = fn(*args, **kw)
+    """Warm once, then best-of-3 — robust to transient link noise."""
     import jax
-    jax.block_until_ready(getattr(out, "W", out if not hasattr(out, "d")
-                                  else out.d))
-    t0 = time.perf_counter()
+
+    def block(o):
+        jax.block_until_ready(getattr(o, "W", o if not hasattr(o, "d")
+                                      else o.d))
     out = fn(*args, **kw)
-    jax.block_until_ready(getattr(out, "W", out if not hasattr(out, "d")
-                                  else out.d))
-    return out, time.perf_counter() - t0
+    block(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        block(out)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
 
 
 def main():
