@@ -39,7 +39,11 @@ def golub():
 
 
 def hawaiibirds():
-    """183 x 1,183 bird-count matrix (csc)."""
+    """183 x 1,183 bird-count matrix (csc).
+
+    R attributes survive as ``.attrs``: ``attrs["metadata_h"]`` (per-site
+    grid/island/lat/lng) and ``attrs["metadata_w"]`` (per-species info) —
+    the label sources the guided-NMF workflow uses (R/data.R:121-128)."""
     return _load_rda("hawaiibirds")
 
 

@@ -278,6 +278,20 @@ def _to_python(obj):
             mat = sp.csc_matrix((x, i, p), shape=tuple(dim))
             if obj.s4class == "dsCMatrix":
                 mat = mat + sp.triu(mat, 1).T
+            # carry non-slot R attributes (e.g. the datasets'
+            # attr(x, "metadata_h") data frames, R/data.R:71-128) and
+            # dimnames onto the scipy object as ``mat.attrs``
+            slots = {"i", "p", "x", "Dim", "Dimnames", "factors", "uplo",
+                     "class"}
+            extra = {k: _to_python(v) for k, v in attrs.items()
+                     if k not in slots}
+            dn = attrs.get("Dimnames")
+            if dn is not None:
+                dn_py = _to_python(dn)
+                if isinstance(dn_py, list) and len(dn_py) == 2:
+                    extra["dimnames"] = dn_py
+            if extra:
+                mat.attrs = extra
             return mat
         if obj.s4class is not None:
             return {k: _to_python(v) for k, v in attrs.items()}

@@ -268,3 +268,15 @@ def test_load_csv_with_header_and_rownames(tmp_path):
     assert res.shape == (12, 6)
     assert list(res.row_names) == [f"g{i}" for i in range(12)]
     assert list(res.col_names) == [f"s{j}" for j in range(6)]
+
+
+def test_dataset_metadata_attrs():
+    """R attributes on dataset matrices surface as .attrs
+    (attr(hawaiibirds, 'metadata_h'), R/data.R:121-128)."""
+    from rcppml_tpu import datasets
+    hb = datasets.hawaiibirds()
+    assert hasattr(hb, "attrs")
+    md = hb.attrs["metadata_h"]
+    assert set(md.keys()) >= {"grid", "island", "lat", "lng"}
+    assert len(md["island"]) == hb.shape[1]
+    assert "metadata_w" in hb.attrs
