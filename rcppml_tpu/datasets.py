@@ -24,8 +24,15 @@ def _load_rda(name: str):
 
 
 def aml() -> np.ndarray:
-    """824 x 135 dense ATAC-seq signal matrix."""
-    return np.asarray(_load_rda("aml"), dtype=np.float32)
+    """824 x 135 dense ATAC-seq signal matrix.
+
+    R attributes survive as ``.attrs``: ``attrs["metadata_h"]`` holds the
+    per-sample category/samples columns (R/data.R:71-100)."""
+    from .io.rdata import RMatrix
+    raw = _load_rda("aml")
+    arr = np.asarray(raw, dtype=np.float32).view(RMatrix)
+    arr.attrs = getattr(raw, "attrs", {})
+    return arr
 
 
 def movielens():

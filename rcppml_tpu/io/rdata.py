@@ -265,6 +265,18 @@ def _pairlist_to_dict(pl) -> Dict[str, Any]:
     return out
 
 
+class RMatrix(np.ndarray):
+    """Dense R matrix with its attribute list preserved as ``.attrs``
+    (e.g. attr(aml, "metadata_h"), R/data.R:71-100).  Behaves as a plain
+    ndarray everywhere else."""
+
+    attrs: Dict[str, Any] = {}
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self.attrs = getattr(obj, "attrs", {})
+
+
 def _to_python(obj):
     """Convert parsed objects to numpy / scipy / dict structures."""
     if isinstance(obj, RObject):
@@ -299,7 +311,18 @@ def _to_python(obj):
         dim = attrs.get("dim")
         if dim is not None and isinstance(val, np.ndarray):
             shape = tuple(int(x) for x in _unwrap(dim))
-            return np.asarray(val).reshape(shape, order="F")
+            arr = np.asarray(val).reshape(shape, order="F")
+            extra = {k: _to_python(v) for k, v in attrs.items()
+                     if k not in ("dim", "dimnames")}
+            dn = attrs.get("dimnames")
+            if dn is not None:
+                dn_py = _to_python(dn)
+                if isinstance(dn_py, list) and len(dn_py) == len(shape):
+                    extra["dimnames"] = dn_py
+            if extra:
+                arr = arr.view(RMatrix)
+                arr.attrs = extra
+            return arr
         names = attrs.get("names")
         if names is not None and isinstance(val, list):
             nm = [str(x) for x in np.ravel(_unwrap(names))]

@@ -280,3 +280,13 @@ def test_dataset_metadata_attrs():
     assert set(md.keys()) >= {"grid", "island", "lat", "lng"}
     assert len(md["island"]) == hb.shape[1]
     assert "metadata_w" in hb.attrs
+
+
+def test_aml_dense_metadata_attrs():
+    """Dense R matrices keep their attribute list too
+    (attr(aml, 'metadata_h')$category, R/data.R:71-100)."""
+    from rcppml_tpu import datasets
+    aml = datasets.aml()
+    md = aml.attrs["metadata_h"]
+    assert "category" in md and len(md["category"]) == aml.shape[1]
+    assert np.asarray(aml).shape == (824, 135)
