@@ -290,3 +290,30 @@ def test_aml_dense_metadata_attrs():
     md = aml.attrs["metadata_h"]
     assert "category" in md and len(md["category"]) == aml.shape[1]
     assert np.asarray(aml).shape == (824, 135)
+
+
+def test_digits_dclust_recovers_classes():
+    """Divisive clustering on digits vs the shipped target labels
+    (attrs carry through the sparse reader)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu import datasets
+    from rcppml_tpu.utils.metrics import adjusted_rand_index
+    dg = datasets.digits()
+    target = np.asarray(dg.attrs["target"])
+    X = np.asarray(dg.todense(), np.float32).T      # features x samples
+    clusters = rt.dclust(X, min_samples=100)
+    labels = np.empty(X.shape[1], dtype=object)
+    for c in clusters:
+        for idx in np.asarray(c.samples):
+            labels[idx] = c.id
+    ari = adjusted_rand_index(target, labels)
+    # unsupervised rank-2 divisive clustering on raw pixels: well above
+    # chance (ARI ~0 for random partitions of 10 classes)
+    assert ari > 0.25
+
+
+def test_golub_attrs():
+    from rcppml_tpu import datasets
+    g = datasets.golub()
+    assert "cancer_type" in g.attrs
+    assert len(np.asarray(g.attrs["cancer_type"])) in g.shape
