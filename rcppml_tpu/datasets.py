@@ -36,12 +36,14 @@ def aml() -> np.ndarray:
 
 
 def movielens():
-    """3,867 x 610 sparse movie-ratings matrix (csc)."""
+    """3,867 x 610 sparse movie-ratings matrix (csc).
+
+    ``.attrs``: per-movie ``genres``, dimnames."""
     return _load_rda("movielens")
 
 
 def golub():
-    """38 x 5,000 leukemia expression matrix (csc)."""
+    """``.attrs``: cancer_type / cell_type labels, dimnames.  38 x 5,000 leukemia expression matrix (csc)."""
     return _load_rda("golub")
 
 
@@ -55,12 +57,14 @@ def hawaiibirds():
 
 
 def olivetti():
-    """400 x 4,096 face-image matrix (csc, effectively dense)."""
+    """400 x 4,096 face-image matrix (csc, effectively dense).
+
+    ``.attrs``: per-image ``subject`` ids, ``image_shape``."""
     return _load_rda("olivetti")
 
 
 def digits():
-    """1,797 x 64 handwritten-digit matrix (csc)."""
+    """``.attrs``: ``target`` digit labels, ``image_shape``.  1,797 x 64 handwritten-digit matrix (csc)."""
     return _load_rda("digits")
 
 
