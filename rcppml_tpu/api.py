@@ -183,6 +183,16 @@ def _extract_dimnames(data):
     """Pull (row_names, col_names) off a pandas DataFrame, mirroring R's
     dimnames carry-through (tests/testthat/test_dimnames.R: rownames(A) ->
     rownames(W), colnames(A) -> colnames(H))."""
+    # R matrices loaded via io.rdata carry dimnames in .attrs
+    dn = getattr(data, "attrs", {}).get("dimnames") \
+        if not isinstance(data, dict) else None
+    if dn is not None and isinstance(dn, list) and len(dn) == 2:
+        def arr_or_none(x):
+            if x is None:
+                return None
+            a = np.asarray(x).ravel()
+            return a.astype(str) if a.size else None
+        return arr_or_none(dn[0]), arr_or_none(dn[1]), data
     if hasattr(data, "index") and hasattr(data, "columns") \
             and hasattr(data, "to_numpy"):
         def names(ix):

@@ -148,3 +148,12 @@ def test_dimnames_cv_path():
     df = _named_df(m=24, n=16)
     res = rt.nmf(df, 2, maxit=6, seed=1, test_fraction=0.2, cv_seed=3)
     assert res.row_names is not None and len(res.row_names) == 24
+
+
+def test_dimnames_from_r_datasets():
+    """R-matrix dimnames (dataset .attrs) flow onto results like pandas
+    indexes (test_dimnames.R semantics for native R data)."""
+    from rcppml_tpu import datasets
+    res = rt.nmf(datasets.hawaiibirds(), 3, seed=1, maxit=5)
+    assert res.row_names is not None and len(res.row_names) == 183
+    assert "Myna" in " ".join(str(x) for x in res.row_names[:5])
