@@ -73,3 +73,53 @@ def test_gram_psd(spd_system):
     np.testing.assert_allclose(G, G.T, atol=1e-6)
     evals = np.linalg.eigvalsh(G.astype(np.float64))
     assert evals.min() > 0
+
+
+def test_cd_l1_stationarity(spd_system):
+    """CD with L1 uses the reference's ratio-threshold semantics
+    (nnls_batch.hpp:92-94: diff = b_i/G_ii - L1): at convergence active
+    coords satisfy (b - Gx)_i = L1 * G_ii, inactive ones
+    (b - Gx)_i / G_ii <= L1."""
+    G, B = spd_system
+    from rcppml_tpu.ops import solvers
+    import jax.numpy as jnp
+    L1 = 0.3
+    X = np.asarray(solvers.cd_nnls_batch(jnp.asarray(G), jnp.asarray(B),
+                                         L1=L1, nonneg=True, maxit=500,
+                                         cd_tol=1e-12))
+    resid_ratio = (B - G @ X) / np.diag(G)[:, None]
+    active = X > 1e-7
+    np.testing.assert_allclose(resid_ratio[active], L1, atol=1e-3)
+    assert resid_ratio[~active].max() <= L1 + 1e-3
+    # stronger L1 -> sparser
+    X2 = np.asarray(solvers.cd_nnls_batch(jnp.asarray(G), jnp.asarray(B),
+                                          L1=2.0, nonneg=True, maxit=500,
+                                          cd_tol=1e-12))
+    assert (X2 == 0).mean() >= (X == 0).mean()
+
+
+def test_upper_bound_inside_cd(spd_system):
+    """Upper bound clamps inside the sweep (nnls_batch.hpp:100-108)."""
+    G, B = spd_system
+    from rcppml_tpu.ops import solvers
+    import jax.numpy as jnp
+    X = np.asarray(solvers.cd_nnls_batch(jnp.asarray(G), jnp.asarray(B),
+                                         nonneg=True, maxit=300,
+                                         cd_tol=1e-10, upper_bound=0.05))
+    assert X.max() <= 0.05 + 1e-6 and X.min() >= 0
+
+
+def test_chol_ridge_rank_deficient():
+    """The trace-relative ridge keeps rank-deficient Grams solvable
+    (constant-matrix regression: the explicit-inverse variant failed here)."""
+    from rcppml_tpu.ops import solvers
+    import jax.numpy as jnp
+    k = 8
+    w = np.ones((k, 20), np.float32) * 0.3
+    G = w @ w.T                              # rank 1
+    B = w @ np.full((20, 12), 3.0, np.float32)
+    X = np.asarray(solvers.cholesky_clip_batch(jnp.asarray(G),
+                                               jnp.asarray(B), nonneg=True))
+    assert np.isfinite(X).all()
+    rec = w.T @ X                            # the solve's fitted values
+    assert np.abs(rec - 3.0).max() < 0.05
