@@ -51,9 +51,23 @@ def test_loss_dispersion_matrix(loss, disp):
     dict(nonneg=(False, True)),
     dict(robust=True, solver="cd"),
     dict(robust="mae", solver="cd"),
+    dict(upper_bound=(0.0, 0.5), L1=(0.0, 0.02), solver="cd"),
+    dict(angular=(0.0, 0.1), L2=(0.05, 0.0)),
+    dict(L21=(0.2, 0.0), norm="L2"),
+    dict(nonneg=(True, False)),
+    dict(norm="none", upper_bound=(2.0, 2.0)),
+    dict(robust=0.8, solver="cd"),
+    dict(loss="gamma", robust=True, solver="cd"),
+    dict(loss="nb", L1=(0.0, 0.01), solver="cd"),
+    dict(projective=True, norm="L2"),
 ])
 def test_feature_combos(kw):
     _check(rt.nmf(A_DENSE, 3, seed=42, maxit=8, sort_model=False, **kw))
+
+
+def test_svd_init_mode():
+    """seed='lanczos' SVD init (init_mode 1, nmf_init.hpp:45-96)."""
+    _check(rt.nmf(A_DENSE, 3, seed="lanczos", maxit=8, sort_model=False))
 
 
 @pytest.mark.parametrize("kw", [
@@ -61,6 +75,10 @@ def test_feature_combos(kw):
     dict(test_fraction=0.2, cv_seed=2, mask_zeros=True),
     dict(test_fraction=0.1, cv_seed=1, loss="gp", dispersion="none",
          solver="cd"),
+    dict(test_fraction=0.1, cv_seed=3, loss="gamma", solver="cd"),
+    dict(test_fraction=0.1, cv_seed=4, L1=(0.0, 0.02), solver="cd"),
+    dict(test_fraction=0.1, cv_seed=5, cv_col_subsample=0.7),
+    dict(test_fraction=0.1, cv_seed=6, loss="nb", zi="row", solver="cd"),
 ])
 def test_cv_combos(kw):
     res = rt.nmf(A_COUNTS if "loss" in kw else A_DENSE, 3, seed=42, maxit=6,
