@@ -389,37 +389,96 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         rng_state["offset"] += m
         return u.astype(np.float32)
 
+    def _huber_weights(resid, delta):
+        """MAD-scaled Huber IRLS weights (deflation.hpp:96-168).
+
+        scale = median(|r|) / 0.6745 (upper median: nth_element at len/2),
+        falling back to 1 when the residuals are ~all zero; then
+        w = 1 for |r/scale| <= delta, else delta/|r/scale| in (0, 1]."""
+        ar = jnp.abs(resid)
+        mad = jnp.sort(ar)[ar.shape[0] // 2]
+        scale = mad / 0.6745
+        scale = jnp.where(scale < np.float32(np.finfo(np.float32).eps * 100),
+                          1.0, scale)
+        z = ar / scale
+        return jnp.where(z <= delta, 1.0, delta / jnp.maximum(z, 1e-30))
+
     @partial(jax.jit, static_argnames=())
-    def rank1_iter(u, v, u_prev, Uk, dk, Vk, itf):
-        """One ALS step on the deflated operator (deflation.hpp:678-795)."""
-        beta = jnp.where(itf > 1, (itf - 1.0) / (itf + 2.0), 0.0)
-        if do_robust:
-            beta = jnp.zeros_like(beta)
-        u_hat = u + beta * (u - u_prev)
+    def rank1_solve(u0, Uk, dk, Vk, tol_k):
+        """Full rank-1 ALS on the deflated operator, on-device.
 
-        # v-update: v = (A^T u_hat - V d U^T u_hat) / ||u_hat||^2
-        w = jnp.dot(At, u_hat, precision=PREC) - jnp.dot(
-            Vk * dk[None, :], jnp.dot(Uk.T, u_hat, precision=PREC),
-            precision=PREC)
-        u_sq = jnp.sum(u_hat * u_hat) * cv_corr
-        v_new = w / jnp.maximum(u_sq, 1e-30)
-        v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
-                               cfg.v.upper_bound, u_sq, cfg.v.L21)
-        sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
-        v_new = v_new / jnp.maximum(sigma_v, 1e-30)
+        One lax.while_loop replaces the reference's host iteration loop
+        (deflation.hpp:678-795) so there is no per-step host sync.  With
+        cfg.robust_delta > 0 this runs the reference's Huber IRLS
+        (deflation.hpp:689-766): from iteration 1 on, row weights come from
+        the rank-1 residual r_i = (Av)_i - sigma*u_i and column weights from
+        r_j = (A'u)_j - sigma*v_j, each MAD-scaled, and the v/u updates use
+        the weighted normal equations v = A' diag(w) u_hat / (u_hat' W u_hat).
+        Momentum is disabled under IRLS (deflation.hpp:683-686)."""
+        def defl_t(x):                 # A^T x - V d U^T x
+            return jnp.dot(At, x, precision=PREC) - jnp.dot(
+                Vk * dk[None, :], jnp.dot(Uk.T, x, precision=PREC),
+                precision=PREC)
 
-        # u-update
-        w2 = jnp.dot(Ad, v_new, precision=PREC) - jnp.dot(
-            Uk * dk[None, :], jnp.dot(Vk.T, v_new, precision=PREC),
-            precision=PREC)
-        v_sq = jnp.sum(v_new * v_new) * cv_corr
-        u_new = w2 / jnp.maximum(v_sq, 1e-30)
-        u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
-                               cfg.u.upper_bound, v_sq, cfg.u.L21)
-        sigma = jnp.sqrt(jnp.sum(u_new * u_new))
-        u_new = u_new / jnp.maximum(sigma, 1e-30)
-        cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
-        return u_new, v_new, u, sigma, cos_dist
+        def defl_f(x):                 # A x - U d V^T x
+            return jnp.dot(Ad, x, precision=PREC) - jnp.dot(
+                Uk * dk[None, :], jnp.dot(Vk.T, x, precision=PREC),
+                precision=PREC)
+
+        def cond(carry):
+            _u, _v, _u_prev, _sigma, it, cd = carry
+            return (it < max_iter) & (cd >= tol_k)
+
+        def body(carry):
+            u, v, u_prev, sigma, it, _cd = carry
+            itf = it.astype(jnp.float32)
+            beta = jnp.where(itf > 1, (itf - 1.0) / (itf + 2.0), 0.0)
+            if do_robust:
+                beta = jnp.zeros_like(beta)
+            u_hat = u + beta * (u - u_prev)
+
+            if do_robust:
+                live = itf > 0         # weights need a sigma estimate
+                rw = jnp.where(live, _huber_weights(
+                    defl_f(v) - sigma * u, cfg.robust_delta), 1.0)
+                cw = jnp.where(live, _huber_weights(
+                    defl_t(u) - sigma * v, cfg.robust_delta), 1.0)
+                wu = u_hat * rw
+                w = defl_t(wu)
+                u_sq_w = jnp.sum(wu * u_hat) * cv_corr
+            else:
+                w = defl_t(u_hat)
+                u_sq_w = jnp.sum(u_hat * u_hat) * cv_corr
+            v_new = w / jnp.maximum(u_sq_w, 1e-30)
+            # regularization always uses the unweighted norm (deflation.hpp:735-741)
+            u_sq = jnp.sum(u_hat * u_hat) * cv_corr
+            v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
+                                   cfg.v.upper_bound, u_sq, cfg.v.L21)
+            sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
+            v_new = v_new / jnp.maximum(sigma_v, 1e-30)
+
+            if do_robust:
+                wv = v_new * cw
+                w2 = defl_f(wv)
+                v_sq_w = jnp.sum(wv * v_new) * cv_corr
+            else:
+                w2 = defl_f(v_new)
+                v_sq_w = jnp.sum(v_new * v_new) * cv_corr
+            u_new = w2 / jnp.maximum(v_sq_w, 1e-30)
+            v_sq = jnp.sum(v_new * v_new) * cv_corr
+            u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
+                                   cfg.u.upper_bound, v_sq, cfg.u.L21)
+            sigma_new = jnp.sqrt(jnp.sum(u_new * u_new))
+            u_new = u_new / jnp.maximum(sigma_new, 1e-30)
+            cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
+            # a zero factor means the reference breaks out (deflation.hpp:745,783)
+            cos_dist = jnp.where((sigma_new > 0) & (sigma_v > 0), cos_dist, -1.0)
+            return (u_new, v_new, u, sigma_new, it + 1, cos_dist)
+
+        init = (u0, jnp.zeros((n,), jnp.float32), u0,
+                jnp.float32(0.0), jnp.int32(0), jnp.float32(jnp.inf))
+        u, v, _u_prev, sigma, it, _cd = jax.lax.while_loop(cond, body, init)
+        return u, v, sigma, it
 
     constrained = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
                    cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0)
@@ -444,17 +503,8 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         if kk > 0 and d_all[0] > 0 and d_all[kk - 1] > 0:
             tol_k = min(tol_k * d_all[0] / d_all[kk - 1], tol_k * 100)
 
-        v = jnp.zeros((n,), jnp.float32)
-        u_prev = u
-        sigma = 0.0
-        it = 0
-        for it in range(max_iter):
-            u, v, u_prev, sig, cd = rank1_iter(u, v, u_prev, Uk, dk, Vk,
-                                               jnp.float32(it))
-            sigma = float(sig)
-            if float(cd) < tol_k:
-                it += 1
-                break
+        u, v, _sig, it = rank1_solve(u, Uk, dk, Vk, jnp.float32(tol_k))
+        it = int(it)
 
         # two-pass Gram-Schmidt against stored factors (deflation.hpp:824-850)
         if kk > 0 and not constrained:

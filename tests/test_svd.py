@@ -109,11 +109,40 @@ def test_deflation_auto_rank():
     assert 1 <= res.k_selected <= 10
 
 
-def test_robust_deflation(lowrank):
-    A = lowrank.copy()
-    A[0, :5] += 500.0       # outliers
-    res = svd(A, 3, method="deflation", robust=True, seed=1)
-    assert np.isfinite(res.d).all()
+def test_robust_deflation_resists_outliers():
+    """Huber IRLS downweights planted outliers (deflation.hpp:55-166): the
+    robust leading factor must track the CLEAN matrix's factor while the
+    non-robust fit is visibly corrupted.  This test fails if robust= is a
+    no-op."""
+    rs = np.random.RandomState(7)
+    U = rs.normal(size=(120, 2))
+    V = rs.normal(size=(90, 2))
+    A_clean = ((U * [30.0, 12.0]) @ V.T).astype(np.float32)
+    u_clean = np.linalg.svd(A_clean, full_matrices=False)[0][:, 0]
+
+    A = A_clean.copy()
+    # heavy sparse corruption concentrated in a few entries
+    idx = rs.choice(A.size, size=40, replace=False)
+    A.flat[idx] += rs.choice([-1.0, 1.0], size=40).astype(np.float32) * 2000.0
+
+    rob = svd(A, 2, method="deflation", robust=True, seed=1)
+    plain = svd(A, 2, method="deflation", robust=False, seed=1)
+    err_rob = 1.0 - abs(float(np.dot(rob.U[:, 0], u_clean)))
+    err_plain = 1.0 - abs(float(np.dot(plain.U[:, 0], u_clean)))
+    assert err_rob < 0.02, f"robust factor off clean subspace: {err_rob}"
+    assert err_plain > 0.1, "corruption no longer corrupts the plain fit"
+    assert err_rob < 0.1 * err_plain, (
+        f"robust ({err_rob}) not better than non-robust ({err_plain})")
+
+
+def test_robust_deflation_clean_data_matches_plain(lowrank):
+    """On outlier-free data the Huber weights saturate at 1 and robust
+    factors must agree with the plain deflation factors."""
+    rob = svd(lowrank, 3, method="deflation", robust=True, seed=1)
+    plain = svd(lowrank, 3, method="deflation", robust=False, seed=1)
+    np.testing.assert_allclose(rob.d, plain.d, rtol=2e-2)
+    for j in range(3):
+        assert abs(float(np.dot(rob.U[:, j], plain.U[:, j]))) > 0.98
 
 
 def test_seed_reproducible(lowrank):
