@@ -190,6 +190,21 @@ class NMFConfig:
             raise ValueError("test_fraction must be in [0, 1)")
         if self.loss == Loss.TWEEDIE and self.tweedie_power < 0:
             raise ValueError("tweedie_power must be >= 0")
+        # PROJ_ADV's whole-Gram eigen-clip does not commute with the
+        # per-column Gram corrections of CV/masked/IRLS solves; the
+        # reference silently drops ALL targets there (apply_cv_features,
+        # variant_helpers.hpp:174-189 has no target branch) — we reject
+        # instead of silently returning an un-regularized model.
+        has_proj_adv = self.W.target_lambda < 0 or self.H.target_lambda < 0
+        if has_proj_adv and (self.is_cv() or self.has_mask):
+            raise ValueError(
+                "PROJ_ADV target regularization (negative target_lambda) is "
+                "not supported with CV (test_fraction > 0) or a user mask. "
+                "Enrichment targets (positive target_lambda) are supported.")
+        if has_proj_adv and self.requires_irls():
+            raise ValueError(
+                "PROJ_ADV target regularization (negative target_lambda) "
+                "requires the MSE loss.")
 
 
 @dataclass(frozen=True)

@@ -59,12 +59,18 @@ class CVState(NamedTuple):
     best_iter: jax.Array
 
 
-def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
+def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
+                           G_add=None, target=None):
     """MSE masked solve: per-column Gram over train entries only.
 
     A_data (m, nc), F (k, m), train_w (m, nc) 0/1.  Blocked batched solve;
     equivalent to the reference per-column Gram correction
     (cv_detail.hpp:54-84) since sum_train w w' = G_full - sum_test w w'.
+
+    ``G_add``: optional shared k x k tier-2 term (graph reg + L21) added to
+    every per-column Gram — the reference's apply_cv_features semantics
+    (fit_cv.hpp:417,581).  ``target``: optional (k, nc) enrichment target
+    (fc.target_lambda > 0): G.diag += lam, b += lam * T (factor_config.hpp:80-102).
     """
     k, m = F.shape
     n = A_data.shape[1]
@@ -73,6 +79,7 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
     A_pad, _ = _pad_cols(A_data, bc)
     W_pad, _ = _pad_cols(train_w, bc)
     X_warm_pad, _ = _pad_cols(X_warm, bc)
+    T_pad = _pad_cols(target, bc)[0] if target is not None else None
     nblocks = A_pad.shape[1] // bc
     eye = jnp.eye(k, dtype=dtype)
 
@@ -81,6 +88,12 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
         w_blk = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
         Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk)
         Gb = Gb + (1e-15 + fc.L2) * eye[None]
+        if G_add is not None:
+            Gb = Gb + G_add[None]
+        if T_pad is not None:
+            Gb = Gb + fc.target_lambda * eye[None]
+            b = b + fc.target_lambda * lax.dynamic_slice_in_dim(
+                T_pad, blk_idx * bc, bc, axis=1)
         if fc.L1 > 0:
             b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:
@@ -96,18 +109,22 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm):
 
 
 @partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv"))
-def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
+def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
                     disp_row0, disp_col0, cv_seed_pair,
                     sparse_zeros: bool, is_cv: bool):
     """Unified masked / CV ALS loop.
 
     ``masks`` is a dict with static key-presence: optional ``user_mask``
     (m, n) bool and optional ``rows_ok``/``cols_ok`` subsample vectors.
-    The speckled CV holdout itself is computed ON DEVICE from the traced
-    SplitMix64 hash (bit-identical to the host mask; speckled_cv.hpp's lazy
-    design taken to its conclusion — nothing is uploaded).  When
-    ``is_cv``: test-loss early stopping and best-iteration tracking;
-    otherwise standard patience on the masked train loss."""
+    ``aux`` carries optional graph Laplacians / enrichment targets, applied
+    with the reference's CV feature semantics (apply_cv_features,
+    fit_cv.hpp:417,581: L2 + graph + L21 on the Gram; L1 in the solver;
+    enrichment targets additionally supported here — the reference drops
+    them in CV).  The speckled CV holdout itself is computed ON DEVICE from
+    the traced SplitMix64 hash (bit-identical to the host mask;
+    speckled_cv.hpp's lazy design taken to its conclusion — nothing is
+    uploaded).  When ``is_cv``: test-loss early stopping and best-iteration
+    tracking; otherwise standard patience on the masked train loss."""
     dtype = A.dtype
     m, n = A.shape
     max_iter = cfg.max_iter
@@ -126,11 +143,15 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
             M_test = M_test & masks["rows_ok"][:, None]
         if "cols_ok" in masks:
             M_test = M_test & masks["cols_ok"][None, :]
-    if "user_mask" in masks:
-        um = masks["user_mask"]
-        M_test = um if M_test is None else (M_test | um)
+    # user-masked entries leave BOTH train and test accounting
+    # (fit_cv.hpp:1391-1393): the CV test statistic stays a pure
+    # speckled-holdout quantity.  For a pure masked fit (no CV) the
+    # masked entries themselves are reported as the held-out set.
+    um = masks.get("user_mask")
     if M_test is None:
-        M_test = jnp.zeros((m, n), dtype=bool)
+        M_test = um if um is not None else jnp.zeros((m, n), dtype=bool)
+        um = None
+    M_excl = M_test if um is None else (M_test | um)
 
     # mesh-padding validity: padded rows/cols leave train AND test
     valid = None
@@ -141,9 +162,13 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
         valid = vc if valid is None else (valid & vc)
     if valid is not None:
         M_test = M_test & valid
-        train_w = ((~M_test) & valid).astype(dtype)
+        if um is not None:
+            M_test = M_test & (~um)
+        train_w = ((~M_excl) & valid).astype(dtype)
     else:
-        train_w = (~M_test).astype(dtype)
+        if um is not None:
+            M_test = M_test & (~um)
+        train_w = (~M_excl).astype(dtype)
     test_w = M_test.astype(dtype)
     n_test = jnp.sum(test_w)
     if sparse_zeros:
@@ -160,13 +185,20 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
     has_disp = cfg.dispersion != Dispersion.NONE and is_irls
     active_loss = Loss.KL if is_gp else cfg.loss
 
-    def solve_side(A_side, F, w_train_side, fc, X_warm, it, th_row, th_col):
+    def solve_side(A_side, F, w_train_side, fc, X_warm, it, th_row, th_col,
+                   graph, target):
+        # tier-2 features from the previous iterate of the factor being
+        # solved, shared across all per-column Grams (cv_detail.hpp:168,272)
+        G_add = feat.tier2_gram_addition(X_warm, fc, graph)
+        tgt = target if (target is not None and fc.target_lambda > 0) else None
+        Xw = X_warm * (it > 0).astype(dtype)
         if is_irls:
             return irls_solve_batch(A_side, F, cfg, active_loss,
                                     th_row, th_col, fc, sparse_zeros,
-                                    extra_w=w_train_side)
-        Xw = X_warm * (it > 0).astype(dtype)
-        return masked_mse_solve_batch(A_side, F, w_train_side, cfg, fc, Xw)
+                                    extra_w=w_train_side, X_warm=Xw,
+                                    G_add=G_add, target=tgt)
+        return masked_mse_solve_batch(A_side, F, w_train_side, cfg, fc, Xw,
+                                      G_add=G_add, target=tgt)
 
     def body(state: CVState) -> CVState:
         W_T, H, d, it = state.W_T, state.H, state.d, state.it
@@ -174,7 +206,8 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
 
         th_row = disp_row if (is_nb and not per_col) else None
         th_col = disp_col if (is_nb and per_col) else None
-        H_new = solve_side(A, W_T, train_w, cfg.H, H, it, th_row, th_col)
+        H_new = solve_side(A, W_T, train_w, cfg.H, H, it, th_row, th_col,
+                           aux.get("graph_H"), aux.get("target_H"))
         if cfg.H.upper_bound > 0:
             H_new = feat.apply_upper_bound(H_new, cfg.H.upper_bound)
         if cfg.H.angular > 0:
@@ -184,7 +217,8 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, W_T0, H0, d0,
         th_row_w = disp_col if (is_nb and per_col) else None
         th_col_w = disp_row if (is_nb and not per_col) else None
         W_new = solve_side(A.T, H, train_w.T, cfg.W, W_T, it,
-                           th_row_w, th_col_w)
+                           th_row_w, th_col_w,
+                           aux.get("graph_W"), aux.get("target_W"))
         if cfg.W.upper_bound > 0:
             W_new = feat.apply_upper_bound(W_new, cfg.W.upper_bound)
         if cfg.W.angular > 0:
@@ -329,6 +363,9 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
 
     A_dev = (A.astype(jnp.float32) if isinstance(A, jax.Array)
              else jnp.asarray(np.asarray(A, dtype=np.float32)))
+    aux_dev = {key: jnp.asarray(val, jnp.float32)
+               for key, val in (aux or {}).items()
+               if val is not None and not key.endswith("_gram")}
     W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
                                         h_init=h_init)
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
@@ -361,6 +398,20 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                 masks["rows_ok"] = jnp.pad(masks["rows_ok"], (0, pm))
             if "cols_ok" in masks:
                 masks["cols_ok"] = jnp.pad(masks["cols_ok"], (0, pn))
+            # pad aux to the mesh shape: Laplacians get zero cross-terms
+            # and targets zero columns, so padded dims contribute nothing
+            if "graph_H" in aux_dev:
+                aux_dev["graph_H"] = jnp.pad(aux_dev["graph_H"],
+                                             ((0, pn), (0, pn)))
+            if "graph_W" in aux_dev:
+                aux_dev["graph_W"] = jnp.pad(aux_dev["graph_W"],
+                                             ((0, pm), (0, pm)))
+            if "target_H" in aux_dev:
+                aux_dev["target_H"] = jnp.pad(aux_dev["target_H"],
+                                              ((0, 0), (0, pn)))
+            if "target_W" in aux_dev:
+                aux_dev["target_W"] = jnp.pad(aux_dev["target_W"],
+                                              ((0, 0), (0, pm)))
         A_dev, W_T0, H0, d0 = shard_arrays(mesh, A_dev, W_T0, H0, d0)
         if "user_mask" in masks:
             masks["user_mask"] = jax.device_put(
@@ -372,7 +423,7 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                     masks[key], NamedSharding(mesh, P(axis)))
 
     state = _fit_masked_jit(cfg_static, A_dev,
-                            masks, W_T0, H0, d0,
+                            masks, aux_dev, W_T0, H0, d0,
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
                             seed_pair, sparse_zeros, is_cv)
     state = jax.device_get(state)   # one batched transfer

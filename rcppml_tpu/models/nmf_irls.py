@@ -72,7 +72,7 @@ def _pad_cols(X, bc):
 
 def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
                      theta_row, theta_col, fc, sparse_zeros: bool,
-                     extra_w=None, X_warm=None):
+                     extra_w=None, X_warm=None, G_add=None, target=None):
     """Solve min over X>=0 of the weighted LS for every column of A_data.
 
     A_data (m, nc) data panel; F (k, m) fixed factor.  Returns X (k, nc).
@@ -83,6 +83,11 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
     of the reference's zero reset, so the first reweighting already uses
     real predictions and the CD solves start warm (same fixed point, far
     fewer sweeps).
+
+    ``G_add``: optional shared k x k tier-2 term (graph reg + L21) added to
+    every per-column weighted Gram (cv_detail.hpp:168,272 semantics; the
+    reference's non-CV IRLS drops these — we apply them uniformly).
+    ``target``: optional (k, nc) enrichment target, fc.target_lambda > 0.
     """
     k, m = F.shape
     n = A_data.shape[1]
@@ -93,6 +98,7 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
     A_pad, pad = _pad_cols(A_data, bc)
     W_pad = _pad_cols(extra_w, bc)[0] if extra_w is not None else None
     Xw_pad = _pad_cols(X_warm, bc)[0] if X_warm is not None else None
+    T_pad = _pad_cols(target, bc)[0] if target is not None else None
     th_col = theta_col
     if th_col is None:
         th_col_pad = None
@@ -129,6 +135,12 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
             Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk)
             if fc.L2 > 0:
                 Gb = Gb + fc.L2 * jnp.eye(k, dtype=dtype)[None]
+            if G_add is not None:
+                Gb = Gb + G_add[None]
+            if T_pad is not None:
+                Gb = Gb + fc.target_lambda * jnp.eye(k, dtype=dtype)[None]
+                b = b + fc.target_lambda * lax.dynamic_slice_in_dim(
+                    T_pad, blk_idx * bc, bc, axis=1)
 
             X_old = X
             B_res = b - solvers.batched_gram_matvec(Gb, X)
@@ -304,7 +316,7 @@ def _zi_pi_init(A: np.ndarray, cfg: NMFConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "valid_dims"))
-def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
+def _fit_irls_jit(cfg: NMFConfig, A, aux, W_T0, H0, d0, disp_row0, disp_col0,
                   pi_row0, pi_col0, sparse_zeros: bool, valid_dims=None):
     dtype = A.dtype
     m, n = A.shape
@@ -342,10 +354,16 @@ def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
 
         # --- H update (warm-started from the previous iteration's H) ---
         warm_gate = (it > 0).astype(A.dtype)
+        tgt_h = aux.get("target_H")
+        if tgt_h is not None and cfg.H.target_lambda <= 0:
+            tgt_h = None
         H_new = irls_solve_batch(A_solve, W_T, cfg, active_loss,
                                  th_row, th_col, cfg.H,
                                  sparse_zeros and not is_zi,
-                                 X_warm=H * warm_gate)
+                                 X_warm=H * warm_gate,
+                                 G_add=feat.tier2_gram_addition(
+                                     H, cfg.H, aux.get("graph_H")),
+                                 target=tgt_h)
         if cfg.H.upper_bound > 0:
             H_new = feat.apply_upper_bound(H_new, cfg.H.upper_bound)
         if cfg.H.angular > 0:
@@ -355,10 +373,16 @@ def _fit_irls_jit(cfg: NMFConfig, A, W_T0, H0, d0, disp_row0, disp_col0,
         # --- W update (on A^T; theta roles swap: fit_cpu.hpp:821-833) ---
         th_row_w = disp_col if (is_nb and per_col) else None
         th_col_w = disp_row if (is_nb and not per_col) else None
+        tgt_w = aux.get("target_W")
+        if tgt_w is not None and cfg.W.target_lambda <= 0:
+            tgt_w = None
         W_new = irls_solve_batch(A_solve.T, H, cfg, active_loss,
                                  th_row_w, th_col_w, cfg.W,
                                  sparse_zeros and not is_zi,
-                                 X_warm=W_T * warm_gate)
+                                 X_warm=W_T * warm_gate,
+                                 G_add=feat.tier2_gram_addition(
+                                     W_T, cfg.W, aux.get("graph_W")),
+                                 target=tgt_w)
         if cfg.W.upper_bound > 0:
             W_new = feat.apply_upper_bound(W_new, cfg.W.upper_bound)
         if cfg.W.angular > 0:
@@ -458,7 +482,11 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
         pi_row0 = np.zeros((m,), np.float32)
         pi_col0 = np.zeros((n,), np.float32)
 
-    state = _fit_irls_jit(cfg.device_static(), A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
+    aux_dev = {key: jnp.asarray(val, jnp.float32)
+               for key, val in (aux or {}).items()
+               if val is not None and not key.endswith("_gram")}
+    state = _fit_irls_jit(cfg.device_static(), A_dev, aux_dev,
+                          jnp.asarray(W_T0), jnp.asarray(H0),
                           jnp.asarray(d0), jnp.asarray(disp_row0),
                           jnp.asarray(disp_col0), jnp.asarray(pi_row0),
                           jnp.asarray(pi_col0), sparse_zeros,

@@ -92,6 +92,30 @@ def apply_features(G, B, factor, fc: FactorConfig, *, graph=None,
     return G, B
 
 
+def tier2_gram_addition(factor, fc: FactorConfig, graph=None):
+    """Shared tier-2 Gram addition for per-column-Gram solves.
+
+    The reference CV loop applies graph-reg + L21 to the FULL Gram before the
+    per-column test downdate (``apply_cv_features``, variant_helpers.hpp:174-189,
+    called at fit_cv.hpp:417,581 and cv_detail.hpp:168,272).  Since both terms
+    depend only on the previous iterate of the factor being solved, they are
+    one shared k x k matrix added to every per-column (weighted) Gram —
+    identical algebra, one MXU matmul instead of n.
+
+    Returns None when neither feature is configured (static decision).
+    """
+    has_graph = graph is not None and fc.graph_lambda > 0
+    if not has_graph and fc.L21 <= 0:
+        return None
+    k = factor.shape[0]
+    GA = jnp.zeros((k, k), factor.dtype)
+    if has_graph:
+        GA = apply_graph_reg(GA, graph, factor, fc.graph_lambda)
+    if fc.L21 > 0:
+        GA = apply_l21(GA, factor, fc.L21)
+    return GA
+
+
 def apply_upper_bound(X, upper_bound: float):
     """features/bounds.hpp:38-42."""
     if upper_bound <= 0:
