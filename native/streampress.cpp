@@ -31,14 +31,29 @@ inline void varint_put(uint64_t v, std::vector<uint8_t>& out) {
     } while (v);
 }
 
-inline uint64_t varint_get(const uint8_t*& p) {
+[[noreturn]] inline void corrupt(const char* what) {
+    throw std::runtime_error(std::string("corrupt spz: ") + what);
+}
+
+// every byte read is validated against an explicit end pointer — file
+// contents are untrusted (round-1 advisor finding; the reference validates
+// section sizes the same way, sparsepress_v2.hpp:913)
+inline void need(const uint8_t* p, const uint8_t* end, uint64_t nbytes,
+                 const char* what) {
+    if (p > end || static_cast<uint64_t>(end - p) < nbytes) corrupt(what);
+}
+
+inline uint64_t varint_get(const uint8_t*& p, const uint8_t* end) {
     uint64_t v = 0;
     int shift = 0;
     for (;;) {
+        if (p >= end) corrupt("truncated varint");
         uint8_t b = *p++;
-        v |= static_cast<uint64_t>(b & 0x7F) << shift;
+        if (shift < 64)
+            v |= static_cast<uint64_t>(b & 0x7F) << shift;
         if (!(b & 0x80)) break;
         shift += 7;
+        if (shift > 63) corrupt("varint too long");
     }
     return v;
 }
@@ -46,6 +61,13 @@ inline uint64_t varint_get(const uint8_t*& p) {
 inline uint32_t get_u32(const uint8_t* p) {
     uint32_t v;
     std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t get_u32_checked(const uint8_t*& p, const uint8_t* end) {
+    need(p, end, 4, "truncated u32");
+    uint32_t v = get_u32(p);
+    p += 4;
     return v;
 }
 
@@ -71,6 +93,11 @@ struct Table {
     std::vector<uint16_t> lookup;   // cum slot -> symbol
 
     void finish() {
+        // untrusted 16-bit freqs: their running sum must stay within the
+        // kProbScale-entry lookup or the fill below writes out of bounds
+        uint64_t total = 0;
+        for (uint32_t i = 0; i < n; ++i) total += freq[i];
+        if (total > kProbScale) corrupt("rANS table frequencies exceed scale");
         cum.assign(n, 0);
         uint16_t c = 0;
         for (uint32_t i = 0; i < n; ++i) {
@@ -131,10 +158,12 @@ struct Table {
         return out;
     }
 
-    static Table deserialize(const uint8_t*& p) {
+    static Table deserialize(const uint8_t*& p, const uint8_t* end) {
         Table t;
+        need(p, end, 2, "truncated rANS table");
         t.n = static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8);
         p += 2;
+        need(p, end, 2ull * t.n, "truncated rANS table freqs");
         t.freq.resize(t.n);
         for (uint32_t i = 0; i < t.n; ++i) {
             t.freq[i] = static_cast<uint16_t>(p[0]) |
@@ -172,6 +201,8 @@ std::vector<uint8_t> rans_encode(const uint32_t* syms, size_t count,
 void rans_decode(const uint8_t* data, size_t size, uint32_t* out,
                  size_t count, const Table& t) {
     if (!count) return;
+    if (t.n == 0) corrupt("empty rANS table with nonzero payload");
+    if (size < 4) corrupt("truncated rANS stream");
     const uint8_t* p = data;
     const uint8_t* end = data + size;
     uint32_t x = 0;
@@ -221,15 +252,20 @@ std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
     std::vector<uint32_t> out(count, 0);
     if (!size || !count) return out;
     const uint8_t* p = data;
-    Table t = Table::deserialize(p);
-    uint32_t enc_sz = get_u32(p); p += 4;
+    const uint8_t* end = data + size;
+    Table t = Table::deserialize(p, end);
+    uint32_t enc_sz = get_u32_checked(p, end);
+    need(p, end, enc_sz, "truncated rANS payload");
     rans_decode(p, enc_sz, out.data(), count, t);
     p += enc_sz;
-    uint32_t ov_sz = get_u32(p); p += 4;
+    uint32_t ov_sz = get_u32_checked(p, end);
+    need(p, end, ov_sz, "truncated overflow stream");
     if (ov_sz) {
         const uint8_t* ov = p;
+        const uint8_t* ov_end = p + ov_sz;
         for (uint32_t i = 0; i < count; ++i)
-            if (out[i] == 255) out[i] = static_cast<uint32_t>(varint_get(ov));
+            if (out[i] == 255)
+                out[i] = static_cast<uint32_t>(varint_get(ov, ov_end));
     }
     return out;
 }
@@ -263,15 +299,18 @@ void decode_byteshuffle(const uint8_t* data, size_t size, uint32_t count,
                         uint8_t* raw_out, uint32_t bytes_per_value) {
     if (!count) return;
     const uint8_t* p = data;
+    const uint8_t* end = data + size;
+    need(p, end, 1, "truncated byteshuffle header");
     uint32_t n_streams = *p++;
-    (void)size;
     std::vector<uint32_t> stream(count);
     for (uint32_t s = 0; s < n_streams && s < bytes_per_value; ++s) {
-        uint32_t tbl_sz = get_u32(p); p += 4;
+        uint32_t tbl_sz = get_u32_checked(p, end);
+        need(p, end, tbl_sz, "truncated byteshuffle table");
         const uint8_t* tp = p;
-        Table t = Table::deserialize(tp);
+        Table t = Table::deserialize(tp, p + tbl_sz);
         p += tbl_sz;
-        uint32_t enc_sz = get_u32(p); p += 4;
+        uint32_t enc_sz = get_u32_checked(p, end);
+        need(p, end, enc_sz, "truncated byteshuffle payload");
         rans_decode(p, enc_sz, stream.data(), count, t);
         p += enc_sz;
         for (uint32_t k = 0; k < count; ++k)
@@ -330,29 +369,95 @@ enum VType : uint8_t { VT_U8 = 0, VT_U16 = 1, VT_U32 = 2, VT_F32 = 3,
 
 thread_local std::string g_error;
 
-// decode gaps stream into row indices + per-column counts
+Header read_header_v2(const uint8_t* buf, uint64_t len) {
+    if (len < sizeof(Header)) corrupt("buffer smaller than header");
+    Header h;
+    std::memcpy(&h, buf, sizeof(Header));
+    if (std::memcmp(h.magic, "SPRZ", 4) != 0) corrupt("bad magic");
+    if (h.version != 2) corrupt("unsupported version");
+    return h;
+}
+
+// resolved + validated view of the forward or transpose chunk stream
+struct StreamView {
+    uint64_t desc_off, data_off;
+    uint32_t num_chunks, ncols, nrows;
+};
+
+StreamView resolve_stream(const Header& h, const uint8_t* buf, uint64_t len,
+                          int transpose) {
+    StreamView v;
+    if (transpose) {
+        if (!h.transpose_offset) corrupt("no transpose stream present");
+        if (h.transpose_offset > len || len - h.transpose_offset < 4)
+            corrupt("transpose offset out of range");
+        v.num_chunks = get_u32(buf + h.transpose_offset);
+        v.desc_off = h.transpose_offset + 4;
+        v.ncols = h.m; v.nrows = h.n;
+    } else {
+        v.num_chunks = h.num_chunks;
+        v.desc_off = h.chunk_index_offset;
+        v.ncols = h.n; v.nrows = h.m;
+    }
+    if (v.desc_off > len ||
+        static_cast<uint64_t>(v.num_chunks) * sizeof(ChunkDesc) >
+            len - v.desc_off)
+        corrupt("chunk index out of range");
+    v.data_off = transpose
+        ? v.desc_off + static_cast<uint64_t>(v.num_chunks) * sizeof(ChunkDesc)
+        : h.data_offset;
+    if (v.data_off > len) corrupt("data offset out of range");
+    return v;
+}
+
+ChunkDesc load_desc(const uint8_t* buf, uint64_t len, const StreamView& v,
+                    uint32_t idx) {
+    if (idx >= v.num_chunks) corrupt("chunk index out of range");
+    ChunkDesc d;
+    std::memcpy(&d, buf + v.desc_off + idx * sizeof(ChunkDesc), sizeof(d));
+    uint64_t avail = len - v.data_off;
+    for (int s = 0; s < 2; ++s)
+        if (d.stream_offset[s] > avail ||
+            d.stream_size[s] > avail - d.stream_offset[s])
+            corrupt("chunk stream out of range");
+    if (d.col_start > v.ncols || d.num_cols > v.ncols - d.col_start)
+        corrupt("chunk columns out of range");
+    return d;
+}
+
+// decode gaps stream into row indices + per-column counts.  col_counts and
+// row indices come from the file and size caller-allocated buffers — they
+// are validated against the chunk descriptor (nnz) and matrix dims (nrows).
 void decode_gaps(const uint8_t* gp, size_t gap_size, const ChunkDesc& d,
+                 uint32_t nrows,
                  std::vector<uint32_t>& col_counts,
                  std::vector<uint32_t>& rows) {
-    (void)gap_size;
-    uint32_t cc_size = get_u32(gp);
-    const uint8_t* cc = gp + 4;
+    const uint8_t* end = gp + gap_size;
+    uint32_t cc_size = get_u32_checked(gp, end);
+    need(gp, end, cc_size, "truncated column-count stream");
+    const uint8_t* cc = gp;
     col_counts.resize(d.num_cols);
+    uint64_t total = 0;
     {
         const uint8_t* scan = cc;
-        for (uint32_t j = 0; j < d.num_cols; ++j)
-            col_counts[j] = static_cast<uint32_t>(varint_get(scan));
+        for (uint32_t j = 0; j < d.num_cols; ++j) {
+            col_counts[j] = static_cast<uint32_t>(varint_get(scan, cc + cc_size));
+            total += col_counts[j];
+        }
     }
+    if (total != d.nnz) corrupt("column counts disagree with chunk nnz");
     rows.resize(d.nnz);
     if (!d.nnz) return;
-    auto gaps = decode_rans_escape(gp + 4 + cc_size,
-                                   gap_size - 4 - cc_size, d.nnz);
+    auto gaps = decode_rans_escape(gp + cc_size,
+                                   static_cast<size_t>(end - gp) - cc_size,
+                                   d.nnz);
     uint32_t idx = 0;
     for (uint32_t j = 0; j < d.num_cols; ++j) {
-        uint32_t prev = 0;
+        uint64_t prev = 0;
         for (uint32_t k = 0; k < col_counts[j]; ++k) {
-            uint32_t row = prev + gaps[idx];
-            rows[idx] = row;
+            uint64_t row = prev + gaps[idx];
+            if (row >= nrows) corrupt("row index out of range");
+            rows[idx] = static_cast<uint32_t>(row);
             prev = row + 1;
             ++idx;
         }
@@ -447,12 +552,7 @@ const char* spz_last_error() { return g_error.c_str(); }
 int spz_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
              uint64_t* nnz, uint8_t* value_type, uint8_t* has_transpose) {
     try {
-        if (len < sizeof(Header)) throw std::runtime_error("buffer too small");
-        Header h;
-        std::memcpy(&h, buf, sizeof(Header));
-        if (std::memcmp(h.magic, "SPRZ", 4) != 0)
-            throw std::runtime_error("bad magic (not SparsePress v2)");
-        if (h.version != 2) throw std::runtime_error("unsupported version");
+        Header h = read_header_v2(buf, len);
         *m = h.m; *n = h.n; *nnz = h.nnz;
         *value_type = h.value_type;
         *has_transpose = h.transpose_offset != 0;
@@ -470,35 +570,20 @@ int spz_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
 int spz_decode(const uint8_t* buf, uint64_t len, int transpose,
                int64_t* p_out, int32_t* i_out, float* x_out) {
     try {
-        Header h;
-        std::memcpy(&h, buf, sizeof(Header));
-        if (std::memcmp(h.magic, "SPRZ", 4) != 0)
-            throw std::runtime_error("bad magic");
-        uint64_t desc_off = h.chunk_index_offset;
-        uint64_t data_off = h.data_offset;
-        uint32_t out_cols = h.n;
-        uint32_t num_chunks = h.num_chunks;
-        if (transpose) {
-            if (!h.transpose_offset)
-                throw std::runtime_error("no transpose stream present");
-            // transpose section layout: [t_num_chunks u32][descs][data]
-            const uint8_t* tp = buf + h.transpose_offset;
-            num_chunks = get_u32(tp);
-            desc_off = h.transpose_offset + 4;
-            data_off = desc_off + static_cast<uint64_t>(num_chunks) * sizeof(ChunkDesc);
-            out_cols = h.m;
-        }
-        (void)len;
-        std::vector<ChunkDesc> descs(num_chunks);
-        std::memcpy(descs.data(), buf + desc_off,
-                    num_chunks * sizeof(ChunkDesc));
+        Header h = read_header_v2(buf, len);
+        StreamView v = resolve_stream(h, buf, len, transpose);
 
+        // i_out/x_out are caller-allocated to h.nnz entries and p_out to
+        // (ncols+1): every chunk write is bounded by those sizes below
         uint64_t out_nnz = 0;
-        for (auto& d : descs) {
-            const uint8_t* base = buf + data_off;
+        const uint8_t* base = buf + v.data_off;
+        for (uint32_t c = 0; c < v.num_chunks; ++c) {
+            ChunkDesc d = load_desc(buf, len, v, c);
+            if (d.nnz > h.nnz - out_nnz)
+                corrupt("chunk nnz exceeds header nnz");
             std::vector<uint32_t> col_counts, rows;
             decode_gaps(base + d.stream_offset[0], d.stream_size[0], d,
-                        col_counts, rows);
+                        v.nrows, col_counts, rows);
             for (uint32_t j = 0; j < d.num_cols; ++j) {
                 p_out[d.col_start + j] = static_cast<int64_t>(out_nnz);
                 out_nnz += col_counts[j];
@@ -509,7 +594,8 @@ int spz_decode(const uint8_t* buf, uint64_t len, int transpose,
             decode_values(base + d.stream_offset[1], d.stream_size[1], d,
                           h.value_type, x_out + (out_nnz - d.nnz));
         }
-        p_out[out_cols] = static_cast<int64_t>(out_nnz);
+        if (out_nnz != h.nnz) corrupt("total chunk nnz disagrees with header");
+        p_out[v.ncols] = static_cast<int64_t>(out_nnz);
         return 0;
     } catch (const std::exception& e) {
         g_error = e.what();
@@ -700,21 +786,9 @@ int spz_chunk_info(const uint8_t* buf, uint64_t len, int transpose,
                    uint32_t chunk_idx, uint32_t* col_start,
                    uint32_t* num_cols, uint32_t* nnz) {
     try {
-        Header h;
-        std::memcpy(&h, buf, sizeof(Header));
-        uint64_t desc_off = h.chunk_index_offset;
-        uint32_t num_chunks = h.num_chunks;
-        if (transpose) {
-            if (!h.transpose_offset) throw std::runtime_error("no transpose");
-            const uint8_t* tp = buf + h.transpose_offset;
-            num_chunks = get_u32(tp);
-            desc_off = h.transpose_offset + 4;
-        }
-        (void)len;
-        if (chunk_idx >= num_chunks) throw std::runtime_error("chunk out of range");
-        ChunkDesc d;
-        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(ChunkDesc),
-                    sizeof(ChunkDesc));
+        Header h = read_header_v2(buf, len);
+        StreamView v = resolve_stream(h, buf, len, transpose);
+        ChunkDesc d = load_desc(buf, len, v, chunk_idx);
         *col_start = d.col_start;
         *num_cols = d.num_cols;
         *nnz = d.nnz;
@@ -728,15 +802,9 @@ int spz_chunk_info(const uint8_t* buf, uint64_t len, int transpose,
 int spz_num_chunks(const uint8_t* buf, uint64_t len, int transpose,
                    uint32_t* out) {
     try {
-        Header h;
-        std::memcpy(&h, buf, sizeof(Header));
-        (void)len;
-        if (transpose) {
-            if (!h.transpose_offset) { *out = 0; return 0; }
-            *out = get_u32(buf + h.transpose_offset);
-        } else {
-            *out = h.num_chunks;
-        }
+        Header h = read_header_v2(buf, len);
+        if (transpose && !h.transpose_offset) { *out = 0; return 0; }
+        *out = resolve_stream(h, buf, len, transpose).num_chunks;
         return 0;
     } catch (const std::exception& e) {
         g_error = e.what();
@@ -748,25 +816,15 @@ int spz_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
                      uint32_t chunk_idx, int64_t* p_out, int32_t* i_out,
                      float* x_out) {
     try {
-        Header h;
-        std::memcpy(&h, buf, sizeof(Header));
-        uint64_t desc_off = h.chunk_index_offset;
-        uint64_t data_off = h.data_offset;
-        uint32_t num_chunks = h.num_chunks;
-        if (transpose) {
-            const uint8_t* tp = buf + h.transpose_offset;
-            num_chunks = get_u32(tp);
-            desc_off = h.transpose_offset + 4;
-            data_off = desc_off + static_cast<uint64_t>(num_chunks) * sizeof(ChunkDesc);
-        }
-        (void)len;
-        ChunkDesc d;
-        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(ChunkDesc),
-                    sizeof(ChunkDesc));
-        const uint8_t* base = buf + data_off;
+        Header h = read_header_v2(buf, len);
+        StreamView v = resolve_stream(h, buf, len, transpose);
+        ChunkDesc d = load_desc(buf, len, v, chunk_idx);
+        // the caller sized i_out/x_out from spz_chunk_info's d.nnz, which
+        // load_desc re-reads from the same bytes — consistent by identity
+        const uint8_t* base = buf + v.data_off;
         std::vector<uint32_t> col_counts, rows;
         decode_gaps(base + d.stream_offset[0], d.stream_size[0], d,
-                    col_counts, rows);
+                    v.nrows, col_counts, rows);
         uint64_t off = 0;
         for (uint32_t j = 0; j < d.num_cols; ++j) {
             p_out[j] = static_cast<int64_t>(off);
@@ -846,6 +904,60 @@ void v3_encode_panels(const float* data, uint32_t nrows, uint32_t ncols,
         }
         d.byte_size = out.size() - d.byte_offset;
     }
+}
+
+HeaderV3 read_header_v3(const uint8_t* buf, uint64_t len) {
+    if (len < sizeof(HeaderV3)) corrupt("buffer smaller than v3 header");
+    HeaderV3 h;
+    std::memcpy(&h, buf, sizeof(h));
+    if (std::memcmp(h.magic, "SPRZ", 4) != 0 || h.version != 3)
+        corrupt("not a SparsePress v3 buffer");
+    return h;
+}
+
+// validated view of a v3 panel stream
+struct V3View {
+    uint64_t desc_off, data_off;
+    uint32_t num_chunks, ncols, nrows;
+};
+
+V3View resolve_v3(const HeaderV3& h, uint64_t len, int transpose) {
+    V3View v;
+    if (transpose) {
+        if (!h.has_transpose) corrupt("no transpose stream");
+        v.desc_off = h.transpose_index_offset;
+        v.data_off = h.transpose_data_offset;
+        v.num_chunks = h.num_transpose_chunks;
+        v.ncols = h.m; v.nrows = h.n;
+    } else {
+        v.desc_off = h.chunk_index_offset;
+        v.data_off = h.data_offset;
+        v.num_chunks = h.num_chunks;
+        v.ncols = h.n; v.nrows = h.m;
+    }
+    if (v.desc_off > len ||
+        static_cast<uint64_t>(v.num_chunks) * sizeof(DenseChunkDesc) >
+            len - v.desc_off)
+        corrupt("v3 chunk index out of range");
+    if (v.data_off > len) corrupt("v3 data offset out of range");
+    return v;
+}
+
+DenseChunkDesc load_v3_desc(const uint8_t* buf, uint64_t len, const V3View& v,
+                            uint8_t codec, uint32_t idx) {
+    if (idx >= v.num_chunks) corrupt("chunk index out of range");
+    DenseChunkDesc d;
+    std::memcpy(&d, buf + v.desc_off + idx * sizeof(DenseChunkDesc),
+                sizeof(d));
+    uint64_t avail = len - v.data_off;
+    if (d.byte_offset > avail || d.byte_size > avail - d.byte_offset)
+        corrupt("v3 panel out of range");
+    if (d.col_start > v.ncols || d.num_cols > v.ncols - d.col_start)
+        corrupt("v3 panel columns out of range");
+    uint64_t count = static_cast<uint64_t>(v.nrows) * d.num_cols;
+    uint64_t width = (codec == 1) ? 2 : 4;
+    if (count * width > d.byte_size) corrupt("v3 panel smaller than its shape");
+    return d;
 }
 
 }  // namespace
@@ -945,25 +1057,14 @@ int64_t spz3_encode(uint32_t m, uint32_t n, const float* data, uint8_t codec,
 int spz3_decode(const uint8_t* buf, uint64_t len, int transpose,
                 float* out) {
     try {
-        HeaderV3 h;
-        std::memcpy(&h, buf, sizeof(h));
-        if (h.version != 3) throw std::runtime_error("not v3");
-        uint64_t desc_off = transpose ? h.transpose_index_offset
-                                      : h.chunk_index_offset;
-        uint64_t data_off = transpose ? h.transpose_data_offset : h.data_offset;
-        uint32_t nchunks = transpose ? h.num_transpose_chunks : h.num_chunks;
-        uint32_t nrows = transpose ? h.n : h.m;
-        if (transpose && !h.has_transpose)
-            throw std::runtime_error("no transpose stream");
-        (void)len;
-        std::vector<DenseChunkDesc> descs(nchunks);
-        std::memcpy(descs.data(), buf + desc_off,
-                    nchunks * sizeof(DenseChunkDesc));
+        HeaderV3 h = read_header_v3(buf, len);
+        V3View v = resolve_v3(h, len, transpose);
         uint8_t codec = h.reserved[0];
-        for (auto& d : descs) {
-            const uint8_t* src = buf + data_off + d.byte_offset;
-            float* dst = out + static_cast<uint64_t>(d.col_start) * nrows;
-            uint64_t count = static_cast<uint64_t>(nrows) * d.num_cols;
+        for (uint32_t c = 0; c < v.num_chunks; ++c) {
+            DenseChunkDesc d = load_v3_desc(buf, len, v, codec, c);
+            const uint8_t* src = buf + v.data_off + d.byte_offset;
+            float* dst = out + static_cast<uint64_t>(d.col_start) * v.nrows;
+            uint64_t count = static_cast<uint64_t>(v.nrows) * d.num_cols;
             if (codec == 1) {
                 const uint16_t* hsrc = reinterpret_cast<const uint16_t*>(src);
                 for (uint64_t i = 0; i < count; ++i)
@@ -980,23 +1081,14 @@ int spz3_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
                       uint32_t chunk_idx, uint32_t* col_start,
                       uint32_t* num_cols, float* out) {
     try {
-        HeaderV3 h;
-        std::memcpy(&h, buf, sizeof(h));
-        uint64_t desc_off = transpose ? h.transpose_index_offset
-                                      : h.chunk_index_offset;
-        uint64_t data_off = transpose ? h.transpose_data_offset : h.data_offset;
-        uint32_t nchunks = transpose ? h.num_transpose_chunks : h.num_chunks;
-        uint32_t nrows = transpose ? h.n : h.m;
-        (void)len;
-        if (chunk_idx >= nchunks) throw std::runtime_error("chunk out of range");
-        DenseChunkDesc d;
-        std::memcpy(&d, buf + desc_off + chunk_idx * sizeof(DenseChunkDesc),
-                    sizeof(d));
+        HeaderV3 h = read_header_v3(buf, len);
+        V3View v = resolve_v3(h, len, transpose);
+        DenseChunkDesc d = load_v3_desc(buf, len, v, h.reserved[0], chunk_idx);
         *col_start = d.col_start;
         *num_cols = d.num_cols;
         if (!out) return 0;
-        uint64_t count = static_cast<uint64_t>(nrows) * d.num_cols;
-        const uint8_t* src = buf + data_off + d.byte_offset;
+        uint64_t count = static_cast<uint64_t>(v.nrows) * d.num_cols;
+        const uint8_t* src = buf + v.data_off + d.byte_offset;
         if (h.reserved[0] == 1) {
             const uint16_t* hsrc = reinterpret_cast<const uint16_t*>(src);
             for (uint64_t i = 0; i < count; ++i) out[i] = half_to_float(hsrc[i]);
@@ -1009,11 +1101,12 @@ int spz3_decode_chunk(const uint8_t* buf, uint64_t len, int transpose,
 
 int spz3_num_chunks(const uint8_t* buf, uint64_t len, int transpose,
                     uint32_t* out) {
-    HeaderV3 h;
-    (void)len;
-    std::memcpy(&h, buf, sizeof(h));
-    *out = transpose ? h.num_transpose_chunks : h.num_chunks;
-    return 0;
+    try {
+        HeaderV3 h = read_header_v3(buf, len);
+        if (transpose && !h.has_transpose) { *out = 0; return 0; }
+        *out = resolve_v3(h, len, transpose).num_chunks;
+        return 0;
+    } catch (const std::exception& e) { g_error = e.what(); return -1; }
 }
 
 }  // extern "C"

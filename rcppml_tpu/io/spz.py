@@ -33,9 +33,15 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # (re)build when missing OR older than its sources — a stale committed
+    # binary must never shadow an edited streampress.cpp
+    src = os.path.join(_NATIVE_DIR, "streampress.cpp")
+    stale = (not os.path.exists(_LIB_PATH) or
+             (os.path.exists(src) and
+              os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)))
+    if stale:
         if os.environ.get("RCPPML_TPU_NO_BUILD"):
-            raise RuntimeError("libstreampress.so not built")
+            raise RuntimeError("libstreampress.so not built (or stale)")
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)

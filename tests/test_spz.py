@@ -287,3 +287,109 @@ def test_st_read_device(tmp_path):
     np.testing.assert_allclose(np.asarray(dev), A.toarray())
     res = rt.nmf(dev, 3, seed=1, maxit=5)      # no re-upload path
     assert np.isfinite(res.train_loss)
+
+
+# ---------------------------------------------------------------------------
+# Decoder robustness: crafted/corrupt buffers must raise clean errors, never
+# read or write out of bounds (round-1 advisor finding; the reference
+# validates section sizes at sparsepress_v2.hpp:913)
+# ---------------------------------------------------------------------------
+
+def _small_spz_bytes():
+    import scipy.sparse as sp
+    from rcppml_tpu.io.spz import compress_to_spz_bytes
+    rs = np.random.RandomState(0)
+    A = sp.random(60, 40, density=0.2, random_state=rs, format="csc",
+                  dtype=np.float32)
+    A.data[:] = np.round(A.data * 9) + 1
+    return compress_to_spz_bytes(A, value_type="uint8"), A
+
+
+def test_truncated_buffers_raise():
+    from rcppml_tpu.io.spz import decompress_spz_bytes, spz_info_bytes
+    buf, A = _small_spz_bytes()
+    # cuts into header / chunk index / payload must raise cleanly
+    for cut in [0, 4, 64, 127, 128, 200, len(buf) // 2]:
+        with pytest.raises(Exception):
+            decompress_spz_bytes(buf[:cut])
+    # cutting only footer slack may legitimately still decode — but then it
+    # must decode EXACTLY (never garbage from out-of-bounds reads)
+    try:
+        out = decompress_spz_bytes(buf[:len(buf) - 20])
+        assert (abs(out - A)).max() == 0
+    except Exception:
+        pass
+    with pytest.raises(Exception):
+        spz_info_bytes(buf[:64])
+
+
+def test_corrupt_header_fields_do_not_crash():
+    """Inflate nnz / offsets / chunk counts in the header: decode must error
+    or produce output, never write past the caller's buffers (would
+    segfault / corrupt the heap here)."""
+    from rcppml_tpu.io.spz import decompress_spz_bytes
+    buf, A = _small_spz_bytes()
+    offsets = {
+        "nnz": 16, "chunk_count": 32, "chunk_index_offset": 48,
+        "data_offset": 64, "transpose_offset": 72,
+    }
+    for name, off in offsets.items():
+        for val in [0, 1, 2**31 - 1, 2**62]:
+            bad = bytearray(buf)
+            width = 8 if name in ("nnz", "chunk_index_offset",
+                                  "data_offset", "transpose_offset") else 4
+            bad[off:off + width] = int(val % 2**(8 * width)).to_bytes(
+                width, "little")
+            try:
+                decompress_spz_bytes(bytes(bad))
+            except Exception:
+                pass        # clean error is the expected outcome
+
+
+def test_random_byteflip_fuzz():
+    """200 random single/multi-byte corruptions: decode either succeeds or
+    raises — the process must survive all of them."""
+    from rcppml_tpu.io.spz import decompress_spz_bytes
+    buf, _ = _small_spz_bytes()
+    rs = np.random.RandomState(99)
+    for _ in range(200):
+        bad = bytearray(buf)
+        for _ in range(rs.randint(1, 8)):
+            bad[rs.randint(len(bad))] = rs.randint(256)
+        try:
+            out = decompress_spz_bytes(bytes(bad))
+            assert out.shape[0] <= 2**31
+        except Exception:
+            pass
+
+
+def test_corrupt_chunk_descriptor_rejected():
+    """Chunk descriptor nnz/col fields inflated beyond the header sizes must
+    be rejected (they size the caller-allocated CSC arrays)."""
+    from rcppml_tpu.io.spz import decompress_spz_bytes
+    buf, _ = _small_spz_bytes()
+    desc_base = 128                       # first chunk descriptor
+    for field_off, val in [(8, 10**6),    # nnz
+                           (0, 2**31),    # col_start
+                           (4, 2**31)]:   # num_cols
+        bad = bytearray(buf)
+        bad[desc_base + field_off:desc_base + field_off + 4] = \
+            int(val).to_bytes(4, "little")
+        with pytest.raises(Exception):
+            decompress_spz_bytes(bytes(bad))
+
+
+def test_stale_so_rebuilds(tmp_path):
+    """Touching streampress.cpp newer than the .so triggers a rebuild at
+    next load (advisor: stale committed binary hazard)."""
+    import rcppml_tpu.io.spz as spz
+    import importlib, os, time
+    so = spz._LIB_PATH
+    src = os.path.join(spz._NATIVE_DIR, "streampress.cpp")
+    assert os.path.exists(so)
+    os.utime(src, (time.time() + 2, time.time() + 2))
+    old_so_mtime = os.path.getmtime(so)
+    spz._lib = None
+    spz._load_lib()
+    assert os.path.getmtime(so) >= old_so_mtime   # rebuilt
+    os.utime(src)                                  # restore sane mtime
