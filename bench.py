@@ -1,17 +1,17 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): ALS iters/sec at k=50 on movielens, single chip.
-Measures steady-state device throughput: the data matrix is resident in
-device HBM (as in any production loop); the timed call covers the full
-jitted ALS while-loop (H-update, W-update, loss, convergence logic) plus
-host-side init/result marshalling.
+Headline: the DIRECTLY PUBLISHED workload — NMF MSE k=20 on pbmc3k
+(13,714 x 2,638), 20 iterations.  The reference publishes 2.18 s on a
+56-thread Xeon Gold 6238R and 0.21 s on an H100 NVL
+(vignettes/gpu-acceleration.Rmd:105-133), so ``vs_baseline`` here is
+measurement-vs-publication, not an extrapolation (round-1 VERDICT #8).
 
-``vs_baseline`` divides by the estimated 56-thread Xeon Gold 6238R
-baseline.  No movielens-k=50 CPU time is published; the estimate scales
-the published pbmc3k k=20 CPU result (2.18 s / 20 iters,
-vignettes/gpu-acceleration.Rmd:105-133) by per-iteration work
-(nnz*k + k^2(m+n)): ~9.17 iters/s * ~9 => ~83 iters/s, rounded UP to 100
-so vs_baseline understates our speedup.
+``extra`` carries the round-1 headline (movielens k=50 ALS iters/s,
+single chip, device-resident) and the H100 ratio for continuity.
+
+Both metrics measure steady-state device throughput: data resident in
+device HBM (as in any production loop); the timed call covers the full
+jitted ALS while-loop plus host-side result marshalling.
 """
 
 import json
@@ -19,7 +19,20 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_ITERS_PER_SEC = 100.0   # estimated 56-thread CPU (see docstring)
+PUBLISHED_PBMC_K20_CPU_S = 2.18    # 56-thread Xeon Gold 6238R (vignette)
+PUBLISHED_PBMC_K20_H100_S = 0.21   # H100 NVL 96GB (vignette)
+
+
+def _time_best_of(fn, reps=3):
+    # best-of-N: robust to transient axon-tunnel dispatch noise
+    # (device compute is stable; the remote link is not — BENCH_NOTES.md)
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def main():
@@ -29,29 +42,29 @@ def main():
     from rcppml_tpu import datasets
     from rcppml_tpu.models.nmf import nmf_fit
 
-    A = np.asarray(datasets.movielens().todense(), dtype=np.float32)
-    A_dev = jnp.asarray(A)           # resident in HBM, like production
-    k = 50
-    maxit = 300
+    # --- headline: pbmc3k k=20, 20 iters (published workload) ---
+    pb = np.asarray(datasets.pbmc3k().todense(), dtype=np.float32)
+    pb_dev = jnp.asarray(pb)
+    cfg_pb = rt.build_config(20, seed=1, maxit=20, tol=0.0, sort_model=False)
+    nmf_fit(pb, cfg_pb, device_A=pb_dev)               # compile + warm
+    pb_s, _ = _time_best_of(lambda: nmf_fit(pb, cfg_pb, device_A=pb_dev))
 
-    cfg = rt.build_config(k, seed=1, maxit=maxit, tol=0.0, sort_model=False)
-
-    nmf_fit(A, cfg, device_A=A_dev)          # compile + warm
-    # best-of-3: steady-state throughput, robust to transient link noise
-    # (the remote-tunnel dispatch overhead fluctuates several-fold while
-    # device compute is stable — see BENCH_NOTES.md)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = nmf_fit(A, cfg, device_A=A_dev)
-        best = min(best, time.perf_counter() - t0)
-    iters_per_sec = res.iterations / best
+    # --- continuity metric: movielens k=50 ALS iters/s ---
+    ml = np.asarray(datasets.movielens().todense(), dtype=np.float32)
+    ml_dev = jnp.asarray(ml)
+    cfg_ml = rt.build_config(50, seed=1, maxit=300, tol=0.0, sort_model=False)
+    nmf_fit(ml, cfg_ml, device_A=ml_dev)
+    ml_s, res = _time_best_of(lambda: nmf_fit(ml, cfg_ml, device_A=ml_dev))
 
     print(json.dumps({
-        "metric": "movielens_k50_als_iters_per_sec",
-        "value": round(iters_per_sec, 1),
-        "unit": "iters/s",
-        "vs_baseline": round(iters_per_sec / CPU_BASELINE_ITERS_PER_SEC, 2),
+        "metric": "pbmc3k_k20_nmf_20iter_seconds",
+        "value": round(pb_s, 4),
+        "unit": "s",
+        "vs_baseline": round(PUBLISHED_PBMC_K20_CPU_S / pb_s, 2),
+        "extra": {
+            "vs_h100": round(PUBLISHED_PBMC_K20_H100_S / pb_s, 2),
+            "movielens_k50_als_iters_per_sec": round(res.iterations / ml_s, 1),
+        },
     }))
 
 

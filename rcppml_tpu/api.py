@@ -137,12 +137,15 @@ def build_config(
 
     needs_irls = loss_e != Loss.MSE or robust_delta > 0
     if solver == "auto":
-        # Accelerator policy: IRLS needs CD; otherwise Cholesky+clip — the
-        # reference's C++ default (solver_mode=1, core/config.hpp:133) and
-        # its own GPU auto-select at k>32 (R/nmf_thin.R:367-374).  On the
-        # MXU the batched Cholesky solve is strictly faster than the
-        # sequential CD sweep at every k; CD remains available explicitly.
-        solver_e = Solver.CD if needs_irls else Solver.CHOLESKY
+        # Accelerator policy: IRLS needs CD, and any L1 > 0 needs CD too —
+        # Cholesky-solve-then-clip is not the stationary solution of the
+        # L1-penalized NNLS subproblem (the reference auto-select uses CD
+        # whenever L1 != 0, R/nmf_thin.R:371-375).  Otherwise Cholesky+clip,
+        # the reference's C++ default (solver_mode=1, core/config.hpp:133):
+        # on the MXU the batched Cholesky solve is strictly faster than the
+        # sequential CD sweep at every k.
+        solver_e = (Solver.CD if (needs_irls or l1w > 0 or l1h > 0)
+                    else Solver.CHOLESKY)
     else:
         solver_e = {"cd": Solver.CD, "cholesky": Solver.CHOLESKY}[solver]
     if solver_e == Solver.CHOLESKY and needs_irls:

@@ -86,7 +86,9 @@ def _cd_sweeps(G, B, X0, L1, cd_tol, *, nonneg: bool, maxit: int,
         x_i = lax.dynamic_slice_in_dim(X, i, 1, axis=0)[0]       # (n,)
         diff = jnp.where(gdiag_ok[i], b_i / g, jnp.zeros_like(b_i))
         if l1_static:
-            diff = diff - L1
+            # L1 is part of the same gated update: a dead coordinate is
+            # SKIPPED entirely (nnls_batch.hpp:90 'continue'), not decayed
+            diff = diff - jnp.where(gdiag_ok[i], L1, jnp.zeros_like(L1))
         new_val = x_i + diff
         if nonneg:
             new_val = jnp.maximum(new_val, 0.0)
@@ -287,7 +289,9 @@ def cd_nnls_batched_gram(Gb, B_res, X0, L1, *, nonneg: bool, maxit: int,
         g = lax.dynamic_slice_in_dim(gdiag, i, 1, axis=0)[0]          # (n,)
         b_i = lax.dynamic_slice_in_dim(B, i, 1, axis=0)[0]
         x_i = lax.dynamic_slice_in_dim(X, i, 1, axis=0)[0]
-        diff = jnp.where(g > 0, b_i / jnp.where(g > 0, g, 1.0), 0.0) - L1
+        # dead coordinates (g <= 0) are skipped entirely, L1 included
+        # (nnls_batch.hpp:90 'continue')
+        diff = jnp.where(g > 0, b_i / jnp.where(g > 0, g, 1.0) - L1, 0.0)
         new_val = x_i + diff
         if nonneg:
             new_val = jnp.maximum(new_val, 0.0)

@@ -11,15 +11,23 @@ import os
 # Force CPU regardless of the ambient JAX_PLATFORMS (the driver environment
 # sets it to the TPU 'axon' tunnel; something in the image re-injects
 # "axon,cpu" over the env var, so we must also override via jax.config).
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# RCPPML_TPU_TESTS=1 keeps the ambient TPU backend instead — the analog of
+# the reference's hardware-gated GPU suite (test_gpu_accuracy.R:24
+# skip_if_not(gpu_available())); tests/test_tpu_kernels.py self-skips when
+# the backend is not a TPU.  Run it alone: only ONE process may hold the
+# axon TPU tunnel.
+_ON_TPU = bool(os.environ.get("RCPPML_TPU_TESTS"))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -123,3 +123,29 @@ def test_chol_ridge_rank_deficient():
     assert np.isfinite(X).all()
     rec = w.T @ X                            # the solve's fitted values
     assert np.abs(rec - 3.0).max() < 0.05
+
+
+def test_cd_dead_coordinate_untouched_with_l1():
+    """A zero Gram diagonal (dead factor) must skip the WHOLE update, L1
+    subtraction included (nnls_batch.hpp:90 'continue'): the warm-start
+    value on the dead coordinate stays exactly put."""
+    import jax.numpy as jnp
+    from rcppml_tpu.ops.solvers import cd_nnls_batch, cd_nnls_batched_gram
+    k, n = 4, 6
+    rs = np.random.RandomState(3)
+    F = np.abs(rs.normal(size=(k, 10))).astype(np.float32)
+    F[2, :] = 0.0                       # dead factor -> G[2,2] == 0
+    G = (F @ F.T).astype(np.float32)
+    B = np.abs(rs.normal(size=(k, n))).astype(np.float32)
+    B[2, :] = 0.0
+    X0 = np.abs(rs.normal(size=(k, n))).astype(np.float32) + 0.5
+
+    X = np.asarray(cd_nnls_batch(jnp.asarray(G), jnp.asarray(B),
+                                 jnp.asarray(X0), L1=0.3, warm_start=True))
+    np.testing.assert_array_equal(X[2], X0[2])
+
+    Gb = jnp.broadcast_to(jnp.asarray(G)[None], (n, k, k))
+    B_res = jnp.asarray(B) - jnp.einsum("nkj,jn->kn", Gb, jnp.asarray(X0))
+    Xb = np.asarray(cd_nnls_batched_gram(Gb, B_res, jnp.asarray(X0), 0.3,
+                                         nonneg=True, maxit=50, cd_tol=1e-8))
+    np.testing.assert_array_equal(Xb[2], X0[2])
