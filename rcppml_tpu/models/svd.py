@@ -185,31 +185,26 @@ def lanczos_svd(A, cfg: SVDConfig) -> SVDResult:
                      scale=(1.0 / np.asarray(scale)) if scale is not None else None)
 
 
-def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
-    """Augmented implicitly-restarted Lanczos bidiagonalization
-    (Baglama & Reichel; svd/irlba.hpp, work = k + 7).
+def _irlba_core(op, gkb_extend, m, n, k, work, max_restarts, tol, seed):
+    """Shared augmented implicitly-restarted Lanczos core (Baglama &
+    Reichel; svd/irlba.hpp).  ``op`` provides mv/rmv; ``gkb_extend`` runs
+    GKB steps — the jitted dense kernel in-memory, the chunked host loop
+    when streaming (svd/streaming.hpp runs the same core over streamed
+    matvecs).
 
     Thick restart: SVD of the projected (work x work) matrix, keep k Ritz
     pairs plus the residual coupling row, extend with GKB steps until the
     coupling |beta * P[last, i]| converges for all i <= k.
     """
-    op, center, scale = _prep(A, cfg)
-    m, n = op.shape
-    k = min(cfg.k, min(m, n) - 1) if min(m, n) > 1 else 1
-    work = min(min(m, n), (cfg.work if cfg.work > 0 else k + 7))
-    max_restarts = cfg.max_iter if cfg.max_iter > 0 else 100
-    tol = cfg.tol if cfg.tol > 0 else 1e-5
-
     dtype = jnp.float32
-    v = jnp.asarray(_seed_vector(n, cfg.seed))
+    v = jnp.asarray(_seed_vector(n, seed))
     U = jnp.zeros((m, work), dtype)
     V = jnp.zeros((n, work), dtype)
 
     # initial full GKB pass
     alphas = jnp.zeros((work,), dtype)
     betas = jnp.zeros((work,), dtype)
-    U, V, alphas, betas, v_next = _gkb_extend(
-        op.A, center, scale, U, V, alphas, betas, 0, v, steps=work)
+    U, V, alphas, betas, v_next = gkb_extend(U, V, alphas, betas, 0, v)
     a = np.asarray(alphas, np.float64)
     b = np.asarray(betas, np.float64)
     B = np.diag(a) + np.diag(b[:-1], 1)
@@ -252,9 +247,8 @@ def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
 
         alphas = jnp.zeros((work,), dtype).at[k].set(alpha_k)
         betas = jnp.zeros((work,), dtype).at[k].set(beta_k)
-        U, V, alphas, betas, v_next = _gkb_extend(
-            op.A, center, scale, U, V, alphas, betas, k + 1, v_next2,
-            steps=work)
+        U, V, alphas, betas, v_next = gkb_extend(
+            U, V, alphas, betas, k + 1, v_next2)
 
         # projected matrix after thick restart:
         #   [ diag(s_k)  rho  0  ]
@@ -275,9 +269,27 @@ def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
     Vk = jnp.dot(V, jnp.asarray(Qt[:k].T, dtype), precision=PREC)
     return SVDResult(U=np.asarray(Uk), d=s[:k].astype(np.float32),
                      V=np.asarray(Vk), k_selected=k, converged=converged,
-                     iterations=restarts,
-                     center=np.asarray(center) if center is not None else None,
-                     scale=(1.0 / np.asarray(scale)) if scale is not None else None)
+                     iterations=restarts)
+
+
+def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
+    """Augmented implicitly-restarted Lanczos bidiagonalization
+    (Baglama & Reichel; svd/irlba.hpp, work = k + 7)."""
+    op, center, scale = _prep(A, cfg)
+    m, n = op.shape
+    k = min(cfg.k, min(m, n) - 1) if min(m, n) > 1 else 1
+    work = min(min(m, n), (cfg.work if cfg.work > 0 else k + 7))
+    max_restarts = cfg.max_iter if cfg.max_iter > 0 else 100
+    tol = cfg.tol if cfg.tol > 0 else 1e-5
+
+    def gkb(U, V, alphas, betas, start, v_next):
+        return _gkb_extend(op.A, center, scale, U, V, alphas, betas,
+                           start, v_next, steps=work)
+
+    res = _irlba_core(op, gkb, m, n, k, work, max_restarts, tol, cfg.seed)
+    res.center = np.asarray(center) if center is not None else None
+    res.scale = (1.0 / np.asarray(scale)) if scale is not None else None
+    return res
 
 
 def randomized_svd(A, cfg: SVDConfig) -> SVDResult:
@@ -315,6 +327,32 @@ def randomized_svd(A, cfg: SVDConfig) -> SVDResult:
 
 def _soft_threshold(x, t):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound):
+    """One constrained-LS half-update of the KSPR refinement
+    (svd/krylov.hpp:420-600): given B = A V (resp. A^T W) and the fixed
+    side F_other, solve the ridge system, apply the elementwise constraint
+    projection, and return (X, column norms) with X column-normalized.
+    Shared between the in-memory and streaming drivers — call inside jit or
+    wrap with jax.jit at the call site."""
+    k = F_other.shape[1]
+    G = jnp.dot(F_other.T, F_other, precision=PREC) + \
+        (1e-12 + L2) * jnp.eye(k, dtype=F_other.dtype)
+    L = lax.linalg.cholesky(G)
+    Xt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
+    Xt = lax.linalg.triangular_solve(L, Xt, left_side=True, lower=True,
+                                     transpose_a=True)
+    X = Xt.T
+    norm_sq = jnp.sum(F_other * F_other, axis=0)
+    if L1 > 0:
+        X = _soft_threshold(X, L1 / (2.0 * norm_sq)[None, :])
+    if nonneg:
+        X = jnp.maximum(X, 0.0)
+    if upper_bound > 0:
+        X = jnp.minimum(X, upper_bound)
+    d = jnp.sqrt(jnp.sum(X * X, axis=0))
+    return X / jnp.maximum(d, 1e-30)[None, :], d
 
 
 def _apply_reg_vec(x, L1, L2, nonneg, upper_bound, norm_sq, L21):
@@ -586,43 +624,14 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
 
     @jax.jit
     def one_pass(W, V, d):
-        # --- W-update: W = A V (V'V)^-1, project, normalize ---
-        G = jnp.dot(V.T, V, precision=PREC) + (1e-12 + cfg.u.L2) * jnp.eye(k)
         B = jnp.dot(Ad, V, precision=PREC)                     # (m, k)
-        L = lax.linalg.cholesky(G)
-        Wt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
-        Wt = lax.linalg.triangular_solve(L, Wt, left_side=True, lower=True,
-                                         transpose_a=True)
-        W = Wt.T
-        norm_sq = jnp.sum(V * V, axis=0)
-        if cfg.u.L1 > 0:
-            W = _soft_threshold(W, cfg.u.L1 / (2.0 * norm_sq)[None, :])
-        if cfg.u.nonneg:
-            W = jnp.maximum(W, 0.0)
-        if cfg.u.upper_bound > 0:
-            W = jnp.minimum(W, cfg.u.upper_bound)
-        d = jnp.sqrt(jnp.sum(W * W, axis=0))
-        W = W / jnp.maximum(d, 1e-30)[None, :]
-
-        # --- V-update ---
-        G = jnp.dot(W.T, W, precision=PREC) + (1e-12 + cfg.v.L2) * jnp.eye(k)
+        W, d = _kspr_half(V, B, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
+                          cfg.u.upper_bound)
         B = jnp.dot(Ad.T, W, precision=PREC)                   # (n, k)
-        L = lax.linalg.cholesky(G)
-        Vt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
-        Vt = lax.linalg.triangular_solve(L, Vt, left_side=True, lower=True,
-                                         transpose_a=True)
-        V = Vt.T
-        norm_sq = jnp.sum(W * W, axis=0)
-        if cfg.v.L1 > 0:
-            V = _soft_threshold(V, cfg.v.L1 / (2.0 * norm_sq)[None, :])
-        if cfg.v.nonneg:
-            V = jnp.maximum(V, 0.0)
-        if cfg.v.upper_bound > 0:
-            V = jnp.minimum(V, cfg.v.upper_bound)
         # d REPLACED by the raw column norm each half-update — W and V stay
         # unit-norm, d tracks the singular value (krylov.hpp:424-427)
-        d = jnp.sqrt(jnp.sum(V * V, axis=0))
-        V = V / jnp.maximum(d, 1e-30)[None, :]
+        V, d = _kspr_half(W, B, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
+                          cfg.v.upper_bound)
         return W, V, d
 
     W = jnp.asarray(np.abs(seed_res.U) if cfg.u.nonneg else seed_res.U)
@@ -688,11 +697,19 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         row_names, col_names, data = _extract_dimnames(data)
 
     if isinstance(data, str) and data.endswith(".spz"):
+        if method == "auto":
+            has_con = (any(np.atleast_1d(L1) != 0) or
+                       any(np.atleast_1d(L2) != 0) or
+                       any(np.atleast_1d(nonneg)))
+            robust_on = robust if isinstance(robust, bool) else robust > 0
+            method = ("deflation" if robust_on else
+                      "krylov" if has_con else "randomized")
         return streaming_svd(
             data, int(k) if not isinstance(k, str) else 10,
-            method=("randomized" if method == "auto" else method),
-            center=center, seed=seed, oversample=oversample,
-            power_iters=power_iters, tol=tol)
+            method=method, center=center, seed=seed, oversample=oversample,
+            power_iters=power_iters, tol=tol, maxit=maxit,
+            nonneg=nonneg, L1=L1, L2=L2, upper_bound=upper_bound,
+            robust=robust)
 
     def pair(x):
         return (x, x) if np.isscalar(x) else tuple(x)
@@ -819,12 +836,53 @@ class _LoaderOp:
         return s / n
 
 
+def _stream_gkb(op, U, V, alphas, betas, start, v_next, steps):
+    """Host-loop Golub-Kahan extension over any mv/rmv operator — the
+    streaming analog of the jitted ``_gkb_extend`` (svd/streaming_matvec.hpp),
+    with the same full reorthogonalization and breakdown guards."""
+    amax = float(max(jnp.max(alphas), jnp.max(betas)))
+    for j in range(start, steps):
+        V = V.at[:, j].set(v_next)
+        u = op.mv(v_next)
+        u = u - jnp.dot(U, jnp.dot(U.T, u, precision=PREC), precision=PREC)
+        alpha = float(jnp.sqrt(jnp.sum(u * u)))
+        ok_a = alpha > 1e-5 * max(amax, 1e-30)
+        if ok_a:
+            u = u / max(alpha, 1e-30)
+            amax = max(amax, alpha)
+        else:
+            u = jnp.zeros_like(u)
+            alpha = 0.0
+        U = U.at[:, j].set(u)
+        alphas = alphas.at[j].set(alpha)
+
+        w = op.rmv(u)
+        w = w - jnp.dot(V, jnp.dot(V.T, w, precision=PREC), precision=PREC)
+        beta = float(jnp.sqrt(jnp.sum(w * w)))
+        ok_b = ok_a and beta > 1e-5 * max(amax, 1e-30)
+        if ok_b:
+            v_next = w / max(beta, 1e-30)
+            amax = max(amax, beta)
+        else:
+            v_next = jnp.zeros_like(w)
+            beta = 0.0
+        betas = betas.at[j].set(beta)
+    return U, V, alphas, betas, v_next
+
+
 def streaming_svd(loader, k: int = 10, *, method: str = "randomized",
                   center: bool = False, seed: int = 0, oversample: int = 10,
-                  power_iters: int = 2, tol: float = 1e-5) -> SVDResult:
+                  power_iters: int = 2, tol: float = 1e-5, maxit: int = 0,
+                  work: int = 0, nonneg=(False, False), L1=(0.0, 0.0),
+                  L2=(0.0, 0.0), upper_bound=(0.0, 0.0),
+                  robust=False) -> SVDResult:
     """Truncated SVD over a DataLoader / .spz path without materializing A
-    (svd/streaming.hpp).  Supports randomized (default, panel-friendly
-    block products) and lanczos (chunked matvecs)."""
+    (svd/streaming.hpp:77+ streams all five algorithms; so does this).
+
+    randomized / lanczos / irlba / krylov / deflation.  krylov takes the
+    elementwise constraints (nonneg/L1/L2/upper_bound per side); deflation
+    additionally supports robust Huber IRLS.  Every algorithm touches A
+    only through chunked panel products (``_LoaderOp``)."""
     from ..io.loaders import DataLoader, InMemoryLoader, SpzLoader
     if isinstance(loader, (str, bytes)):
         loader = SpzLoader(loader)
@@ -837,6 +895,10 @@ def streaming_svd(loader, k: int = 10, *, method: str = "randomized",
     if center:
         c = op.row_means()
         op = _LoaderOp(loader, center=c)
+    c_np = np.asarray(c) if c is not None else None
+
+    def pair(x):
+        return (x, x) if np.isscalar(x) or isinstance(x, bool) else tuple(x)
 
     if method == "randomized":
         b = k + min(oversample, min(m, n) - k)
@@ -856,40 +918,213 @@ def streaming_svd(loader, k: int = 10, *, method: str = "randomized",
         return SVDResult(U=np.asarray(U), d=np.asarray(s[:k]),
                          V=np.asarray(Vt[:k].T), k_selected=k,
                          converged=True, iterations=power_iters,
-                         center=np.asarray(c) if c is not None else None)
+                         center=c_np)
 
     if method == "lanczos":
         steps = min(min(m, n), max(2 * k + 10, 20))
-        v = jnp.asarray(_seed_vector(n, seed))
-        U = np.zeros((m, steps), np.float32)
-        V = np.zeros((n, steps), np.float32)
-        alphas = np.zeros(steps)
-        betas = np.zeros(steps)
-        Ud = jnp.zeros((m, steps), jnp.float32)
-        Vd = jnp.zeros((n, steps), jnp.float32)
-        for j in range(steps):
-            Vd = Vd.at[:, j].set(v)
-            u = op.mv(v)
-            u = u - jnp.dot(Ud, jnp.dot(Ud.T, u, precision=PREC),
-                            precision=PREC)
-            alpha = float(jnp.sqrt(jnp.sum(u * u)))
-            u = u / max(alpha, 1e-30)
-            Ud = Ud.at[:, j].set(u)
-            alphas[j] = alpha
-            w = op.rmv(u)
-            w = w - jnp.dot(Vd, jnp.dot(Vd.T, w, precision=PREC),
-                            precision=PREC)
-            beta = float(jnp.sqrt(jnp.sum(w * w)))
-            v = w / max(beta, 1e-30)
-            betas[j] = beta
-        B = np.diag(alphas) + np.diag(betas[:-1], 1)
+        U = jnp.zeros((m, steps), jnp.float32)
+        V = jnp.zeros((n, steps), jnp.float32)
+        alphas = jnp.zeros((steps,), jnp.float32)
+        betas = jnp.zeros((steps,), jnp.float32)
+        U, V, alphas, betas, _ = _stream_gkb(
+            op, U, V, alphas, betas, 0, jnp.asarray(_seed_vector(n, seed)),
+            steps)
+        B = np.diag(np.asarray(alphas, np.float64)) + \
+            np.diag(np.asarray(betas, np.float64)[:-1], 1)
         P, s, Qt = np.linalg.svd(B)
-        Uk = jnp.dot(Ud, jnp.asarray(P[:, :k], jnp.float32), precision=PREC)
-        Vk = jnp.dot(Vd, jnp.asarray(Qt[:k].T, jnp.float32), precision=PREC)
+        Uk = jnp.dot(U, jnp.asarray(P[:, :k], jnp.float32), precision=PREC)
+        Vk = jnp.dot(V, jnp.asarray(Qt[:k].T, jnp.float32), precision=PREC)
         return SVDResult(U=np.asarray(Uk), d=s[:k].astype(np.float32),
                          V=np.asarray(Vk), k_selected=k, converged=True,
-                         iterations=steps,
-                         center=np.asarray(c) if c is not None else None)
+                         iterations=steps, center=c_np)
 
-    raise ValueError(f"streaming SVD supports 'randomized' and 'lanczos', "
-                     f"got {method!r}")
+    if method == "irlba":
+        kk = min(k, min(m, n) - 1) if min(m, n) > 1 else 1
+        wrk = min(min(m, n), (work if work > 0 else kk + 7))
+        max_restarts = maxit if maxit > 0 else 100
+
+        def gkb(U, V, alphas, betas, start, v_next):
+            return _stream_gkb(op, U, V, alphas, betas, start, v_next, wrk)
+
+        res = _irlba_core(op, gkb, m, n, kk, wrk, max_restarts, tol, seed)
+        res.center = c_np
+        return res
+
+    if method == "krylov":
+        l1u, l1v = pair(L1)
+        l2u, l2v = pair(L2)
+        nnu, nnv = pair(nonneg)
+        ubu, ubv = pair(upper_bound)
+        seed_res = streaming_svd(loader, k, method="lanczos", center=center,
+                                 seed=seed, tol=tol)
+        if not (nnu or nnv or l1u > 0 or l1v > 0 or l2u > 0 or l2v > 0):
+            return seed_res
+        max_passes = maxit if maxit > 0 else max(
+            10, 2 * int(math.ceil(math.log2(max(k, 2)))) + 3)
+        half = partial(jax.jit, static_argnames=(
+            "L1", "L2", "nonneg", "upper_bound"))(
+            lambda F, B, L1, L2, nonneg, upper_bound:
+            _kspr_half(F, B, L1, L2, nonneg, upper_bound))
+        W = jnp.asarray(np.abs(seed_res.U) if nnu else seed_res.U)
+        V = jnp.asarray(np.abs(seed_res.V) if nnv else seed_res.V)
+        d = jnp.asarray(seed_res.d)
+        passes = 0
+        converged = False
+        prev_W = None
+        for passes in range(1, max_passes + 1):
+            W, d = half(V, op.mm(V), L1=float(l1u), L2=float(l2u),
+                        nonneg=bool(nnu), upper_bound=float(ubu))
+            V, d = half(W, op.rmm(W), L1=float(l1v), L2=float(l2v),
+                        nonneg=bool(nnv), upper_bound=float(ubv))
+            if prev_W is not None:
+                dW = float(jnp.linalg.norm(W - prev_W) /
+                           (jnp.linalg.norm(prev_W) + 1e-30))
+                if dW < tol:
+                    converged = True
+                    break
+            prev_W = W
+        order = np.argsort(-np.asarray(d), kind="stable")
+        return SVDResult(U=np.asarray(W)[:, order], d=np.asarray(d)[order],
+                         V=np.asarray(V)[:, order], k_selected=k,
+                         converged=converged, iterations=passes, center=c_np)
+
+    if method == "deflation":
+        return _stream_deflation(op, k, seed=seed, tol=tol, maxit=maxit,
+                                 nonneg=pair(nonneg), L1=pair(L1),
+                                 L2=pair(L2), upper_bound=pair(upper_bound),
+                                 robust=robust, center=c_np)
+
+    raise ValueError(f"streaming SVD supports 'randomized', 'lanczos', "
+                     f"'irlba', 'krylov', 'deflation'; got {method!r}")
+
+
+def _stream_deflation(op, k_max, *, seed, tol, maxit, nonneg, L1, L2,
+                      upper_bound, robust, center) -> SVDResult:
+    """Streaming rank-1 ALS deflation (svd/deflation.hpp over
+    streaming_matvec.hpp): every access to A is one chunked matvec; the
+    deflation correction uses the stored small factors.  Supports the
+    elementwise constraints and robust Huber IRLS; no speckled CV (the
+    holdout is an in-memory concept here — use the in-memory path)."""
+    m, n = op.shape
+    k_max = min(k_max, min(m, n))
+    max_iter = maxit if maxit > 0 else 100
+    tol = tol if tol > 0 else 1e-5
+    if isinstance(robust, bool):
+        robust_delta = 1.345 if robust else 0.0
+    else:
+        robust_delta = float(robust)
+    do_robust = robust_delta > 0
+
+    def huber_w(resid):
+        ar = jnp.abs(resid)
+        mad = jnp.sort(ar)[ar.shape[0] // 2]
+        scale = jnp.where(mad / 0.6745 < np.float32(1.2e-5), 1.0,
+                          mad / 0.6745)
+        z = ar / scale
+        return jnp.where(z <= robust_delta, 1.0,
+                         robust_delta / jnp.maximum(z, 1e-30))
+
+    U_all = jnp.zeros((m, k_max), jnp.float32)
+    V_all = jnp.zeros((n, k_max), jnp.float32)
+    d_all = jnp.zeros((k_max,), jnp.float32)
+    iters_total = 0
+    rng_state = {"offset": 0}
+    seed_i = seed if seed else 42
+
+    def rand_u():
+        u = rng_mod.fill_uniform(seed_i, m, 1,
+                                 offset=rng_state["offset"])[:, 0]
+        rng_state["offset"] += m
+        return jnp.asarray(u.astype(np.float32))
+
+    def defl_f(x, kk):      # A x - U d V^T x on the deflated operator
+        return op.mv(x) - jnp.dot(U_all * d_all[None, :],
+                                  jnp.dot(V_all.T, x, precision=PREC),
+                                  precision=PREC) if kk else op.mv(x)
+
+    def defl_t(x, kk):
+        return op.rmv(x) - jnp.dot(V_all * d_all[None, :],
+                                   jnp.dot(U_all.T, x, precision=PREC),
+                                   precision=PREC) if kk else op.rmv(x)
+
+    d_np = np.zeros((k_max,), np.float32)
+    for kk in range(k_max):
+        if kk == 0:
+            u = rand_u()
+        else:
+            u = U_all[:, kk - 1]
+            u = u - jnp.dot(U_all, jnp.dot(U_all.T, u, precision=PREC),
+                            precision=PREC)
+            if float(jnp.sqrt(jnp.sum(u * u))) < 1e-5:
+                u = rand_u()
+        u = u / jnp.maximum(jnp.sqrt(jnp.sum(u * u)), 1e-30)
+        tol_k = tol
+        if kk > 0 and d_np[0] > 0 and d_np[kk - 1] > 0:
+            tol_k = min(tol * d_np[0] / d_np[kk - 1], tol * 100)
+
+        v = jnp.zeros((n,), jnp.float32)
+        u_prev = u
+        sigma = 0.0
+        it = 0
+        for it in range(max_iter):
+            beta = 0.0 if do_robust else (
+                (it - 1.0) / (it + 2.0) if it > 1 else 0.0)
+            u_hat = u + beta * (u - u_prev)
+            u_prev = u
+            if do_robust and it > 0:
+                rw = huber_w(defl_f(v, kk) - sigma * u)
+                cw = huber_w(defl_t(u, kk) - sigma * v)
+                wu = u_hat * rw
+                w = defl_t(wu, kk)
+                u_sq_w = float(jnp.sum(wu * u_hat))
+            else:
+                w = defl_t(u_hat, kk)
+                u_sq_w = float(jnp.sum(u_hat * u_hat))
+            v = w / max(u_sq_w, 1e-30)
+            u_sq = float(jnp.sum(u_hat * u_hat))
+            v = _apply_reg_vec(v, L1[1], L2[1], nonneg[1], upper_bound[1],
+                               u_sq, 0.0)
+            sv = float(jnp.sqrt(jnp.sum(v * v)))
+            if sv <= 0:
+                break
+            v = v / sv
+            if do_robust and it > 0:
+                wv = v * cw
+                w2 = defl_f(wv, kk)
+                v_sq_w = float(jnp.sum(wv * v))
+            else:
+                w2 = defl_f(v, kk)
+                v_sq_w = float(jnp.sum(v * v))
+            u = w2 / max(v_sq_w, 1e-30)
+            v_sq = float(jnp.sum(v * v))
+            u = _apply_reg_vec(u, L1[0], L2[0], nonneg[0], upper_bound[0],
+                               v_sq, 0.0)
+            sigma = float(jnp.sqrt(jnp.sum(u * u)))
+            if sigma <= 0:
+                break
+            u = u / sigma
+            cd = 1.0 - abs(float(jnp.sum(u * u_prev)))
+            if cd < tol_k:
+                it += 1
+                break
+        iters_total += it
+
+        constrained = (nonneg[0] or nonneg[1] or L1[0] > 0 or L1[1] > 0 or
+                       L2[0] > 0 or L2[1] > 0)
+        if kk > 0 and not constrained:
+            for _ in range(2):
+                u = u - jnp.dot(U_all, jnp.dot(U_all.T, u, precision=PREC),
+                                precision=PREC)
+                v = v - jnp.dot(V_all, jnp.dot(V_all.T, v, precision=PREC),
+                                precision=PREC)
+            u = u / jnp.maximum(jnp.sqrt(jnp.sum(u * u)), 1e-30)
+            v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
+        sigma = abs(float(jnp.dot(u, defl_f(v, kk), precision=PREC)))
+        U_all = U_all.at[:, kk].set(u)
+        V_all = V_all.at[:, kk].set(v)
+        d_all = d_all.at[kk].set(sigma)
+        d_np[kk] = sigma
+
+    return SVDResult(U=np.asarray(U_all), d=d_np, V=np.asarray(V_all),
+                     k_selected=k_max, converged=True,
+                     iterations=iters_total, center=center)

@@ -224,3 +224,88 @@ def test_svd_predict_new_samples(lowrank):
     np.testing.assert_allclose(scores, np.asarray(res.U), atol=1e-3)
     with pytest.raises(ValueError, match="features"):
         res.predict(np.zeros((3, 7), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Streaming = in-memory parity for the remaining algorithms (the reference
+# streams all five, svd/streaming.hpp:77+; round-1 covered only
+# randomized + lanczos)
+# ---------------------------------------------------------------------------
+
+def _stream_loader(A, cols=32):
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    return InMemoryLoader(A, chunk_cols=cols)
+
+
+def test_streaming_irlba_matches_in_memory(lowrank):
+    from rcppml_tpu.models.svd import irlba_svd, streaming_svd
+    mem = irlba_svd(lowrank, SVDConfig(k=4, seed=2))
+    stream = streaming_svd(_stream_loader(lowrank), 4, method="irlba", seed=2)
+    np.testing.assert_allclose(stream.d, mem.d, rtol=1e-3)
+    for j in range(4):
+        assert abs(float(np.dot(stream.U[:, j], mem.U[:, j]))) > 0.99
+
+
+def test_streaming_krylov_matches_in_memory(lowrank):
+    from rcppml_tpu.models.svd import krylov_svd, streaming_svd
+    A = np.abs(lowrank)
+    cfg = SVDConfig(k=4, seed=2)
+    from rcppml_tpu.config import FactorConfig as FC
+    cfg = SVDConfig(k=4, seed=2, u=FC(nonneg=True), v=FC(nonneg=True))
+    mem = krylov_svd(A, cfg)
+    stream = streaming_svd(_stream_loader(A), 4, method="krylov", seed=2,
+                           nonneg=(True, True))
+    np.testing.assert_allclose(stream.d, mem.d, rtol=1e-3)
+    assert (stream.U >= 0).all() and (stream.V >= 0).all()
+
+
+def test_streaming_deflation_matches_in_memory(lowrank):
+    from rcppml_tpu.models.svd import deflation_svd, streaming_svd
+    mem = deflation_svd(lowrank, SVDConfig(k=3, seed=2))
+    stream = streaming_svd(_stream_loader(lowrank), 3, method="deflation",
+                           seed=2)
+    np.testing.assert_allclose(stream.d, mem.d, rtol=2e-3)
+    for j in range(3):
+        assert abs(float(np.dot(stream.U[:, j], mem.U[:, j]))) > 0.99
+
+
+def test_streaming_deflation_robust():
+    """Robust streaming deflation = robust in-memory deflation (same Huber
+    IRLS math through chunked matvecs), and both resist planted outliers."""
+    from rcppml_tpu.models.svd import deflation_svd, streaming_svd
+    rs = np.random.RandomState(7)
+    U = rs.normal(size=(120, 2))
+    V = rs.normal(size=(90, 2))
+    A_clean = ((U * [30.0, 12.0]) @ V.T).astype(np.float32)
+    u_clean = np.linalg.svd(A_clean, full_matrices=False)[0][:, 0]
+    A = A_clean.copy()
+    idx = rs.choice(A.size, size=40, replace=False)
+    A.flat[idx] += rs.choice([-1.0, 1.0], size=40).astype(np.float32) * 2000.0
+
+    stream = streaming_svd(_stream_loader(A), 2, method="deflation", seed=1,
+                           robust=True)
+    mem = deflation_svd(A, SVDConfig(k=2, seed=1, robust_delta=1.345))
+    err_stream = 1.0 - abs(float(np.dot(stream.U[:, 0], u_clean)))
+    err_mem = 1.0 - abs(float(np.dot(mem.U[:, 0], u_clean)))
+    assert err_stream < 0.02, f"streaming robust off clean: {err_stream}"
+    assert err_mem < 0.02
+    assert abs(float(np.dot(stream.U[:, 0], mem.U[:, 0]))) > 0.99
+    # sigma on corrupted data is trajectory-sensitive (stopping iteration
+    # differs between the jitted and host loops) — coarse agreement only
+    np.testing.assert_allclose(stream.d, mem.d, rtol=0.1)
+
+
+def test_streaming_spz_svd_all_methods(tmp_path, lowrank):
+    """svd('file.spz', method=...) round-trips through the codec for every
+    streaming algorithm."""
+    import scipy.sparse as sp
+    from rcppml_tpu.io.spz import st_write
+    from rcppml_tpu.models.svd import svd as svd_fn
+    A = lowrank.copy()
+    A[np.abs(A) < 0.5] = 0.0               # sparsify for the codec
+    path = str(tmp_path / "m.spz")
+    st_write(sp.csc_matrix(A), path, with_transpose=True)
+    ref = np.linalg.svd(A, full_matrices=False)[1][:3]
+    for meth in ["randomized", "lanczos", "irlba", "deflation"]:
+        res = svd_fn(path, 3, method=meth, seed=3)
+        np.testing.assert_allclose(res.d, ref, rtol=2e-2), meth
