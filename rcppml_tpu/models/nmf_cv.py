@@ -108,10 +108,64 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
     return jnp.transpose(X_blocks, (1, 0, 2)).reshape(k, nblocks * bc)[:, :n]
 
 
-@partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv"))
+def masked_downdate_solve_batch(B_full, F, G_feat, idx, val, cfg: NMFConfig,
+                                fc, X_warm, target=None):
+    """MSE masked solve via gathered per-column Gram DOWNDATES.
+
+    ``B_full`` (k, n) = F @ (train .* A) precomputed with one dense MXU
+    matmul; ``G_feat`` (k, k) = full Gram + ridge/L2/tier-2/target-diag;
+    ``idx``/``val`` (T, n) = excluded-row indices + validity per column.
+    Equivalent to :func:`masked_mse_solve_batch` for 0/1 train weights but
+    ~inv_prob x cheaper (see linalg.gathered_gram_downdate).
+    """
+    k, n = B_full.shape
+    T = idx.shape[0]
+    bc = max(8, min(n, int(1.2e8 / max(k * max(T, 1), 1))))
+    B_pad, _ = _pad_cols(B_full, bc)
+    X_warm_pad, _ = _pad_cols(X_warm, bc)
+    idx_pad = _pad_cols(idx, bc)[0]
+    val_pad = _pad_cols(val, bc)[0]
+    T_pad = _pad_cols(target, bc)[0] if target is not None else None
+    nblocks = B_pad.shape[1] // bc
+
+    def solve_block(blk_idx):
+        b = lax.dynamic_slice_in_dim(B_pad, blk_idx * bc, bc, axis=1)
+        i_blk = lax.dynamic_slice_in_dim(idx_pad, blk_idx * bc, bc, axis=1)
+        v_blk = lax.dynamic_slice_in_dim(val_pad, blk_idx * bc, bc, axis=1)
+        Gb = G_feat[None] - linalg.gathered_gram_downdate(F, i_blk, v_blk)
+        if T_pad is not None:
+            b = b + fc.target_lambda * lax.dynamic_slice_in_dim(
+                T_pad, blk_idx * bc, bc, axis=1)
+        if fc.L1 > 0:
+            b = b - fc.L1
+        if cfg.solver == Solver.CHOLESKY:
+            return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
+        X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
+        B_res = b - solvers.batched_gram_matvec(Gb, X0)
+        return solvers.cd_nnls_batched_gram(
+            Gb, B_res, X0, 0.0, nonneg=fc.nonneg,
+            maxit=cfg.cd_max_iter, cd_tol=cfg.cd_tol)
+
+    X_blocks = lax.map(solve_block, jnp.arange(nblocks))
+    return jnp.transpose(X_blocks, (1, 0, 2)).reshape(k, nblocks * bc)[:, :n]
+
+
+def _excl_indices(train_w, t_max: int):
+    """Excluded-row indices + validity per column, (T, n) each.
+
+    Stable argsort puts excluded rows (train weight 0) first in ascending
+    row order; computed ONCE per fit (the mask is iteration-invariant)."""
+    excl = train_w == 0
+    order = jnp.argsort(jnp.logical_not(excl), axis=0,
+                        stable=True).astype(jnp.int32)[:t_max]
+    val = jnp.take_along_axis(excl, order, axis=0)
+    return order, val.astype(train_w.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "is_cv", "t_max"))
 def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
                     disp_row0, disp_col0, cv_seed_pair,
-                    sparse_zeros: bool, is_cv: bool):
+                    sparse_zeros: bool, is_cv: bool, t_max=None):
     """Unified masked / CV ALS loop.
 
     ``masks`` is a dict with static key-presence: optional ``user_mask``
@@ -185,8 +239,20 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
     has_disp = cfg.dispersion != Dispersion.NONE and is_irls
     active_loss = Loss.KL if is_gp else cfg.loss
 
+    # gathered-downdate fast path for the 0/1-weight MSE solves: excluded
+    # indices are a pure function of the (iteration-invariant) masks, so
+    # the argsort runs ONCE per fit, outside the ALS loop
+    dd_h = dd_w = None
+    if not is_irls and t_max is not None:
+        t_h, t_w = t_max
+        A_train = A * train_w
+        idx_h, val_h = _excl_indices(train_w, t_h)
+        idx_w, val_w = _excl_indices(train_w.T, t_w)
+        dd_h = (idx_h, val_h, A_train)
+        dd_w = (idx_w, val_w, A_train.T)
+
     def solve_side(A_side, F, w_train_side, fc, X_warm, it, th_row, th_col,
-                   graph, target):
+                   graph, target, dd=None):
         # tier-2 features from the previous iterate of the factor being
         # solved, shared across all per-column Grams (cv_detail.hpp:168,272)
         G_add = feat.tier2_gram_addition(X_warm, fc, graph)
@@ -197,6 +263,18 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
                                     th_row, th_col, fc, sparse_zeros,
                                     extra_w=w_train_side, X_warm=Xw,
                                     G_add=G_add, target=tgt)
+        if dd is not None:
+            idxs, vals, A_tr = dd
+            k = F.shape[0]
+            eye = jnp.eye(k, dtype=dtype)
+            G_feat = linalg.gram(F) + fc.L2 * eye     # gram() adds the 1e-15
+            if G_add is not None:
+                G_feat = G_feat + G_add
+            if tgt is not None:
+                G_feat = G_feat + fc.target_lambda * eye
+            B_full = jnp.dot(F, A_tr, precision=PREC)
+            return masked_downdate_solve_batch(B_full, F, G_feat, idxs, vals,
+                                               cfg, fc, Xw, target=tgt)
         return masked_mse_solve_batch(A_side, F, w_train_side, cfg, fc, Xw,
                                       G_add=G_add, target=tgt)
 
@@ -207,22 +285,27 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         th_row = disp_row if (is_nb and not per_col) else None
         th_col = disp_col if (is_nb and per_col) else None
         H_new = solve_side(A, W_T, train_w, cfg.H, H, it, th_row, th_col,
-                           aux.get("graph_H"), aux.get("target_H"))
+                           aux.get("graph_H"), aux.get("target_H"), dd=dd_h)
         if cfg.H.upper_bound > 0:
             H_new = feat.apply_upper_bound(H_new, cfg.H.upper_bound)
         if cfg.H.angular > 0:
             H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
+        if "valid_cols" in masks:
+            # mesh padding: fully-excluded pad columns must stay exact zero
+            H_new = H_new * masks["valid_cols"][None, :].astype(dtype)
         H, d = linalg.extract_scaling(H_new, cfg.norm)
 
         th_row_w = disp_col if (is_nb and per_col) else None
         th_col_w = disp_row if (is_nb and not per_col) else None
         W_new = solve_side(A.T, H, train_w.T, cfg.W, W_T, it,
                            th_row_w, th_col_w,
-                           aux.get("graph_W"), aux.get("target_W"))
+                           aux.get("graph_W"), aux.get("target_W"), dd=dd_w)
         if cfg.W.upper_bound > 0:
             W_new = feat.apply_upper_bound(W_new, cfg.W.upper_bound)
         if cfg.W.angular > 0:
             W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
+        if "valid_rows" in masks:
+            W_new = W_new * masks["valid_rows"][None, :].astype(dtype)
         W_T, d = linalg.extract_scaling(W_new, cfg.norm)
 
         # --- dispersion updates on TRAIN entries only ---
@@ -422,10 +505,37 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                 masks[key] = jax.device_put(
                     masks[key], NamedSharding(mesh, P(axis)))
 
+    # gathered-downdate bound: excluded rows per column <= an 8-sigma
+    # binomial tail of the holdout + exact user-mask column counts + mesh
+    # padding.  Deterministic in (shape, fraction) — NOT the seed — so CV
+    # repetitions keep sharing one compiled executable.  When the bound
+    # stops being small relative to the dim, the general weighted path is
+    # the better kernel (t_max=None).
+    t_max = None
+    if not cfg.requires_irls():
+        import math as _math
+        mq, nq = A_dev.shape
+
+        def cv_bound(d):
+            if not (is_cv and cfg.test_fraction > 0):
+                return 0
+            mean = d * cfg.test_fraction
+            return int(_math.ceil(mean + 8.0 * _math.sqrt(max(mean, 1.0))))
+
+        um_col_max = um_row_max = 0
+        if mask is not None:
+            um_host = np.asarray(masks["user_mask"])
+            um_col_max = int(um_host.sum(axis=0).max())
+            um_row_max = int(um_host.sum(axis=1).max())
+        t_h = min(mq, cv_bound(mq) + um_col_max + (mq - m))
+        t_w = min(nq, cv_bound(nq) + um_row_max + (nq - n))
+        if t_h <= mq // 2 and t_w <= nq // 2:
+            t_max = (t_h, t_w)
+
     state = _fit_masked_jit(cfg_static, A_dev,
                             masks, aux_dev, W_T0, H0, d0,
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
-                            seed_pair, sparse_zeros, is_cv)
+                            seed_pair, sparse_zeros, is_cv, t_max=t_max)
     state = jax.device_get(state)   # one batched transfer
 
     it = int(state.it)

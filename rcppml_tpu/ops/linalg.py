@@ -111,6 +111,33 @@ def weighted_gram_and_rhs(F: jax.Array, w: jax.Array, A_blk: jax.Array):
     return Gb, b
 
 
+def gathered_gram_downdate(F: jax.Array, idx: jax.Array, val: jax.Array):
+    """Per-column Gram DOWNDATE from gathered excluded rows.
+
+    For 0/1 train masks (speckled CV holdout / user masks) the per-column
+    Gram is ``G_j = G_full - sum_{r in excl_j} F[:, r] F[:, r]^T`` — the
+    reference's per-column rank update (cv_detail.hpp:67-84).  With
+    T = max excluded rows per column << m this costs k^2*T*n instead of
+    the general weighted path's k^2*m*n and streams a (bc, k, T) instead
+    of a (bc, k, m) intermediate — both the FLOPs and the HBM traffic
+    drop by ~m/T (= inv_prob for speckled holdouts).
+
+    F (k, m), idx (T, bc) int32 row indices, val (T, bc) 0/1 validity
+    (padding slots carry val 0 and any index).  Returns (bc, k, k) — the
+    term to SUBTRACT from the full Gram.  bf16 MXU with fp32 accumulation
+    on accelerators (same contract as weighted_gram_and_rhs).
+    """
+    Fg = F[:, idx]                                    # (k, T, bc)
+    if jax.default_backend() == "cpu":
+        Fgv = Fg * val[None, :, :]
+        return jnp.einsum("itc,ltc->cil", Fgv, Fg, precision=PREC)
+    Fb = jnp.transpose(Fg, (2, 0, 1)).astype(jnp.bfloat16)   # (bc, k, T)
+    Fbv = Fb * jnp.transpose(val, (1, 0))[:, None, :].astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        Fbv, Fb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 def cosine_rows(F: jax.Array) -> jax.Array:
     """Row-wise cosine similarity matrix (k x k)."""
     norms = jnp.sqrt(jnp.sum(F * F, axis=1))

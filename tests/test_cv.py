@@ -271,3 +271,59 @@ def test_user_mask_excluded_from_cv_test_loss(sim):
     rec = res.W @ np.diag(res.d) @ res.H
     expect = float(np.mean((A[M] - rec[M]) ** 2))
     np.testing.assert_allclose(res.test_loss, expect, rtol=1e-4)
+
+
+def test_downdate_solve_matches_weighted_solve():
+    """The gathered-downdate fast path must agree with the general weighted
+    masked solve (same per-column Gram algebra, rank-T form)."""
+    import jax.numpy as jnp
+    from rcppml_tpu.models.nmf_cv import (_excl_indices,
+                                          masked_downdate_solve_batch,
+                                          masked_mse_solve_batch)
+    from rcppml_tpu.ops import linalg
+    rs = np.random.RandomState(13)
+    m, n, k = 40, 23, 6
+    A = np.abs(rs.normal(size=(m, n))).astype(np.float32)
+    F = np.abs(rs.normal(size=(k, m))).astype(np.float32)
+    train = (rs.uniform(size=(m, n)) > 0.2).astype(np.float32)
+    Hprev = np.abs(rs.normal(size=(k, n))).astype(np.float32)
+    cfg = rt.build_config(k, solver="cholesky", L2=(0.0, 0.3))
+
+    ref = np.asarray(masked_mse_solve_batch(
+        jnp.asarray(A), jnp.asarray(F), jnp.asarray(train), cfg, cfg.H,
+        jnp.asarray(Hprev)))
+
+    t_h = int((train == 0).sum(axis=0).max())
+    idx, val = _excl_indices(jnp.asarray(train), t_h)
+    G_feat = linalg.gram(jnp.asarray(F)) + 0.3 * jnp.eye(k)
+    B_full = jnp.asarray(F) @ jnp.asarray(train * A)
+    out = np.asarray(masked_downdate_solve_batch(
+        B_full, jnp.asarray(F), G_feat, idx, val, cfg, cfg.H,
+        jnp.asarray(Hprev)))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_cv_fit_downdate_equals_weighted(sim):
+    """End-to-end: the downdate fast path and the weighted path produce the
+    same CV fit (forced via t_max)."""
+    import jax.numpy as jnp
+    from rcppml_tpu import rng as rng_mod
+    from rcppml_tpu.models.nmf_cv import _fit_masked_jit
+    from rcppml_tpu.models import nmf as nmf_mod
+    from rcppml_tpu.models.nmf_irls import _init_dispersion
+    A = sim["A"]
+    m, n = A.shape
+    cfg = rt.build_config(4, test_fraction=0.1, cv_seed=3, seed=42, maxit=10,
+                          sort_model=False)
+    W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A)
+    dr0, dc0 = _init_dispersion(cfg, m, n, np.float32)
+    seed_pair = jnp.asarray(rng_mod.seed_to_u32_pair(3))
+    args = (cfg.device_static(), jnp.asarray(A), {}, {}, jnp.asarray(W_T0),
+            jnp.asarray(H0), jnp.asarray(d0), jnp.asarray(dr0),
+            jnp.asarray(dc0), seed_pair, False, True)
+    slow = _fit_masked_jit(*args, t_max=None)
+    fast = _fit_masked_jit(*args, t_max=(m, n))   # full-T: exact same algebra
+    np.testing.assert_allclose(np.asarray(fast.H), np.asarray(slow.H),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(float(fast.test_hist[9]),
+                               float(slow.test_hist[9]), rtol=1e-3)
