@@ -415,7 +415,8 @@ def build_speckled_mask(cfg: NMFConfig, A: np.ndarray) -> np.ndarray:
 
 def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                      aux=None, w_init=None, h_init=None,
-                     sparse_zeros: bool = False, mesh=None) -> NMFResult:
+                     sparse_zeros: bool = False, mesh=None,
+                     use_downdate: bool = False) -> NMFResult:
     """Host driver: CV holdout (computed on device), user mask, or both.
 
     ``mesh``: optional jax.sharding.Mesh — shards A/factors with the
@@ -434,7 +435,10 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                 mask = np.asarray(mask.todense())
         except ImportError:
             pass
-        masks["user_mask"] = jnp.asarray(np.asarray(mask).astype(bool))
+        if isinstance(mask, jax.Array):      # keep device-resident
+            masks["user_mask"] = mask.astype(bool)
+        else:
+            masks["user_mask"] = jnp.asarray(np.asarray(mask).astype(bool))
     if is_cv and cfg.cv_row_subsample < 1.0:
         masks["rows_ok"] = jnp.asarray(rng_mod.subsample_mask_1d(
             int(np.uint32(cfg.cv_seed)), m, cfg.cv_row_subsample,
@@ -508,11 +512,17 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     # gathered-downdate bound: excluded rows per column <= an 8-sigma
     # binomial tail of the holdout + exact user-mask column counts + mesh
     # padding.  Deterministic in (shape, fraction) — NOT the seed — so CV
-    # repetitions keep sharing one compiled executable.  When the bound
-    # stops being small relative to the dim, the general weighted path is
-    # the better kernel (t_max=None).
+    # repetitions keep sharing one compiled executable.
+    #
+    # OPT-IN ONLY (measured 2026-08-17, pbmc3k 13714x2638 on the v5e):
+    # despite ~m/T fewer FLOPs, the gathered path is 4.4x SLOWER than the
+    # weighted einsum (0.45 s vs 0.10 s for 20 CV iters at k=16) — the
+    # F[:, idx] gather is VPU/scalar-bound while the weighted per-column
+    # Gram einsum rides the MXU at full tilt.  Kept as a tested alternate
+    # kernel for hosts/backends where gathers are cheap relative to
+    # dense FLOPs (e.g. very large m with tiny holdouts on CPU).
     t_max = None
-    if not cfg.requires_irls():
+    if use_downdate and not cfg.requires_irls():
         import math as _math
         mq, nq = A_dev.shape
 

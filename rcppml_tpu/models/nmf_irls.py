@@ -301,17 +301,20 @@ def _init_dispersion(cfg: NMFConfig, m: int, n: int, dtype):
     return row, col
 
 
-def _zi_pi_init(A: np.ndarray, cfg: NMFConfig):
-    """Data-driven pi init: min(zero_rate * 0.5, 0.3) (fit_cpu.hpp:355-400)."""
+def _zi_pi_init(A, cfg: NMFConfig):
+    """Data-driven pi init: min(zero_rate * 0.5, 0.3) (fit_cpu.hpp:355-400).
+
+    jnp ops so a device-resident A stays on device (pulling it to host
+    costs ~1.5 s on the tunnel); numpy inputs work identically."""
     m, n = A.shape
-    pi_row = np.zeros((m,), np.float32)
-    pi_col = np.zeros((n,), np.float32)
+    pi_row = jnp.zeros((m,), jnp.float32)
+    pi_col = jnp.zeros((n,), jnp.float32)
     if cfg.zi == ZI.ROW:
-        zr = 1.0 - (A != 0).mean(axis=1)
-        pi_row = np.minimum(zr * 0.5, 0.3).astype(np.float32)
+        zr = 1.0 - jnp.mean((jnp.asarray(A) != 0).astype(jnp.float32), axis=1)
+        pi_row = jnp.minimum(zr * 0.5, 0.3).astype(jnp.float32)
     elif cfg.zi == ZI.COL:
-        zr = 1.0 - (A != 0).mean(axis=0)
-        pi_col = np.minimum(zr * 0.5, 0.3).astype(np.float32)
+        zr = 1.0 - jnp.mean((jnp.asarray(A) != 0).astype(jnp.float32), axis=0)
+        pi_col = jnp.minimum(zr * 0.5, 0.3).astype(jnp.float32)
     return pi_row, pi_col
 
 
@@ -477,7 +480,7 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
     m, n = A_dev.shape
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
     if cfg.has_zi():
-        pi_row0, pi_col0 = _zi_pi_init(np.asarray(A_dev), cfg)
+        pi_row0, pi_col0 = _zi_pi_init(A_dev, cfg)
     else:
         pi_row0 = np.zeros((m,), np.float32)
         pi_col0 = np.zeros((n,), np.float32)
@@ -491,6 +494,11 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
                           jnp.asarray(disp_col0), jnp.asarray(pi_row0),
                           jnp.asarray(pi_col0), sparse_zeros,
                           valid_dims=valid_dims)
+    # selective transfer: everything EXCEPT A_imp — the (m, n) imputed
+    # matrix is a loop-internal buffer and pulling it costs ~1.5 s/145 MB
+    # on the ~100 MB/s tunnel (measured: the entire fixed cost gap between
+    # the IRLS and MSE fits at maxit=1)
+    state = state._replace(A_imp=jnp.zeros((), jnp.float32))
     state = jax.device_get(state)   # one batched transfer
 
     per_col = cfg.dispersion == Dispersion.PER_COL

@@ -126,6 +126,13 @@ def gathered_gram_downdate(F: jax.Array, idx: jax.Array, val: jax.Array):
     (padding slots carry val 0 and any index).  Returns (bc, k, k) — the
     term to SUBTRACT from the full Gram.  bf16 MXU with fp32 accumulation
     on accelerators (same contract as weighted_gram_and_rhs).
+
+    MEASURED 2026-08-17 (pbmc3k 13714x2638, k=16, T~=1670, v5e): the FLOP
+    model does not survive contact with the hardware — the ``F[:, idx]``
+    gather is VPU/scalar-unit work and the downdate fit runs 0.45 s vs
+    the weighted einsum's 0.10 s (20 CV iters, device-resident).  The
+    weighted path stays the default dispatch; this kernel is opt-in
+    (``fit_cv_or_masked(use_downdate=True)``) for gather-cheap backends.
     """
     Fg = F[:, idx]                                    # (k, T, bc)
     if jax.default_backend() == "cpu":

@@ -92,7 +92,7 @@ def main():
     cfg = rt.build_config(16, seed=1, maxit=iters, tol=0.0,
                           test_fraction=0.1, cv_seed=1, sort_model=False)
     A_np = np.asarray(A)
-    _, el = timed(fit_cv_or_masked, A_np, cfg)
+    _, el = timed(fit_cv_or_masked, A, cfg)   # device-resident like all rows
     rec("nmf_cv_k16_pbmc3k", el, iters=iters)
 
     # 5. NB-IRLS zi=row k=20 pbmc3k (BASELINE config #3)
@@ -113,9 +113,10 @@ def main():
 
     # 9. masked NMF k=20 (ref 10K cells: CPU 10.50 GPU 0.75)
     rs = np.random.RandomState(0)
-    M = rs.rand(*A_np.shape) < 0.1
+    import jax.numpy as jnp
+    M = jnp.asarray(rs.rand(*A_np.shape) < 0.1)   # device-resident mask
     cfg = rt.build_config(20, seed=1, maxit=iters, tol=0.0, sort_model=False)
-    _, el = timed(fit_cv_or_masked, A_np, cfg, mask=M)
+    _, el = timed(fit_cv_or_masked, A, cfg, mask=M)
     rec("nmf_masked_k20_pbmc3k", el, ref_cpu=10.50, ref_gpu=0.75,
         iters=iters)
 
