@@ -9,7 +9,12 @@ Execution (graph/fit.hpp):
     available);
   * multi-layer -> outer ALS (fit.hpp:265-355): warmup fits per layer, then
     per-layer single-iteration sweeps warm-started from the current W, until
-    the summed per-layer reconstruction loss converges;
+    the summed per-layer reconstruction loss converges.  Where the reference
+    re-enters the full ``nmf()`` gateway once per layer per sweep, the TPU
+    path compiles the ENTIRE outer ALS (all layers, all sweeps, the
+    convergence test and the per-layer Gram-trick losses) into one
+    ``lax.while_loop`` executable — zero host round-trips per sweep — and
+    falls back to the host-driven loop only for IRLS losses or CV holdouts;
   * SHARED multi-modal inputs are row-concatenated before fitting and W is
     split back into per-input row blocks (R/factor_methods.R:152-221);
   * deeper layers factorize t(H) of their upstream layer
@@ -20,6 +25,7 @@ Execution (graph/fit.hpp):
 from __future__ import annotations
 
 import itertools
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -122,6 +128,85 @@ nmf_layer = NMFLayer
 svd_layer = SVDLayer
 
 
+# ---------------------------------------------------------------------------
+# Global network config (R/factor_net.R:126-158 factor_config ->
+# fn_global_config)
+# ---------------------------------------------------------------------------
+
+_LOSSES = ("mse", "gp", "nb", "gamma", "inverse_gaussian", "tweedie")
+
+
+@dataclass
+class GlobalConfig:
+    """Network-wide fit settings (``fn_global_config``).
+
+    ``dots`` are forwarded to the underlying ``nmf()`` call at fit time as
+    lowest-priority defaults — layer-level kwargs override them
+    (R/factor_net.R:103-108)."""
+    maxit: int = 100
+    tol: float = 1e-4
+    loss: str = "mse"
+    verbose: bool = False
+    seed: Optional[int] = None
+    norm: str = "L1"
+    solver: str = "auto"
+    test_fraction: float = 0.0
+    cv_seed: int = 0
+    mask_zeros: bool = False
+    patience: int = 5
+    dots: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.loss not in _LOSSES:
+            raise ValueError(f"loss must be one of {_LOSSES}")
+        if not (0.0 <= self.test_fraction < 1.0):
+            raise ValueError("test_fraction must be in [0, 1)")
+
+    def replace(self, **kw) -> "GlobalConfig":
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
+
+def factor_config(maxit: int = 100, tol: float = 1e-4, loss: str = "mse",
+                  verbose: bool = False, seed: Optional[int] = None,
+                  norm: str = "L1", solver: str = "auto",
+                  test_fraction: float = 0.0, cv_seed: int = 0,
+                  mask_zeros: bool = False, patience: int = 5,
+                  **dots) -> GlobalConfig:
+    """Global network config (R/factor_net.R:126 ``factor_config()``).
+
+    Extra keyword args land in ``dots`` and are forwarded network-wide to
+    every layer's ``nmf()``/``svd()`` call as lowest-priority defaults."""
+    return GlobalConfig(maxit=int(maxit), tol=float(tol), loss=loss,
+                        verbose=bool(verbose), seed=seed, norm=norm,
+                        solver=solver, test_fraction=float(test_fraction),
+                        cv_seed=int(cv_seed), mask_zeros=bool(mask_zeros),
+                        patience=int(patience), dots=dict(dots))
+
+
+_SIDE_KEYS = {"L1", "L2", "L21", "angular", "upper_bound", "nonneg",
+              "graph", "graph_lambda", "target", "target_lambda"}
+
+
+def _side_config(**kw) -> dict:
+    """Per-side factor config builder (R/factor_net.R ``W()``/``H()``)."""
+    bad = set(kw) - _SIDE_KEYS
+    if bad:
+        raise ValueError(f"unknown factor-config keys {sorted(bad)}; "
+                         f"valid: {sorted(_SIDE_KEYS)}")
+    return dict(kw)
+
+
+def W(**kw) -> dict:
+    """R-style W-side config: ``nmf_layer(x, k, W=W(L1=0.1))``."""
+    return _side_config(**kw)
+
+
+def H(**kw) -> dict:
+    """R-style H-side config: ``nmf_layer(x, k, H=H(L2=0.01))``."""
+    return _side_config(**kw)
+
+
 @dataclass
 class LayerResult:
     W: np.ndarray
@@ -129,6 +214,8 @@ class LayerResult:
     H: np.ndarray
     iterations: int = 0
     loss: float = float("nan")
+    test_loss: float = float("nan")
+    best_test_loss: float = float("nan")
     converged: bool = False
     W_blocks: Optional[Dict[str, np.ndarray]] = None   # shared inputs: split W
 
@@ -148,16 +235,21 @@ class FactorNet:
     """Compiled factorization graph (graph/graph.hpp:115)."""
 
     def __init__(self, inputs: Sequence[Input], output: Node, *,
-                 maxit: int = 100, tol: float = 1e-4, seed: int = 0,
-                 verbose: bool = False):
+                 config: Optional[GlobalConfig] = None,
+                 maxit: Optional[int] = None, tol: Optional[float] = None,
+                 seed: Optional[int] = None, verbose: Optional[bool] = None):
         self.inputs = list(inputs)
         self.output = output
-        self.maxit = maxit
-        self.tol = tol
-        self.seed = seed
-        self.verbose = verbose
+        cfg = config or GlobalConfig()
+        # direct kwargs override the global config (back-compat surface)
+        self.config = cfg
+        self.maxit = cfg.maxit if maxit is None else int(maxit)
+        self.tol = cfg.tol if tol is None else float(tol)
+        self.seed = (cfg.seed if seed is None else seed) or 0
+        self.verbose = cfg.verbose if verbose is None else bool(verbose)
         self._layers: List[Node] = []
         self._compiled = False
+        self._fused_fn = None
 
     # -- topology ----------------------------------------------------------
     def compile(self) -> "FactorNet":
@@ -236,12 +328,19 @@ class FactorNet:
             return np.vstack(mats), blocks
         raise TypeError(f"cannot materialize data from {type(node)}")
 
-    # -- fitting -----------------------------------------------------------
+    # -- per-layer kwargs / config ----------------------------------------
 
-    def _fit_layer(self, layer: Node, data: np.ndarray, *, maxit, w_init=None,
-                   tol=None, seed=None, sort_model=False) -> NMFResult:
-        from ..api import nmf as nmf_api
-        kw = dict(layer.fit_kwargs)
+    def _layer_kwargs(self, layer: Node):
+        """Merged nmf() kwargs for one layer: global dots (lowest priority)
+        < global named settings < layer kwargs / W-H side configs
+        (graph/graph.hpp:246-286 build_layer_config).
+
+        Returns (kw, arrays) with graph/target matrices split out into the
+        ``arrays`` dict keyed graph_W/graph_H/target_W/target_H."""
+        gc = self.config
+        kw = dict(gc.dots)
+        kw.update(layer.fit_kwargs)
+        arrays = {}
         if isinstance(layer, SVDLayer):
             # SVD layers run the same outer-ALS machinery without the
             # nonnegativity constraint (graph/fit.hpp handles both layer
@@ -250,26 +349,51 @@ class FactorNet:
         if isinstance(layer, NMFLayer):
             for side, fc in (("W", layer.W), ("H", layer.H)):
                 for key, val in fc.items():
+                    if key in ("graph", "target"):
+                        arrays[f"{key}_{side}"] = val
+                        continue
                     arr = kw.setdefault(key, [0.0, 0.0] if key != "nonneg"
                                         else [True, True])
                     if np.isscalar(arr):
                         arr = [arr, arr]
                         kw[key] = arr
                     arr[0 if side == "W" else 1] = val
-            kw.setdefault("loss", layer.loss)
+            kw.setdefault("loss", layer.loss if layer.loss != "mse"
+                          else gc.loss)
+        kw.setdefault("solver", gc.solver)
+        kw.setdefault("norm", gc.norm)
+        # graph-level CV settings propagate to every layer (graph.hpp:263-267)
+        kw.setdefault("test_fraction", gc.test_fraction)
+        kw.setdefault("cv_seed", gc.cv_seed)
+        kw.setdefault("mask_zeros", gc.mask_zeros)
+        kw.setdefault("cv_patience", gc.patience)
+        return kw, arrays
+
+    # -- fitting -----------------------------------------------------------
+
+    def _fit_layer(self, layer: Node, data, *, maxit, w_init=None,
+                   tol=None, seed=None, sort_model=False) -> NMFResult:
+        from ..api import nmf as nmf_api
+        kw, arrays = self._layer_kwargs(layer)
         kw["maxit"] = maxit
         if tol is not None:
             kw["tol"] = tol
         kw.setdefault("seed", self.seed if seed is None else seed)
         kw["sort_model"] = sort_model
-        return nmf_api(data, layer.k, w_init=w_init, **kw)
+        return nmf_api(data, layer.k, w_init=w_init, **arrays, **kw)
 
     def _effective_input(self, i: int, states: List[LayerResult],
-                         data_map) -> np.ndarray:
-        """graph/fit.hpp:95-185."""
+                         data_map, xp=np):
+        """graph/fit.hpp:95-185.  ``xp``: numpy for the host path, jnp for
+        the traced/fused path (states then hold (W_T, H, d) device tuples
+        accessed via ``.H``-compatible indexing below)."""
         layer = self._layers[i]
         node, zs = self._resolve_source(layer.input)
         idx_of = {id(l): j for j, l in enumerate(self._layers)}
+
+        def h_of(j):
+            s = states[j]
+            return s.H if hasattr(s, "H") else s[1]
 
         if isinstance(node, (Input, Shared)):
             result = data_map[id(node)][0]
@@ -280,19 +404,17 @@ class FactorNet:
                 j = idx_of.get(id(b))
                 if j is None:
                     raise ValueError("concat branch is not a layer")
-                parts.append(states[j].H.T)
-            result = np.hstack(parts)
+                parts.append(h_of(j).T)
+            result = xp.concatenate(parts, axis=1)
         elif isinstance(node, Add):
             total = None
             for branch in node.inputs:
                 b, _ = self._resolve_source(branch)
-                j = idx_of.get(id(b))
-                h = states[j].H
+                h = h_of(idx_of[id(b)])
                 total = h if total is None else total + h
             result = total.T
         elif isinstance(node, (NMFLayer, SVDLayer)):
-            j = idx_of[id(node)]
-            result = states[j].H.T                       # n x k_prev
+            result = h_of(idx_of[id(node)]).T                # n x k_prev
         else:
             raise TypeError(f"bad input node {type(node)}")
 
@@ -301,8 +423,184 @@ class FactorNet:
             Zo = Z if Z.shape[0] == n else Z.T
             if Zo.shape[0] != n:
                 raise ValueError("conditioning Z dimension mismatch")
-            result = np.hstack([result, Zo.astype(np.float32)])
+            result = xp.concatenate([result, Zo.astype(np.float32)], axis=1)
         return result
+
+    # -- fused on-device deep fit -----------------------------------------
+
+    def _deep_cfgs(self):
+        """Per-layer (NMFConfig, aux arrays) for the fused path; None if a
+        layer needs machinery the fused sweep doesn't cover (IRLS / CV /
+        projective / symmetric / robust)."""
+        from ..api import build_config
+        from ..config import Loss
+        out = []
+        for layer in self._layers:
+            kw, arrays = self._layer_kwargs(layer)
+            for drop in ("maxit", "verbose", "seed", "sort_model"):
+                kw.pop(drop, None)
+            try:
+                cfg = build_config(layer.k, maxit=1, sort_model=False,
+                                   seed=self.seed,
+                                   has_graph_W="graph_W" in arrays,
+                                   has_graph_H="graph_H" in arrays,
+                                   has_target_W="target_W" in arrays,
+                                   has_target_H="target_H" in arrays,
+                                   **kw)
+            except (TypeError, ValueError):
+                return None
+            if (cfg.loss != Loss.MSE or cfg.requires_irls() or cfg.is_cv()
+                    or cfg.projective or cfg.symmetric):
+                return None
+            aux = {}
+            for key, mat in arrays.items():
+                t = np.asarray(mat, dtype=np.float32)
+                aux[key] = t
+                fc = cfg.W if key.endswith("_W") else cfg.H
+                if key.startswith("target") and fc.target_lambda < 0:
+                    aux[key + "_gram"] = (t @ t.T) / t.shape[1]
+            out.append((cfg, aux))
+        return out
+
+    def _build_fused(self, cfgs_auxs, data_ids):
+        """One jitted executable running the whole outer ALS on device.
+
+        All arrays (data panels, covariates, aux matrices, initial states)
+        are jit ARGUMENTS — nothing is closure-captured, so the axon remote
+        compiler never sees them as constants."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from ..ops import linalg
+        from .nmf import make_updates
+
+        layers = self._layers
+        tol = self.tol
+        maxit = self.maxit
+        cfgs = [c for c, _ in cfgs_auxs]
+        z_lists = [self._resolve_source(l.input)[1] for l in layers]
+
+        def eff(i, states, datas, zs):
+            data_map = {nid: (datas[pos], None)
+                        for nid, pos in data_ids.items()}
+            # swap per-layer Zs in for the traced ones
+            layer = layers[i]
+            node, _ = self._resolve_source(layer.input)
+            idx_of = {id(l): j for j, l in enumerate(layers)}
+            if isinstance(node, (Input, Shared)):
+                result = data_map[id(node)][0]
+            elif isinstance(node, Concat):
+                parts = []
+                for branch in node.inputs:
+                    b, _ = self._resolve_source(branch)
+                    parts.append(states[idx_of[id(b)]][1].T)
+                result = jnp.concatenate(parts, axis=1)
+            elif isinstance(node, Add):
+                total = None
+                for branch in node.inputs:
+                    b, _ = self._resolve_source(branch)
+                    h = states[idx_of[id(b)]][1]
+                    total = h if total is None else total + h
+                result = total.T
+            else:
+                result = states[idx_of[id(node)]][1].T
+            for Z in reversed(zs[i]):
+                n = result.shape[0]
+                Zo = Z if Z.shape[0] == n else Z.T
+                result = jnp.concatenate([result, Zo], axis=1)
+            return result
+
+        @jax.jit
+        def run(datas, zs, auxs, states0):
+            def body(carry):
+                states, it, prev_loss, _, _ = carry
+                states = list(states)
+                total = jnp.float32(0.0)
+                for i in range(len(layers)):
+                    h_upd, w_upd, _ = make_updates(cfgs[i], auxs[i])
+                    B = eff(i, states, datas, zs)
+                    W_T, Hm, d = states[i]
+                    Hm, d = h_upd(B, W_T, Hm, d, it + 1)
+                    W_T, Hm, d, B_w, G_w = w_upd(B, W_T, Hm, d, it + 1)
+                    states[i] = (W_T, Hm, d)
+                    # per-layer mean-squared loss via the saved-matrix Gram
+                    # trick (fit.hpp:334-344 computes the dense recon; this
+                    # avoids the (m, n) intermediate entirely)
+                    trB = jnp.sum(B * B)
+                    sse = linalg.mse_loss_from_saved(trB, W_T, d, B_w, G_w)
+                    total = total + sse / (B.shape[0] * B.shape[1])
+                rel = jnp.abs(prev_loss - total) / (jnp.abs(prev_loss) + 1e-15)
+                conv = jnp.isfinite(prev_loss) & (rel < tol)
+                return (tuple(states), it + 1, total, total, conv)
+
+            def cond(carry):
+                _, it, _, _, conv = carry
+                return (it < maxit) & jnp.logical_not(conv)
+
+            init = (states0, jnp.int32(0), jnp.float32(jnp.inf),
+                    jnp.float32(jnp.nan), jnp.bool_(False))
+            return lax.while_loop(cond, body, init)
+
+        return run
+
+    def _fit_deep_fused(self, data_map) -> Optional[GraphResult]:
+        """Fully on-device outer ALS.  Returns None when ineligible (then
+        the host-driven loop below runs, exactly like the reference)."""
+        cfgs_auxs = self._deep_cfgs()
+        if cfgs_auxs is None:
+            return None
+        for layer in self._layers:
+            node, _ = self._resolve_source(layer.input)
+            if isinstance(node, Input) and isinstance(node.data, str):
+                return None
+        import jax
+        import jax.numpy as jnp
+
+        # warmup fits per layer (fit.hpp:280-300), device-resident inputs
+        init_maxit = min(10, self.maxit)
+        seed_base = self.seed if self.seed else 42
+        data_ids = {}
+        datas = []
+        for layer in self._layers:
+            node, _ = self._resolve_source(layer.input)
+            if isinstance(node, (Input, Shared)) and id(node) not in data_ids:
+                data_ids[id(node)] = len(datas)
+                datas.append(jnp.asarray(data_map[id(node)][0]))
+        datas = tuple(datas)
+        dev_map = {nid: (datas[pos], None) for nid, pos in data_ids.items()}
+
+        states: List[tuple] = [None] * self.n_layers      # type: ignore
+        for i, layer in enumerate(self._layers):
+            inp = self._effective_input(i, states, dev_map, xp=jnp)
+            res = self._fit_layer(layer, inp, maxit=init_maxit,
+                                  seed=seed_base + i)
+            states[i] = (jnp.asarray(np.ascontiguousarray(res.W.T)),
+                         jnp.asarray(res.H), jnp.asarray(res.d))
+
+        zs = tuple(tuple(jnp.asarray(Z) for Z in
+                         self._resolve_source(l.input)[1])
+                   for l in self._layers)
+        auxs = tuple({k: jnp.asarray(v) for k, v in aux.items()}
+                     for _, aux in cfgs_auxs)
+
+        if self._fused_fn is None:
+            self._fused_fn = self._build_fused(cfgs_auxs, data_ids)
+        out_states, it, loss, _, conv = jax.device_get(
+            self._fused_fn(datas, zs, auxs, tuple(states)))
+
+        out = GraphResult(total_iterations=int(it), total_loss=float(loss),
+                          converged=bool(conv))
+        for i, layer in enumerate(self._layers):
+            W_T, Hm, d = out_states[i]
+            s = LayerResult(W=np.asarray(W_T).T, d=np.asarray(d),
+                            H=np.asarray(Hm), iterations=int(it),
+                            loss=float(loss), converged=bool(conv))
+            node, _ = self._resolve_source(layer.input)
+            if isinstance(node, Shared):
+                _, blocks = data_map[id(node)]
+                s.W_blocks = {name: s.W[sl] for name, sl in blocks.items()}
+            out.layers[layer.name] = s
+        return out
 
     def fit(self) -> GraphResult:
         if not self._compiled:
@@ -325,6 +623,9 @@ class FactorNet:
                                   sort_model=True)
             lr = LayerResult(W=res.W, d=res.d, H=res.H,
                              iterations=res.iterations, loss=res.train_loss,
+                             test_loss=res.test_loss,
+                             best_test_loss=res.misc.get(
+                                 "best_test_loss", float("nan")),
                              converged=res.converged)
             if blocks:
                 lr.W_blocks = {name: res.W[sl] for name, sl in blocks.items()}
@@ -334,7 +635,16 @@ class FactorNet:
                               converged=res.converged)
             return out
 
-        # ---- multi-layer outer ALS (fit.hpp:265-355) ----
+        # ---- multi-layer outer ALS ----
+        fused = self._fit_deep_fused(data_map)
+        if fused is not None:
+            if self.verbose:
+                print(f"  fused outer ALS: {fused.total_iterations} iters, "
+                      f"loss = {fused.total_loss:.6g}")
+            return fused
+
+        # host-driven fallback (graph/fit.hpp:265-355): IRLS losses, CV
+        # holdouts, streaming inputs
         n_layers = self.n_layers
         states: List[LayerResult] = [None] * n_layers       # type: ignore
         init_maxit = min(10, self.maxit)
@@ -344,7 +654,8 @@ class FactorNet:
             inp = self._effective_input(i, states, data_map)
             res = self._fit_layer(layer, inp, maxit=init_maxit,
                                   seed=seed_base + i)
-            states[i] = LayerResult(W=res.W, d=res.d, H=res.H)
+            states[i] = LayerResult(W=res.W, d=res.d, H=res.H,
+                                    test_loss=res.test_loss)
 
         prev_loss = np.inf
         total_iter = 0
@@ -355,7 +666,8 @@ class FactorNet:
                 res = self._fit_layer(layer, inp, maxit=1, tol=0.0,
                                       w_init=states[i].W,
                                       seed=seed_base + i)
-                states[i] = LayerResult(W=res.W, d=res.d, H=res.H)
+                states[i] = LayerResult(W=res.W, d=res.d, H=res.H,
+                                        test_loss=res.test_loss)
             total_iter += 1
 
             cur_loss = 0.0
@@ -389,60 +701,152 @@ class FactorNet:
         return out
 
 
-def factor_net(inputs, output, *, maxit: int = 100, tol: float = 1e-4,
-               seed: int = 0, verbose: bool = False) -> FactorNet:
+def factor_net(inputs, output, *, config: Optional[GlobalConfig] = None,
+               maxit: Optional[int] = None, tol: Optional[float] = None,
+               seed: Optional[int] = None,
+               verbose: Optional[bool] = None) -> FactorNet:
     """Build (and compile) a FactorNet (R/factor_net.R factor_net())."""
     if isinstance(inputs, Input):
         inputs = [inputs]
-    return FactorNet(inputs, output, maxit=maxit, tol=tol, seed=seed,
-                     verbose=verbose).compile()
+    return FactorNet(inputs, output, config=config, maxit=maxit, tol=tol,
+                     seed=seed, verbose=verbose).compile()
 
 
 def fit(net: FactorNet) -> GraphResult:
     return net.fit()
 
 
-def cross_validate_graph(data_list, k_values, *, test_fraction: float = 0.1,
-                         cv_seed: int = 0, maxit: int = 50, **layer_kwargs):
-    """Grid-search shared-graph hyperparameters with speckled CV
-    (R/cross_validate_graph.R:86): for each k, fit the shared multi-modal
-    model with a holdout and record the held-out error."""
-    from ..api import nmf as nmf_api
-    mats = []
-    for d in data_list:
-        if hasattr(d, "todense"):
-            d = np.asarray(d.todense())
-        mats.append(np.asarray(d, dtype=np.float32))
-    stacked = np.vstack(mats)
-    rows = []
-    for k in k_values:
-        res = nmf_api(stacked, int(k), test_fraction=test_fraction,
-                      cv_seed=cv_seed, maxit=maxit, **layer_kwargs)
-        rows.append({"k": int(k), "train_mse": res.train_loss,
-                     "test_mse": res.test_loss,
-                     "best_test_loss": res.misc.get("best_test_loss")})
-    return rows
+# ---------------------------------------------------------------------------
+# Cross-validation grid / random search (R/cross_validate_graph.R:86-231)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GraphCVResult:
+    """``factor_net_cv``: per-fit rows, per-combo summary, winning params."""
+    results: List[dict]
+    summary: List[dict]
+    best_params: dict
+    config: GlobalConfig
+    params: dict
+    strategy: str
+    reps: int
+    all_fits: Optional[list] = None
+
+    def __repr__(self):
+        lines = ["factor_net cross-validation",
+                 f"  Strategy: {self.strategy} | Reps: {self.reps} | "
+                 f"Combos: {len(self.summary)}",
+                 f"  Holdout: {self.config.test_fraction * 100:.1f}%",
+                 f"  Best: " + ", ".join(f"{k} = {v}"
+                                         for k, v in self.best_params.items())]
+        return "\n".join(lines)
 
 
-def factor_config(side=None, **kw) -> dict:
-    """Per-side factor config builder (R/factor_net.R factor_config/W/H):
-    returns the kwargs dict ``nmf_layer`` expects for its ``W=``/``H=``.
-    Valid keys: L1, L2, L21, angular, upper_bound, nonneg, graph,
-    graph_lambda, target, target_lambda."""
-    valid = {"L1", "L2", "L21", "angular", "upper_bound", "nonneg",
-             "graph", "graph_lambda", "target", "target_lambda"}
-    bad = set(kw) - valid
-    if bad:
-        raise ValueError(f"unknown factor-config keys {sorted(bad)}; "
-                         f"valid: {sorted(valid)}")
-    return dict(kw)
+def cross_validate_graph(inputs, layer_fn, params: dict, *,
+                         config: Optional[GlobalConfig] = None,
+                         reps: int = 3, strategy: str = "grid",
+                         n_random: int = 20, seed: int = 42,
+                         verbose: bool = False,
+                         keep_fits: bool = False) -> GraphCVResult:
+    """Hyperparameter grid/random search with speckled-holdout CV
+    (R/cross_validate_graph.R:86).
 
+    ``layer_fn(p)`` receives one named parameter combination (a dict) and
+    returns the output layer node; each combination is fitted ``reps``
+    times with per-rep CV seeds ``seed + ci*reps + ri`` and ranked by mean
+    held-out test loss.
 
-def W(**kw) -> dict:
-    """R-style W-side config: ``nmf_layer(x, k, W=W(L1=0.1))``."""
-    return factor_config("W", **kw)
+    Example::
 
+        inp = factor_input(X)
+        cv = cross_validate_graph(
+            inp, lambda p: nmf_layer(inp, p["k"], W=W(L1=p["L1"])),
+            params={"k": [3, 5, 10], "L1": [0.0, 0.01]},
+            config=factor_config(maxit=50, seed=42))
+        cv.best_params
+    """
+    if strategy not in ("grid", "random"):
+        raise ValueError("strategy must be 'grid' or 'random'")
+    if not callable(layer_fn):
+        raise ValueError("'layer_fn' must be a function(p) returning the "
+                         "output layer node")
+    if not isinstance(params, dict) or not params:
+        raise ValueError("'params' must be a non-empty dict of parameter "
+                         "value lists")
 
-def H(**kw) -> dict:
-    """R-style H-side config: ``nmf_layer(x, k, H=H(L2=0.01))``."""
-    return factor_config("H", **kw)
+    cfg = config or factor_config()
+    if cfg.test_fraction == 0:
+        cfg = cfg.replace(test_fraction=0.1)
+    if isinstance(inputs, Input):
+        inputs = [inputs]
+
+    names = list(params)
+    grid = [dict(zip(names, combo))
+            for combo in itertools.product(*(params[n] for n in names))]
+    if strategy == "random" and len(grid) > n_random:
+        rs = np.random.RandomState(seed)
+        pick = rs.choice(len(grid), size=n_random, replace=False)
+        grid = [grid[i] for i in sorted(pick)]
+
+    if verbose:
+        print(f"Cross-validating {len(grid)} parameter combinations x "
+              f"{reps} reps = {len(grid) * reps} fits")
+
+    results: List[dict] = []
+    fits = [] if keep_fits else None
+    for ci, p in enumerate(grid):
+        if verbose:
+            print(f"  [{ci + 1}/{len(grid)}] "
+                  + ", ".join(f"{k} = {v}" for k, v in p.items()))
+        for ri in range(1, reps + 1):
+            rep_cv_seed = int(seed + ci * reps + ri)
+            cv_cfg = cfg.replace(cv_seed=rep_cv_seed)
+            row = dict(p)
+            row.update(combo=ci, rep=ri, test_loss=float("nan"),
+                       train_loss=float("nan"), iterations=0,
+                       converged=False)
+            try:
+                output = layer_fn(dict(p))
+                net = factor_net(inputs, output, config=cv_cfg)
+                res = net.fit()
+            except Exception as e:                       # noqa: BLE001
+                warnings.warn(f"fit failed for combo {ci + 1}, rep {ri}: {e}")
+                results.append(row)
+                if fits is not None:
+                    fits.append(None)
+                continue
+            first = res.layers[net._layers[0].name]
+            row.update(test_loss=float(first.test_loss),
+                       train_loss=float(first.loss),
+                       iterations=int(first.iterations),
+                       converged=bool(first.converged))
+            results.append(row)
+            if fits is not None:
+                fits.append(res)
+
+    summary = []
+    for ci, p in enumerate(grid):
+        tl = [r["test_loss"] for r in results
+              if r["combo"] == ci and np.isfinite(r["test_loss"])]
+        trl = [r["train_loss"] for r in results
+               if r["combo"] == ci and np.isfinite(r["train_loss"])]
+        summary.append(dict(
+            p, combo=ci,
+            mean_test_loss=float(np.mean(tl)) if tl else float("nan"),
+            se_test_loss=(float(np.std(tl, ddof=1) / np.sqrt(len(tl)))
+                          if len(tl) > 1 else float("nan")),
+            mean_train_loss=float(np.mean(trl)) if trl else float("nan"),
+            n_valid=len(tl)))
+    summary.sort(key=lambda s: (np.isnan(s["mean_test_loss"]),
+                                s["mean_test_loss"]))
+    best = summary[0] if summary else {}
+    best_params = {k: best[k] for k in names} if best else {}
+
+    if verbose and best:
+        print(f"\nBest: " + ", ".join(f"{k} = {v}"
+                                      for k, v in best_params.items())
+              + f" -> test_loss = {best['mean_test_loss']:.6f}")
+
+    return GraphCVResult(results=results, summary=summary,
+                         best_params=best_params, config=cfg, params=params,
+                         strategy=strategy, reps=reps, all_fits=fits)

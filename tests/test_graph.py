@@ -110,12 +110,132 @@ def test_compile_validation(modalities):
         factor_net(inp, l2)                   # duplicate names
 
 
-def test_cross_validate_graph(modalities):
+def test_cross_validate_graph_grid(modalities):
+    """Reference semantics (R/cross_validate_graph.R:86): layer_fn + named
+    param grid, reps with derived cv_seeds, mean/SE summary, best_params."""
+    from rcppml_tpu.models.graph import factor_config
+    A1, _ = modalities
+    inp = Input(A1, "x")
+    cv = cross_validate_graph(
+        inp, lambda p: NMFLayer(inp, p["k"], name="L"),
+        params={"k": [2, 3]},
+        config=factor_config(maxit=20, seed=42),
+        reps=2, seed=7)
+    assert len(cv.results) == 4                    # 2 combos x 2 reps
+    assert all(np.isfinite(r["test_loss"]) for r in cv.results)
+    # per-rep cv seeds are distinct -> test losses differ within a combo
+    r0 = [r for r in cv.results if r["combo"] == 0]
+    assert r0[0]["test_loss"] != r0[1]["test_loss"]
+    assert cv.best_params["k"] in (2, 3)
+    assert cv.summary[0]["mean_test_loss"] <= cv.summary[-1]["mean_test_loss"]
+    # true k=3 data: higher rank should win the holdout
+    assert cv.best_params["k"] == 3
+
+
+def test_cross_validate_graph_multiparam_random(modalities):
+    """Multi-parameter search + random strategy subsampling."""
+    from rcppml_tpu.models.graph import factor_config, W
+    A1, _ = modalities
+    inp = Input(A1, "x")
+    cv = cross_validate_graph(
+        inp, lambda p: NMFLayer(inp, p["k"], W=W(L1=p["L1"]), name="L"),
+        params={"k": [2, 3], "L1": [0.0, 0.01, 0.1]},
+        config=factor_config(maxit=10, seed=42),
+        reps=1, strategy="random", n_random=3, seed=5)
+    assert len(cv.results) == 3                    # subsampled from 6 combos
+    assert set(cv.best_params) == {"k", "L1"}
+
+
+def test_cross_validate_graph_failed_combo_is_nan(modalities):
+    """A layer_fn error yields a NaN row, not a crash (R: tryCatch)."""
+    A1, _ = modalities
+    inp = Input(A1, "x")
+
+    def bad_layer(p):
+        if p["k"] == 99:
+            raise ValueError("boom")
+        return NMFLayer(inp, p["k"], name="L")
+
+    with pytest.warns(UserWarning):
+        cv = cross_validate_graph(inp, bad_layer, params={"k": [2, 99]},
+                                  reps=1, seed=1)
+    bad = [r for r in cv.results if r["k"] == 99]
+    assert len(bad) == 1 and np.isnan(bad[0]["test_loss"])
+    assert cv.best_params["k"] == 2
+
+
+def test_global_factor_config_propagates(modalities):
+    """factor_config() settings reach every layer as defaults; layer
+    kwargs override (R/factor_net.R:103-108)."""
+    from rcppml_tpu.models.graph import factor_config
+    A1, _ = modalities
+    inp = Input(A1, "x")
+    cfg = factor_config(maxit=15, seed=3, test_fraction=0.1, cv_seed=9)
+    net = factor_net(inp, NMFLayer(inp, 3, name="L"), config=cfg)
+    res = fit(net)
+    assert np.isfinite(res["L"].test_loss)         # CV ran
+
+    # no CV by default
+    net2 = factor_net(inp, NMFLayer(inp, 3, name="L"), maxit=15, seed=3)
+    assert np.isnan(fit(net2)["L"].test_loss)
+
+
+def test_fused_deep_matches_host_loop(modalities):
+    """The fused on-device outer ALS produces the same factors as the
+    host-driven per-layer loop (fixed sweep count, cholesky solver)."""
+    A, _ = modalities
+    inp = Input(A, "x")
+
+    def build():
+        l1 = NMFLayer(inp, 6, name="L1")
+        l2 = NMFLayer(l1, 2, name="L2")
+        return factor_net(inp, l2, maxit=8, tol=0.0, seed=42)
+
+    net_f = build()
+    res_f = fit(net_f)
+    assert net_f._fused_fn is not None             # fused path was taken
+
+    net_h = build()
+    net_h._fit_deep_fused = lambda data_map: None  # force host fallback
+    res_h = fit(net_h)
+
+    assert res_f.total_iterations == res_h.total_iterations == 8
+    np.testing.assert_allclose(res_f.total_loss, res_h.total_loss,
+                               rtol=1e-3)
+    for name in ("L1", "L2"):
+        np.testing.assert_allclose(res_f[name].W, res_h[name].W,
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(res_f[name].H, res_h[name].H,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fused_deep_with_branches(modalities):
+    """Concat/Add/Condition topologies run through the fused executable."""
     A1, A2 = modalities
-    rows = cross_validate_graph([A1, A2], [2, 3], cv_seed=1, maxit=20,
-                                seed=42)
-    assert len(rows) == 2
-    assert all(np.isfinite(r["test_mse"]) for r in rows)
+    i1, i2 = Input(A1, "a"), Input(A2, "b")
+    rs = np.random.RandomState(0)
+    Z = rs.rand(60, 2).astype(np.float32)
+    l1 = NMFLayer(i1, 3, name="b1")
+    l2 = NMFLayer(i2, 2, name="b2")
+    top = NMFLayer(Condition(Concat(l1, l2), Z), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=6, seed=42)
+    res = fit(net)
+    assert net._fused_fn is not None
+    assert res["top"].W.shape == (60, 2)
+    assert res["top"].H.shape == (2, 7)            # k1 + k2 + 2 covariates
+    assert np.isfinite(res.total_loss)
+
+
+def test_deep_irls_loss_falls_back_to_host(modalities):
+    """Non-MSE layers are ineligible for the fused sweep and still fit."""
+    A, _ = modalities
+    inp = Input(np.round(A * 4), "x")
+    l1 = NMFLayer(inp, 4, name="L1", loss="gp", solver="cd")
+    l2 = NMFLayer(l1, 2, name="L2")
+    net = factor_net(inp, l2, maxit=3, seed=42)
+    res = fit(net)
+    assert net._fused_fn is None                   # host path
+    assert np.isfinite(res.total_loss)
 
 
 def test_svd_layer(modalities):
