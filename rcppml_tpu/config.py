@@ -228,6 +228,7 @@ class SVDConfig:
     # CV
     test_fraction: float = 0.0
     cv_seed: int = 0
+    patience: int = 3                  # auto-rank non-improving factors (R/svd.R:43)
 
     def replace(self, **kw) -> "SVDConfig":
         return dataclasses.replace(self, **kw)

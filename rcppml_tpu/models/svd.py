@@ -329,22 +329,27 @@ def _soft_threshold(x, t):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
 
 
-def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound):
+def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound, cv_corr=1.0):
     """One constrained-LS half-update of the KSPR refinement
     (svd/krylov.hpp:420-600): given B = A V (resp. A^T W) and the fixed
     side F_other, solve the ridge system, apply the elementwise constraint
     projection, and return (X, column norms) with X column-normalized.
     Shared between the in-memory and streaming drivers — call inside jit or
-    wrap with jax.jit at the call site."""
+    wrap with jax.jit at the call site.
+
+    ``cv_corr``: held-out-aware denominator correction (1 - test_fraction).
+    Training on the holdout-zeroed matrix shrinks B by that factor in
+    expectation; scaling the Gram and the L1-threshold norms by the same
+    factor unbiases the solve (svd/krylov.hpp:474,521)."""
     k = F_other.shape[1]
-    G = jnp.dot(F_other.T, F_other, precision=PREC) + \
+    G = cv_corr * jnp.dot(F_other.T, F_other, precision=PREC) + \
         (1e-12 + L2) * jnp.eye(k, dtype=F_other.dtype)
     L = lax.linalg.cholesky(G)
     Xt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
     Xt = lax.linalg.triangular_solve(L, Xt, left_side=True, lower=True,
                                      transpose_a=True)
     X = Xt.T
-    norm_sq = jnp.sum(F_other * F_other, axis=0)
+    norm_sq = cv_corr * jnp.sum(F_other * F_other, axis=0)
     if L1 > 0:
         X = _soft_threshold(X, L1 / (2.0 * norm_sq)[None, :])
     if nonneg:
@@ -389,7 +394,7 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
     k_max = min(cfg.k, min(m, n))
     do_cv = cfg.test_fraction > 0
     do_robust = cfg.robust_delta > 0
-    patience = 2
+    patience = cfg.patience
 
     # CV: zero held-out entries in the training matrix; evaluate on them
     cv_corr = 1.0
@@ -418,6 +423,15 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
     best_test = np.inf
     best_k = 0
     pat_ctr = 0
+    if do_cv:
+        # exact per-entry residual tracking (test_entries.hpp TestEntries):
+        # r_ij starts at the true held-out value (training-centered) and
+        # each accepted factor subtracts sigma*u_i*v_j — O(T) per factor
+        # instead of a dense (m, n) reconstruction
+        te_rows, te_cols = np.nonzero(M_test)
+        te_resid = A_np[te_rows, te_cols].astype(np.float64)
+        if center is not None:
+            te_resid = te_resid - np.asarray(center, np.float64)[te_rows]
     # sequential draws mirror the reference per-factor init stream
     rng_state = {"offset": 0}
     seed = cfg.seed if cfg.seed != 0 else 42
@@ -563,10 +577,10 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         iters_per_factor.append(it)
 
         if do_cv:
-            rec = (U_all[:, :kk + 1] * d_all[None, :kk + 1]) @ V_all[:, :kk + 1].T
-            if center is not None:
-                rec = rec + center[:, None]
-            test_mse = float(np.mean((A_np[M_test] - rec[M_test]) ** 2))
+            te_resid = te_resid - sigma * (U_all[te_rows, kk].astype(np.float64)
+                                           * V_all[te_cols, kk])
+            test_mse = (float(np.mean(te_resid ** 2)) if te_resid.size
+                        else 0.0)
             test_traj.append(test_mse)
             if test_mse < best_test:
                 best_test = test_mse
@@ -592,6 +606,35 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
 # Krylov-Seeded Projected Refinement (constrained SVD; svd/krylov.hpp)
 # ---------------------------------------------------------------------------
 
+def _cv_rank_select(A_orig, M_test, U, d, V, center, patience):
+    """Exact per-entry held-out test-loss evaluation (svd/test_entries.hpp).
+
+    The residual of every held-out entry (true value, row-centered like the
+    training matrix) is updated as factors are added in descending-sigma
+    order — ``r_ij -= sigma_k u_k(i) v_k(j)`` — and rank selection follows
+    the patience rule on the exact test MSE (krylov.hpp:698-731,
+    deflation.hpp:869-895).  Returns (best_k, best_mse, trajectory)."""
+    rows, cols = np.nonzero(M_test)
+    resid = A_orig[rows, cols].astype(np.float64)
+    if center is not None:
+        resid = resid - np.asarray(center, np.float64)[rows]
+    best = np.inf
+    best_k = 0
+    pat = 0
+    traj = []
+    for rank in range(d.shape[0]):
+        resid = resid - float(d[rank]) * U[rows, rank] * V[cols, rank]
+        mse = float(np.mean(resid ** 2)) if resid.size else 0.0
+        traj.append(mse)
+        if mse < best:
+            best, best_k, pat = mse, rank + 1, 0
+        else:
+            pat += 1
+            if pat >= patience:
+                break
+    return best_k, best, traj
+
+
 def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     """KSPR constrained SVD: Lanczos seed -> batched projected refinement
     (svd/krylov.hpp:420-600).
@@ -600,12 +643,33 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     elementwise constraint projection (L1 soft-threshold at L1/(2 norm_sq),
     nonneg clip) -> column normalization with scale absorbed into d.
     Falls back to pure Lanczos when no constraints are active.
+
+    With ``cfg.test_fraction > 0`` the fit is held-out-aware
+    (svd/krylov.hpp:397-414,474,521 + test_entries.hpp): the Lanczos seed
+    and every refinement pass see only the holdout-zeroed training matrix,
+    the Gram/norm denominators carry the ``1 - test_fraction`` correction,
+    and rank is selected by exact per-entry test MSE with patience.
     """
     has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
                       cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
                       cfg.u.L21 > 0 or cfg.v.L21 > 0)
+    do_cv = cfg.test_fraction > 0
+
+    M_test = None
+    cv_corr = 1.0
+    A_orig = None
+    if do_cv:
+        from .. import rng as rng_mod
+        A_orig = np.asarray(_densify(A), dtype=np.float32)
+        inv_prob = int(1.0 / cfg.test_fraction)
+        M_test = rng_mod.holdout_mask(
+            cfg.cv_seed if cfg.cv_seed else cfg.seed,
+            A_orig.shape[0], A_orig.shape[1], inv_prob)
+        cv_corr = 1.0 - cfg.test_fraction
+        A = A_orig * (~M_test)          # phases 1+2 train on zeroed matrix
+
     seed_res = lanczos_svd(A, cfg)
-    if not has_constraints:
+    if not has_constraints and not do_cv:
         return seed_res
 
     A_np = np.asarray(_densify(A), dtype=np.float32)
@@ -626,12 +690,12 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     def one_pass(W, V, d):
         B = jnp.dot(Ad, V, precision=PREC)                     # (m, k)
         W, d = _kspr_half(V, B, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
-                          cfg.u.upper_bound)
+                          cfg.u.upper_bound, cv_corr)
         B = jnp.dot(Ad.T, W, precision=PREC)                   # (n, k)
         # d REPLACED by the raw column norm each half-update — W and V stay
         # unit-norm, d tracks the singular value (krylov.hpp:424-427)
         V, d = _kspr_half(W, B, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
-                          cfg.v.upper_bound)
+                          cfg.v.upper_bound, cv_corr)
         return W, V, d
 
     W = jnp.asarray(np.abs(seed_res.U) if cfg.u.nonneg else seed_res.U)
@@ -651,8 +715,21 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
         prev_W = W
 
     order = np.argsort(-np.asarray(d), kind="stable")
-    return SVDResult(U=np.asarray(W)[:, order], d=np.asarray(d)[order],
-                     V=np.asarray(V)[:, order], k_selected=k,
+    U_np = np.asarray(W)[:, order]
+    d_np = np.asarray(d)[order]
+    V_np = np.asarray(V)[:, order]
+
+    if do_cv:
+        best_k, best_mse, traj = _cv_rank_select(
+            A_orig, M_test, U_np, d_np, V_np, center, cfg.patience)
+        k_sel = best_k if best_k > 0 else k
+        res = SVDResult(U=U_np[:, :k_sel], d=d_np[:k_sel], V=V_np[:, :k_sel],
+                        k_selected=k_sel, converged=converged,
+                        iterations=passes, center=center, test_loss=best_mse)
+        res.misc["test_loss_trajectory"] = traj
+        return res
+
+    return SVDResult(U=U_np, d=d_np, V=V_np, k_selected=k,
                      converged=converged, iterations=passes, center=center)
 
 
@@ -667,6 +744,8 @@ def _auto_select_method(cfg: SVDConfig, k: int) -> str:
         return "deflation"            # only robust-capable method
     if has_constraints:
         return "krylov" if k >= 8 else "deflation"
+    if cfg.test_fraction > 0:
+        return "deflation"            # CV needs held-out-aware solves (R/svd.R:383)
     # benchmark-derived accelerator policy (auto_select.hpp:60-99):
     # small k -> Lanczos; mid -> randomized; large -> IRLBA
     if k < 32:
@@ -748,24 +827,18 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                          f"{sorted(methods)} or 'auto'")
     fn = methods[method]
 
-    # SVD CV for non-deflation methods (svd/test_entries.hpp analog):
-    # fit on the train matrix (held-out entries zeroed), evaluate held-out
-    # MSE.  Deflation carries its own per-factor holdout machinery.
-    if cfg.test_fraction > 0 and method != "deflation":
-        from .. import rng as rng_mod
-        A_np = _densify(data)
-        A_np = np.asarray(A_np, dtype=np.float32)
-        inv_prob = int(1.0 / cfg.test_fraction)
-        M = rng_mod.holdout_mask(cfg.cv_seed if cfg.cv_seed else cfg.seed,
-                                 A_np.shape[0], A_np.shape[1], inv_prob)
-        res = fn(A_np * (~M), cfg)
-        # zeroed holdout entries shrink the fitted scale by (1 - fraction);
-        # unbias like deflation's cv_denom_correction (deflation.hpp:548-556)
-        rec = res.reconstruct() / (1.0 - cfg.test_fraction)
-        res.test_loss = float(np.mean((A_np[M] - rec[M]) ** 2))
-        res.misc["method"] = method
-        res.row_names, res.col_names = row_names, col_names
-        return res
+    # CV is supported by the held-out-aware solvers only (R/svd.R:284,313:
+    # cv_methods = deflation, krylov).  Auto-rank requires one of them;
+    # for a plain test_fraction the reference silently disables CV — we
+    # warn instead of dropping the argument silently.
+    if cfg.test_fraction > 0 and method not in ("deflation", "krylov"):
+        if auto_k:
+            raise ValueError(f"method {method!r} does not support auto-rank; "
+                             "use 'deflation', 'krylov', or method='auto'")
+        import warnings
+        warnings.warn(f"method {method!r} does not support cross-validation; "
+                      "test_fraction ignored (use 'deflation' or 'krylov')")
+        cfg = cfg.replace(test_fraction=0.0)
 
     res = fn(data, cfg)
     res.misc["method"] = method

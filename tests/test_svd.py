@@ -192,17 +192,54 @@ def test_streaming_svd_centered(lowrank):
     np.testing.assert_allclose(res.d, _exact_svals(Ac, 3), rtol=1e-2)
 
 
-def test_svd_cv_nondeflation(lowrank):
-    """Held-out CV for krylov/lanczos methods (test_entries.hpp analog):
-    test error is minimized where true signal exceeds the holdout noise and
-    rises again for overfit ranks."""
-    def t(k):
-        return svd(lowrank, k, method="lanczos", test_fraction=0.1,
-                   cv_seed=3, seed=1).test_loss
-    t2, t4, t12 = t(2), t(4), t(12)
-    assert np.isfinite(t2) and np.isfinite(t4) and np.isfinite(t12)
-    assert t4 < t2            # strong components help
-    assert t12 > t4           # weak components overfit the holdout
+def test_svd_cv_krylov_heldout_aware(lowrank):
+    """Krylov CV is held-out-aware (svd/krylov.hpp:397-414 + test_entries):
+    train on the zeroed matrix with the (1 - f) denominator correction and
+    select rank by exact per-entry test MSE with patience."""
+    res = svd(lowrank, 12, method="krylov", test_fraction=0.1,
+              cv_seed=3, seed=1)
+    assert np.isfinite(res.test_loss)
+    traj = res.misc["test_loss_trajectory"]
+    assert len(traj) >= res.k_selected
+    # the selected rank minimizes the trajectory and truncates the factors
+    assert res.k_selected == int(np.argmin(traj)) + 1
+    assert res.U.shape[1] == res.d.shape[0] == res.k_selected
+    assert res.test_loss == pytest.approx(min(traj))
+    # data has 8 planted components over noise at 0.01: strong ones must
+    # survive selection, and the holdout must reject clear overfit ranks
+    assert 4 <= res.k_selected <= 12
+
+
+def test_svd_cv_denominator_correction_unbiases(lowrank):
+    """Without the 1-f Gram correction, singular values trained on the
+    zeroed matrix shrink by ~(1 - f); with it they match the full-data
+    scale (deflation.hpp:547-556 rationale)."""
+    ref = _exact_svals(lowrank, 3)
+    res = svd(lowrank, 8, method="krylov", test_fraction=0.2,
+              cv_seed=5, seed=1)
+    # corrected: within a few percent of the true scale
+    np.testing.assert_allclose(res.d[:3], ref, rtol=0.05)
+    # uncorrected comparison: plain lanczos on the zeroed matrix shrinks
+    from rcppml_tpu import rng as rng_mod
+    M = rng_mod.holdout_mask(5, *lowrank.shape, int(1 / 0.2))
+    shrunk = svd(lowrank * (~M), 3, method="lanczos", seed=1).d
+    assert np.all(shrunk < ref * 0.9)
+
+
+def test_svd_cv_nonsupporting_method_warns(lowrank):
+    """Reference restricts CV to deflation/krylov (R/svd.R:284,313); other
+    methods drop test_fraction — loudly here, silently in R."""
+    with pytest.warns(UserWarning, match="does not support cross-validation"):
+        res = svd(lowrank, 4, method="lanczos", test_fraction=0.1, seed=1)
+    assert np.isnan(res.test_loss)
+
+
+def test_svd_cv_auto_method_resolves_heldout_capable(lowrank):
+    """method='auto' with CV resolves to a held-out-aware solver
+    (R/svd.R:383: deflation)."""
+    res = svd(lowrank, 6, method="auto", test_fraction=0.1, cv_seed=2, seed=1)
+    assert np.isfinite(res.test_loss)
+    assert len(res.misc["test_loss_trajectory"]) >= 1
 
 
 def test_svd_sparse_input():
