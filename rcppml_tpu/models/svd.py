@@ -111,19 +111,9 @@ def _seed_vector(n: int, seed: int) -> np.ndarray:
 # Golub-Kahan bidiagonalization with full reorthogonalization
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("steps",), static_argnums=())
-def _gkb_extend(A, center_vec, scale_vec, U, V, alphas, betas, start, v_next,
-                *, steps: int):
-    """Extend a GKB factorization from column ``start`` to ``steps``.
-
-    U (m, steps), V (n, steps) hold computed vectors in their first ``start``
-    columns (zeros elsewhere, so full-basis projections are exact).  Returns
-    updated (U, V, alphas, betas, v_last).  Recursion (svd/lanczos.hpp):
-
-        alpha_j u_j = A v_j - beta_{j-1} u_{j-1}   (+ reorth vs U)
-        beta_j v_{j+1} = A^T u_j - alpha_j v_j      (+ reorth vs V)
-    """
-    op = _Op(A, center_vec, scale_vec)
+def _gkb_extend_impl(op, U, V, alphas, betas, start, v_next, steps: int):
+    """Trace-level GKB extension shared by the jitted wrapper below and the
+    fully-fused IRLBA while_loop."""
 
     def body(j, carry):
         U, V, alphas, betas, v = carry
@@ -153,6 +143,22 @@ def _gkb_extend(A, center_vec, scale_vec, U, V, alphas, betas, start, v_next,
 
     return lax.fori_loop(start, steps, body,
                          (U, V, alphas, betas, v_next))
+
+
+@partial(jax.jit, static_argnames=("steps",), static_argnums=())
+def _gkb_extend(A, center_vec, scale_vec, U, V, alphas, betas, start, v_next,
+                *, steps: int):
+    """Extend a GKB factorization from column ``start`` to ``steps``.
+
+    U (m, steps), V (n, steps) hold computed vectors in their first ``start``
+    columns (zeros elsewhere, so full-basis projections are exact).  Returns
+    updated (U, V, alphas, betas, v_last).  Recursion (svd/lanczos.hpp):
+
+        alpha_j u_j = A v_j - beta_{j-1} u_{j-1}   (+ reorth vs U)
+        beta_j v_{j+1} = A^T u_j - alpha_j v_j      (+ reorth vs V)
+    """
+    op = _Op(A, center_vec, scale_vec)
+    return _gkb_extend_impl(op, U, V, alphas, betas, start, v_next, steps)
 
 
 def lanczos_svd(A, cfg: SVDConfig) -> SVDResult:
@@ -272,9 +278,93 @@ def _irlba_core(op, gkb_extend, m, n, k, work, max_restarts, tol, seed):
                      iterations=restarts)
 
 
+@partial(jax.jit, static_argnames=("k", "work", "max_restarts"))
+def _irlba_fused(A, center_vec, scale_vec, v0, tol, *, k: int, work: int,
+                 max_restarts: int):
+    """Whole-IRLBA kernel: every restart — the (work x work) projected SVD,
+    the thick-restart basis rotation, the augmented GKB extension and the
+    coupling-residual convergence test — runs inside ONE lax.while_loop,
+    so a fit is a single device dispatch with no per-restart host syncs
+    (the reference's host loop in svd/irlba.hpp becomes pure XLA).
+    """
+    op = _Op(A, center_vec, scale_vec)
+    m, n = op.shape
+    dtype = jnp.float32
+    iw = jnp.arange(work)
+
+    U0 = jnp.zeros((m, work), dtype)
+    V0 = jnp.zeros((n, work), dtype)
+    U0, V0, alphas, betas, v_next = _gkb_extend_impl(
+        op, U0, V0, jnp.zeros((work,), dtype), jnp.zeros((work,), dtype),
+        0, v0, work)
+    B0 = jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+
+    def restart(U, V, B, betas, v_next):
+        P, s, Qt = jnp.linalg.svd(B)
+        Pk = P[:, :k]
+        U_new = jnp.dot(U, Pk, precision=PREC)                      # (m, k)
+        V_new = jnp.dot(V, Qt[:k].T, precision=PREC)                # (n, k)
+        rho = betas[-1] * P[-1, :k]                                 # coupling
+
+        U = jnp.zeros((m, work), dtype).at[:, :k].set(U_new)
+        V = jnp.zeros((n, work), dtype).at[:, :k].set(V_new)
+
+        u = op.mv(v_next) - jnp.dot(U_new, rho, precision=PREC)
+        u = u - jnp.dot(U, jnp.dot(U.T, u, precision=PREC), precision=PREC)
+        alpha_k = jnp.sqrt(jnp.sum(u * u))
+        u = u / jnp.maximum(alpha_k, 1e-30)
+        U = U.at[:, k].set(u)
+        V = V.at[:, k].set(v_next)
+
+        w = op.rmv(u)
+        w = w - jnp.dot(V, jnp.dot(V.T, w, precision=PREC), precision=PREC)
+        beta_k = jnp.sqrt(jnp.sum(w * w))
+        v2 = w / jnp.maximum(beta_k, 1e-30)
+
+        al = jnp.zeros((work,), dtype).at[k].set(alpha_k)
+        be = jnp.zeros((work,), dtype).at[k].set(beta_k)
+        U, V, al, be, v_next = _gkb_extend_impl(op, U, V, al, be, k + 1, v2,
+                                                work)
+
+        # projected matrix after thick restart:
+        #   [ diag(s_k)  rho ; 0  alpha/beta bidiagonal chain ]
+        B = jnp.zeros((work, work), dtype)
+        B = B.at[jnp.arange(k), jnp.arange(k)].set(s[:k].astype(dtype))
+        B = B.at[jnp.arange(k), k].set(rho)
+        B = B + jnp.diag(jnp.where(iw >= k, al, 0.0))
+        B = B + jnp.diag(jnp.where(iw[:-1] >= k, be[:-1], 0.0), 1)
+        return U, V, B, be, v_next
+
+    def cond(carry):
+        _, _, _, _, _, it, conv = carry
+        return (it < max_restarts) & jnp.logical_not(conv)
+
+    def body(carry):
+        U, V, B, betas, v_next, it, _ = carry
+        P, s, _ = jnp.linalg.svd(B)
+        res = jnp.abs(betas[-1] * P[-1, :k])
+        conv = jnp.all(res < tol * jnp.maximum(s[0], 1e-30))
+        U, V, B, betas, v_next = lax.cond(
+            conv, lambda a: a[:5], lambda a: restart(*a[:5]),
+            (U, V, B, betas, v_next))
+        return (U, V, B, betas, v_next, it + 1, conv)
+
+    U, V, B, betas, v_next, it, conv = lax.while_loop(
+        cond, body, (U0, V0, B0, betas, v_next, jnp.int32(0),
+                     jnp.bool_(False)))
+    P, s, Qt = jnp.linalg.svd(B)
+    Uk = jnp.dot(U, P[:, :k], precision=PREC)
+    Vk = jnp.dot(V, Qt[:k].T, precision=PREC)
+    return Uk, s[:k], Vk, it, conv
+
+
 def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
     """Augmented implicitly-restarted Lanczos bidiagonalization
-    (Baglama & Reichel; svd/irlba.hpp, work = k + 7)."""
+    (Baglama & Reichel; svd/irlba.hpp, work = k + 7).
+
+    In-memory fits run the fully-fused on-device kernel (:func:`_irlba_fused`,
+    one dispatch per fit); the host-loop core (:func:`_irlba_core`) remains
+    for the streaming driver's chunked matvecs."""
     op, center, scale = _prep(A, cfg)
     m, n = op.shape
     k = min(cfg.k, min(m, n) - 1) if min(m, n) > 1 else 1
@@ -282,11 +372,13 @@ def irlba_svd(A, cfg: SVDConfig) -> SVDResult:
     max_restarts = cfg.max_iter if cfg.max_iter > 0 else 100
     tol = cfg.tol if cfg.tol > 0 else 1e-5
 
-    def gkb(U, V, alphas, betas, start, v_next):
-        return _gkb_extend(op.A, center, scale, U, V, alphas, betas,
-                           start, v_next, steps=work)
-
-    res = _irlba_core(op, gkb, m, n, k, work, max_restarts, tol, cfg.seed)
+    v0 = jnp.asarray(_seed_vector(n, cfg.seed))
+    Uk, d, Vk, it, conv = jax.device_get(_irlba_fused(
+        op.A, center, scale, v0, jnp.float32(tol),
+        k=k, work=work, max_restarts=max_restarts))
+    res = SVDResult(U=np.asarray(Uk), d=np.asarray(d, np.float32),
+                    V=np.asarray(Vk), k_selected=k, converged=bool(conv),
+                    iterations=int(it))
     res.center = np.asarray(center) if center is not None else None
     res.scale = (1.0 / np.asarray(scale)) if scale is not None else None
     return res
