@@ -211,7 +211,8 @@ def _extract_dimnames(data):
 
 def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         target_W=None, w_init=None, h_init=None, streaming=False,
-        chunk_cols=None, on_iteration=None, mesh=None, **kwargs):
+        chunk_cols=None, on_iteration=None, mesh=None,
+        checkpoint_path=None, checkpoint_every=10, **kwargs):
     """Fit A ~ W diag(d) H.  The main entry point (R/nmf_thin.R:219).
 
     ``k`` may be an int (single fit), a sequence of ints with
@@ -286,6 +287,19 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     def _named(res):
         res.row_names, res.col_names = row_names, col_names
         return res
+
+    if checkpoint_path is not None:
+        # preemption-safe segmented fused fit (SURVEY §5); resumes from the
+        # checkpoint if one exists at the path
+        if cfg.is_cv() or mask is not None or mesh is not None:
+            raise ValueError("checkpoint_path currently supports the "
+                             "standard dense fit (no CV/mask/mesh)")
+        from .utils.checkpoint import fit_checkpointed
+        res = fit_checkpointed(A, cfg, checkpoint_path,
+                               every=int(checkpoint_every),
+                               w_init=w_init, h_init=h_init, aux=aux)
+        res.misc["config"] = cfg
+        return _named(res)
 
     if cfg.is_cv() or mask is not None:
         from .models.nmf_cv import fit_cv_or_masked

@@ -151,16 +151,13 @@ def make_updates(cfg: NMFConfig, aux):
     return h_update, w_update, compute_loss
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
-    """Dense MSE ALS fit, fully on-device (standard / projective / symmetric).
-
-    ``aux`` is a dict whose key set is static (part of the jit cache key):
-    optional 'graph_W', 'graph_H' (dense Laplacians), 'target_H'/'target_W'
-    and their precomputed '. _gram' entries for PROJ_ADV.
-    """
+def _mse_loop(cfg: NMFConfig, A, aux, init: FitState, seg_end):
+    """The fused ALS while_loop, shared by the whole-fit and segmented
+    (checkpointing) drivers.  ``seg_end`` is a traced iteration bound —
+    the loop stops at ``min(seg_end, cfg.max_iter)`` so every segment of
+    a checkpointed fit reuses ONE compiled executable."""
     dtype = A.dtype
-    max_iter = cfg.max_iter
+    bound = jnp.minimum(seg_end, cfg.max_iter)
     tol = jnp.asarray(cfg.tol, dtype)
     h_update, w_update, compute_loss = make_updates(cfg, aux)
 
@@ -189,18 +186,40 @@ def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
                         final_tol, loss_hist)
 
     def cond(state: FitState):
-        return (state.it < max_iter) & jnp.logical_not(state.converged)
+        return (state.it < bound) & jnp.logical_not(state.converged)
 
-    init = FitState(
+    return lax.while_loop(cond, body, init)
+
+
+def _init_fit_state(cfg: NMFConfig, W_T0, H0, d0, dtype=jnp.float32) -> FitState:
+    return FitState(
         W_T=W_T0, H=H0, d=d0,
         it=jnp.int32(0),
         prev_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
         patience_ctr=jnp.int32(0),
         converged=jnp.bool_(False),
         final_tol=jnp.asarray(jnp.nan, dtype),
-        loss_hist=jnp.full((max_iter,), jnp.nan, dtype),
+        loss_hist=jnp.full((cfg.max_iter,), jnp.nan, dtype),
     )
-    return lax.while_loop(cond, body, init)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_mse(cfg: NMFConfig, A, W_T0, H0, d0, aux):
+    """Dense MSE ALS fit, fully on-device (standard / projective / symmetric).
+
+    ``aux`` is a dict whose key set is static (part of the jit cache key):
+    optional 'graph_W', 'graph_H' (dense Laplacians), 'target_H'/'target_W'
+    and their precomputed '. _gram' entries for PROJ_ADV.
+    """
+    init = _init_fit_state(cfg, W_T0, H0, d0, A.dtype)
+    return _mse_loop(cfg, A, aux, init, jnp.int32(cfg.max_iter))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_mse_seg(cfg: NMFConfig, A, state: FitState, aux, seg_end):
+    """Resume the fused ALS loop from an existing state up to ``seg_end``
+    iterations (traced) — the checkpointing segment kernel."""
+    return _mse_loop(cfg, A, aux, state, seg_end)
 
 
 # ---------------------------------------------------------------------------

@@ -29,14 +29,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import NMFConfig
 
 
-def default_mesh(devices=None, shape=None) -> Mesh:
+def check_device_health(devices=None, *, timeout: float = 60.0):
+    """Verify every device computes: a tiny committed computation per chip,
+    with a timeout so a hung device is reported rather than deadlocking
+    the job (SURVEY §5 failure-detection: catch a dead chip at mesh init,
+    not mid-fit).  Raises RuntimeError naming the failing devices."""
+    import concurrent.futures
+
+    devices = list(devices if devices is not None else jax.devices())
+
+    def probe(dev):
+        x = jax.device_put(jnp.asarray([1.0, 2.0], jnp.float32), dev)
+        y = np.asarray(jax.device_get(x * 2.0 + 1.0))
+        if not np.allclose(y, [3.0, 5.0]):
+            raise RuntimeError(f"wrong arithmetic result {y}")
+
+    bad = []
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        futs = {ex.submit(probe, d): d for d in devices}
+        for fut, dev in futs.items():
+            try:
+                fut.result(timeout=timeout)
+            except concurrent.futures.TimeoutError:
+                bad.append(f"{dev}: no response within {timeout:.0f}s (hung)")
+            except Exception as e:                       # noqa: BLE001
+                bad.append(f"{dev}: {e!r}")
+    if bad:
+        raise RuntimeError("unhealthy devices at mesh init:\n  "
+                           + "\n  ".join(bad))
+    return devices
+
+
+def default_mesh(devices=None, shape=None, *, health_check: bool = False) -> Mesh:
     """Build a (rows, cols) mesh over the given (or all) devices.
 
     ``shape``: optional (n_rows, n_cols); defaults to the most square
     factorization of the device count, biased toward the cols axis (samples
-    usually outnumber features).
+    usually outnumber features).  ``health_check=True`` probes every device
+    first (:func:`check_device_health`).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if health_check:
+        check_device_health(devices)
     n = len(devices)
     if shape is None:
         r = int(math.sqrt(n))

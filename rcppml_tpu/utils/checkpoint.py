@@ -111,6 +111,129 @@ class CheckpointCallback:
             save_model(model, self.path)
 
 
+# ---------------------------------------------------------------------------
+# Preemption-safe checkpointing of the FUSED while-loop fit (SURVEY §5)
+# ---------------------------------------------------------------------------
+
+def save_fit_state(state, cfg: NMFConfig, path: str) -> None:
+    """Atomically persist a raw FitState (host leaves) + config."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez_compressed(
+            tmp,
+            W_T=np.asarray(state.W_T), H=np.asarray(state.H),
+            d=np.asarray(state.d), loss_hist=np.asarray(state.loss_hist),
+            scalars=np.asarray([float(state.it), float(state.prev_loss),
+                                float(state.patience_ctr),
+                                float(state.converged),
+                                float(state.final_tol)], np.float64),
+            config=np.asarray(_cfg_to_json(cfg)))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def load_fit_state(path: str, cfg: NMFConfig):
+    """Load a raw FitState checkpoint and validate it against ``cfg``.
+
+    ``max_iter`` may GROW relative to the stored config (continue-training);
+    every other field must match, so a resume can never silently change the
+    optimization problem."""
+    from ..models.nmf import FitState
+    with np.load(path, allow_pickle=False) as z:
+        stored = json.loads(str(z["config"]))
+        current = json.loads(_cfg_to_json(cfg))
+        stored_mi, current_mi = stored.pop("max_iter"), current.pop("max_iter")
+        if stored != current:
+            diff = {k for k in current
+                    if stored.get(k) != current.get(k)}
+            raise ValueError(
+                f"checkpoint config mismatch on fields {sorted(diff)}; "
+                "resume with the same configuration (only maxit may grow)")
+        it = int(z["scalars"][0])
+        if current_mi < it:
+            raise ValueError(f"checkpoint already has {it} iterations but "
+                             f"maxit = {current_mi}")
+        hist = np.asarray(z["loss_hist"], np.float32)
+        if current_mi > hist.shape[0]:
+            hist = np.concatenate([
+                hist, np.full((current_mi - hist.shape[0],), np.nan,
+                              np.float32)])
+        sc = z["scalars"]
+        return FitState(
+            W_T=np.asarray(z["W_T"], np.float32),
+            H=np.asarray(z["H"], np.float32),
+            d=np.asarray(z["d"], np.float32),
+            it=np.int32(it), prev_loss=np.float32(sc[1]),
+            patience_ctr=np.int32(sc[2]), converged=bool(sc[3] > 0.5),
+            final_tol=np.float32(sc[4]), loss_hist=hist)
+
+
+def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
+                     w_init=None, h_init=None, aux=None) -> NMFResult:
+    """Preemption-safe fused fit: run the on-device while_loop in segments
+    of ``every`` iterations, atomically checkpointing the full fit state
+    after each segment, and resume from ``path`` if it exists.
+
+    Every segment reuses ONE compiled executable (the segment bound is a
+    traced scalar), so the fused-loop performance is preserved — the only
+    added cost is one state transfer + npz write per ``every`` iterations.
+    Identical math to the unsegmented fit: splitting a while_loop at
+    iteration boundaries does not change the iteration sequence.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..models import nmf as nmf_mod
+
+    cfg.validate()
+    if cfg.requires_irls():
+        raise ValueError("checkpointed fits cover the fused MSE path; "
+                         "IRLS losses are not yet segmented")
+    if every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+
+    if isinstance(A, jax.Array):
+        A_dev = A.astype(jnp.float32)
+    else:
+        A_dev = jnp.asarray(np.asarray(A, dtype=np.float32))
+    m, n = A_dev.shape
+    k = cfg.rank
+    aux_dev = {key: jnp.asarray(val, jnp.float32)
+               for key, val in (aux or {}).items() if val is not None}
+
+    if os.path.exists(path):
+        host_state = load_fit_state(path, cfg)
+        if host_state.W_T.shape != (k, m) or host_state.H.shape != (k, n):
+            raise ValueError("checkpoint factor shapes do not match the data")
+        state = nmf_mod.FitState(*[jnp.asarray(x) for x in host_state])
+        it = int(host_state.it)
+        converged = bool(host_state.converged)
+    else:
+        W_T0, H0, d0 = nmf_mod.init_factors(
+            cfg, m, n, A=A_dev if cfg.init_mode in (1, 2) else None,
+            w_init=w_init, h_init=h_init)
+        state = nmf_mod._init_fit_state(cfg, jnp.asarray(W_T0),
+                                        jnp.asarray(H0), jnp.asarray(d0))
+        it = 0
+        converged = False
+
+    scfg = cfg.device_static()
+    while it < cfg.max_iter and not converged:
+        seg_end = min(it + every, cfg.max_iter)
+        state = nmf_mod._fit_mse_seg(scfg, A_dev, state, aux_dev,
+                                     jnp.int32(seg_end))
+        buf = np.asarray(jax.device_get(nmf_mod._pack_state(state)))
+        host_state = nmf_mod._unpack_state(buf, k, m, n, cfg.max_iter)
+        it = int(host_state.it)
+        converged = bool(host_state.converged)
+        save_fit_state(host_state, cfg, path)
+
+    return nmf_mod.finalize_result(cfg, state)
+
+
 def resume_kwargs(path: str) -> dict:
     """Turn a checkpoint into warm-start kwargs for nmf():
     ``nmf(A, k, **resume_kwargs("ckpt.npz"))``."""

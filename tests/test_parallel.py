@@ -2,6 +2,7 @@
 backend-parity model — same seed, numerics equivalent within fp tolerance).
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -199,3 +200,53 @@ def test_fit_sharded_device_input():
     A2 = jax.device_put(sim2["A"])
     with pytest.raises(ValueError, match="does not divide"):
         fit_sharded(A2, cfg, mesh)
+
+
+def test_two_process_distributed_fit(tmp_path):
+    """REAL multi-process seam: two OS processes join via jax.distributed,
+    each contributes only its local column slice through
+    multihost.shard_host_data (the global array is not fully addressable),
+    and the sharded fit matches a single-process reference."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    out = str(tmp_path / "mp.npz")
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)       # workers force cpu themselves
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            log, _ = p.communicate()
+        logs.append(log)
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    z = np.load(out)
+    rs = np.random.RandomState(0)
+    A = np.abs(rs.rand(24, 32)).astype(np.float32)
+    import rcppml_tpu as rt
+    ref = rt.nmf(A, 4, seed=42, maxit=20, tol=0.0, sort_model=False)
+    assert int(z["iterations"]) == ref.iterations
+    np.testing.assert_allclose(z["W"], ref.W, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(z["H"], ref.H, rtol=1e-4, atol=1e-5)
+
+
+def test_device_health_check():
+    from rcppml_tpu.parallel.mesh import check_device_health, default_mesh
+    devs = check_device_health()
+    assert len(devs) == len(jax.devices())
+    m = default_mesh(health_check=True)
+    assert m.devices.size == len(jax.devices())

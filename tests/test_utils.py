@@ -317,3 +317,50 @@ def test_golub_attrs():
     g = datasets.golub()
     assert "cancer_type" in g.attrs
     assert len(np.asarray(g.attrs["cancer_type"])) in g.shape
+
+
+def test_fused_checkpoint_bitwise_identical(small_factors, tmp_path):
+    """Segmenting the fused while_loop at checkpoint boundaries must not
+    change the iteration math: same seed + fixed sweeps => identical fit."""
+    A = small_factors["A"]
+    p = str(tmp_path / "seg.npz")
+    plain = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0)
+    seg = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0,
+                 checkpoint_path=p, checkpoint_every=4)
+    np.testing.assert_array_equal(plain.W, seg.W)
+    np.testing.assert_array_equal(plain.H, seg.H)
+    np.testing.assert_array_equal(plain.d, seg.d)
+    assert seg.iterations == 12
+    import os
+    assert os.path.exists(p)                    # checkpoint left for resume
+
+
+def test_fused_checkpoint_resume_after_preemption(small_factors, tmp_path):
+    """A fit killed mid-way resumes from the last checkpoint and finishes
+    identically to an uninterrupted run (preemption-safe, SURVEY §5)."""
+    A = small_factors["A"]
+    p = str(tmp_path / "pre.npz")
+    # "preempted" run: only 6 of 12 iterations before dying
+    rt.nmf(A, 4, seed=42, maxit=6, tol=0.0,
+           checkpoint_path=p, checkpoint_every=3)
+    # resume with the full budget: picks up at iteration 6
+    resumed = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0,
+                     checkpoint_path=p, checkpoint_every=3)
+    full = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0)
+    assert resumed.iterations == 12
+    np.testing.assert_array_equal(resumed.W, full.W)
+    np.testing.assert_array_equal(resumed.H, full.H)
+    # loss history carries the pre-preemption segment losses too
+    np.testing.assert_allclose(resumed.loss_history, full.loss_history,
+                               rtol=1e-6)
+
+
+def test_fused_checkpoint_config_mismatch_rejected(small_factors, tmp_path):
+    A = small_factors["A"]
+    p = str(tmp_path / "cfg.npz")
+    rt.nmf(A, 4, seed=42, maxit=6, tol=0.0, checkpoint_path=p)
+    with pytest.raises(ValueError, match="config mismatch"):
+        rt.nmf(A, 4, seed=42, maxit=6, tol=0.0, L1=0.5, solver="cd",
+               checkpoint_path=p)
+    with pytest.raises(ValueError, match="checkpoint_path currently"):
+        rt.nmf(A, 4, seed=42, test_fraction=0.1, checkpoint_path=p)
