@@ -92,3 +92,20 @@ def test_consensus_knn_jaccard():
     C = out["consensus"]
     assert C.shape == (34, 34)
     assert (C >= 0).all() and (C <= 1.0 + 1e-9).all()
+
+
+def test_bipartition_device_resident_matches_host():
+    """The device-resident fast path (single fused dispatch + on-device
+    rel-cosine) reproduces the host-path split exactly."""
+    import jax.numpy as jnp
+    rs = np.random.RandomState(3)
+    A = np.abs(rs.rand(50, 80)).astype(np.float32)
+    A[:25, :40] *= 4.0                      # plant a 2-block structure
+    host = bipartition(A, seed=7)
+    dev = bipartition(jnp.asarray(A), seed=7)
+    np.testing.assert_array_equal(host.samples1, dev.samples1)
+    np.testing.assert_array_equal(host.samples2, dev.samples2)
+    np.testing.assert_allclose(host.v, dev.v, rtol=1e-5, atol=1e-6)
+    assert dev.dist == pytest.approx(host.dist, rel=1e-4)
+    np.testing.assert_allclose(dev.center1, host.center1, rtol=1e-4,
+                               atol=1e-5)

@@ -120,10 +120,20 @@ def main():
     rec("nmf_masked_k20_pbmc3k", el, ref_cpu=10.50, ref_gpu=0.75,
         iters=iters)
 
-    # 10. rank-2 bipartition (clustering kernel)
+    # 10. rank-2 bipartition (clustering kernel, device-resident fast path)
     from rcppml_tpu.models.clustering import bipartition
-    _, el = timed(bipartition, A_np, seed=1)
+    _, el = timed(bipartition, A, seed=1)
     rec("bipartition_pbmc3k", el)
+
+    # 10b. 2-layer factor graph, fused on-device outer ALS (20 sweeps)
+    from rcppml_tpu.models.graph import factor_input, factor_net
+    from rcppml_tpu.models.graph import fit as graph_fit
+    from rcppml_tpu.models.graph import nmf_layer
+    x = factor_input(A_np, "x")
+    l2 = nmf_layer(nmf_layer(x, 20, name="L1"), 8, name="L2")
+    gnet = factor_net(x, l2, maxit=20, tol=0.0, seed=42)
+    _, el = timed(graph_fit, gnet)
+    rec("graph_2layer_k20_k8_pbmc3k", el, sweeps=20)
 
     # 11-12. reference headline scale: hcabm40k-shape synthetic (the atlas
     # itself isn't shipped; same shape + ~16.5% uniform density), data
