@@ -43,4 +43,7 @@ def __getattr__(name):
     if name == "simulate_nmf":
         from .utils.simulate import simulate_nmf as _sim
         return _sim
+    if name in ("set_verbosity", "get_verbosity", "LogLevel"):
+        from .utils import logging as _log
+        return getattr(_log, name)
     raise AttributeError(f"module 'rcppml_tpu' has no attribute {name!r}")

@@ -46,6 +46,10 @@ def _to_dense_f32(data):
             raise ValueError("data must be a 2-D matrix")
         return data
     if _is_sparse(data):
+        # memory guard before densification (core/memory.hpp:152-190):
+        # refuse with the streaming remedy instead of thrashing/OOMing
+        from .utils.memory import guard_dense_input
+        guard_dense_input(data.shape[0], data.shape[1])
         arr = np.asarray(data.todense(), dtype=np.float32)
     else:
         arr = np.asarray(data, dtype=np.float32)
@@ -284,8 +288,27 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         if cfg.W.target_lambda < 0:
             aux["target_W_gram"] = (t @ t.T) / t.shape[1]
 
+    from .utils import logging as logmod
+    logmod.log_summary(
+        "[nmf] %d x %d  k=%d  loss=%s  solver=%s  device=%s",
+        A.shape[0], A.shape[1], cfg.rank, cfg.loss.value,
+        cfg.solver.name.lower(),
+        __import__("jax").default_backend(), verbose=cfg.verbose or None)
+
     def _named(res):
         res.row_names, res.col_names = row_names, col_names
+        # SUMMARY: final state; DETAILED: per-iteration tolerances, replayed
+        # from the returned history so the fused device loop never syncs
+        # for logging (core/logging.hpp LogLevel semantics)
+        v = cfg.verbose or None
+        logmod.log_summary(
+            "[nmf] done: %d iters, converged=%s, loss=%.6g",
+            res.iterations, res.converged, res.train_loss, verbose=v)
+        if res.loss_history is not None:
+            hist = np.asarray(res.loss_history, dtype=float)
+            for i, l in enumerate(hist[np.isfinite(hist)]):
+                logmod.log_detailed("  iter %4d: loss=%.6g", i + 1, l,
+                                    verbose=v)
         return res
 
     if checkpoint_path is not None:
