@@ -37,7 +37,7 @@ def _is_sparse(data) -> bool:
         return False
 
 
-def _to_dense_f32(data):
+def _to_dense_f32(data, allow_nan: bool = False):
     """Accept numpy / scipy.sparse / device (jax) arrays; return a dense
     float32 (m, n) — jax arrays pass through device-resident."""
     import jax
@@ -55,11 +55,60 @@ def _to_dense_f32(data):
         arr = np.asarray(data, dtype=np.float32)
     if arr.ndim != 2:
         raise ValueError("data must be a 2-D matrix")
-    if np.isnan(arr).any():
+    if not allow_nan and np.isnan(arr).any():
         # R/nmf_validation.R NA detection: fail loudly, not with NaN factors
         raise ValueError("data contains NaN/NA values; impute or mask them "
                          "(use mask= for missing-value factorization)")
     return arr
+
+
+def _resolve_mask(A, mask):
+    """NA handling + string masks, matching the reference gateway:
+
+    - ``mask="zeros"`` -> treat zeros as missing (returned as the
+      mask_zeros flag; R/nmf_thin.R mask= string form)
+    - ``mask="NA"`` -> mask the NaN entries
+    - NaN present with no mask -> warn "Detected N NA values" and mask
+      them (tests/testthat/test_masking.R:240-262)
+    - NaN outside an explicit matrix mask -> error
+
+    Returns (A, mask_array_or_None, mask_zeros_flag); NaN entries are
+    zero-filled so the fp32 bridge never ships NaN to the device.
+    """
+    import warnings
+    mask_zeros = False
+    if isinstance(mask, str):
+        key = mask.strip().lower()
+        if key == "zeros":
+            return A, None, True
+        if key != "na":
+            raise ValueError(f"mask={mask!r}: use 'zeros', 'NA', or a "
+                             "boolean matrix")
+        mask = None
+        explicit_na = True
+    else:
+        explicit_na = False
+    import jax
+    if isinstance(A, jax.Array):  # device-resident fast path: no NaN scan
+        if explicit_na:
+            raise ValueError("mask='NA' requires a host array (device-"
+                             "resident inputs are assumed NaN-free)")
+        return A, mask, mask_zeros
+    nan_mask = np.isnan(A)
+    n_nan = int(nan_mask.sum())
+    if n_nan == 0:
+        return A, mask, mask_zeros
+    A = np.where(nan_mask, np.float32(0), A)
+    if mask is None:
+        if not explicit_na:
+            warnings.warn(f"Detected {n_nan} NA values in data; treating "
+                          "them as masked (missing)")
+        return A, nan_mask, mask_zeros
+    mask = np.asarray(mask, dtype=bool)
+    if (nan_mask & ~mask).any():
+        raise ValueError("data contains NaN entries outside the supplied "
+                         "mask; mask them or impute")
+    return A, mask, mask_zeros
 
 
 def build_config(
@@ -225,6 +274,11 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     (out-of-core streaming path, R/nmf_thin.R:422-627) and ``streaming=True``
     forces the chunked loader for in-memory matrices.
     """
+    if isinstance(mask, str) and mask.strip().lower() == "zeros":
+        # R string form mask="zeros" == mask_zeros=True (R/nmf_thin.R)
+        mask = None
+        kwargs.setdefault("mask_zeros", True)
+
     # streaming / out-of-core dispatch (nmf/fit_streaming_spz.hpp:54)
     is_spz = isinstance(data, str) and data.endswith(".spz")
     if is_spz or streaming:
@@ -247,7 +301,17 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     row_names, col_names, data = _extract_dimnames(data)
     sparse_input = _is_sparse(data)
-    A = _to_dense_f32(data)
+    A = _to_dense_f32(data, allow_nan=True)
+    A, mask, _mz = _resolve_mask(A, mask)
+    if _mz:
+        kwargs.setdefault("mask_zeros", True)
+    if kwargs.get("mask_zeros") and not float(kwargs.get("test_fraction", 0)):
+        # non-CV mask="zeros": zeros are missing — exact masked fit where
+        # zero entries leave Gram AND RHS (fit_cv.hpp is_holdout==zeros ->
+        # apply_gram_correction downdates them).  Under speckled CV the
+        # flag instead restricts holdout to nonzeros (handled in nmf_cv).
+        zm = np.asarray(A) == 0
+        mask = zm if mask is None else (np.asarray(mask, dtype=bool) | zm)
 
     # CV / sweep / auto-rank paths run host-side mask logic: pull device
     # arrays back once

@@ -97,6 +97,13 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
         if fc.L1 > 0:
             b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:
+            # a column with < k observed train entries has a rank-
+            # deficient Gram (the reference's unpivoted LLT hits the same
+            # hazard, cholesky_clip.hpp:92-95); a relative ridge keeps
+            # the batched Cholesky finite without measurably moving
+            # well-conditioned columns (1e-6 << fp32 solve error)
+            tr = jnp.einsum("bkk->b", Gb) / k
+            Gb = Gb + (1e-6 * tr + 1e-12)[:, None, None] * eye[None]
             return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
         X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
         B_res = b - solvers.batched_gram_matvec(Gb, X0)
@@ -139,6 +146,11 @@ def masked_downdate_solve_batch(B_full, F, G_feat, idx, val, cfg: NMFConfig,
         if fc.L1 > 0:
             b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:
+            # same rank-deficiency guard as masked_mse_solve_batch
+            k_ = Gb.shape[-1]
+            eye_ = jnp.eye(k_, dtype=Gb.dtype)
+            tr = jnp.einsum("bkk->b", Gb) / k_
+            Gb = Gb + (1e-6 * tr + 1e-12)[:, None, None] * eye_[None]
             return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
         X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
         B_res = b - solvers.batched_gram_matvec(Gb, X0)
@@ -232,6 +244,14 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         n_train = jnp.sum(train_w)
 
     is_irls = cfg.requires_irls()
+    if is_cv and cfg.mask_zeros and is_irls:
+        # speckled CV + mask_zeros under IRLS: zeros leave the weighted
+        # solves entirely (cv_detail.hpp:123-126,222-232 collect only
+        # nonzero train entries); MSE keeps zeros in the Gram as the
+        # reference does (compute_train_rhs + apply_gram_correction only
+        # downdate holdout rows).
+        train_w = train_w * (A != 0).astype(dtype)
+        n_train = jnp.sum(train_w)
     is_gp = cfg.loss == Loss.GP
     is_nb = cfg.loss == Loss.NB
     is_phi = cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE)

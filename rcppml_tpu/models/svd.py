@@ -866,6 +866,15 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     row_names = col_names = None
     if not isinstance(data, str):
         row_names, col_names, data = _extract_dimnames(data)
+        # NaN detection (R/nmf_validation.R): SVD has no mask path, so
+        # fail loudly instead of returning NaN factors.  Device-resident
+        # arrays skip the host scan (assumed clean, as in nmf()).
+        import jax as _jax
+        if not isinstance(data, _jax.Array):
+            vals = data.data if hasattr(data, "nnz") else np.asarray(data)
+            if np.isnan(np.asarray(vals)).any():
+                raise ValueError("data contains NaN/NA values; impute "
+                                 "them before svd()")
 
     if isinstance(data, str) and data.endswith(".spz"):
         if method == "auto":

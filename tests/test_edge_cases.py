@@ -98,9 +98,13 @@ def test_cv_extreme_fraction():
     assert np.isfinite(res.test_loss)
 
 
-def test_nan_input_rejected():
-    """NaN inputs fail loudly (R/nmf_validation.R NA detection)."""
+def test_nan_input_auto_masked():
+    """NaN in nmf() auto-masks with a warning (test_masking.R:240-262);
+    svd() still fails loudly (R/nmf_validation.R NA detection)."""
     A = np.abs(np.random.RandomState(0).normal(size=(10, 8))).astype(np.float32)
     A[3, 4] = np.nan
+    with pytest.warns(UserWarning, match="Detected 1 NA"):
+        res = rt.nmf(A, 2, maxit=3, seed=1)
+    assert np.all(np.isfinite(np.asarray(res.W)))
     with pytest.raises(ValueError, match="NaN"):
-        rt.nmf(A, 2, maxit=3)
+        rt.svd(A, 2)
