@@ -150,6 +150,7 @@ def build_config(
     cv_patience: int = constants.NMF_PATIENCE,
     norm: str = "L1",
     sort_model: bool = True,
+    convergence: str = "loss",
     verbose: bool = False,
     profile: bool = False,
     has_mask: bool = False,
@@ -163,6 +164,13 @@ def build_config(
     Solver auto-selection follows R/nmf_thin.R:363-388: IRLS -> cd;
     k < 32 and no L1 -> cholesky; else cd.
     """
+    if convergence not in ("loss", "factor", "both"):
+        raise ValueError(f"convergence={convergence!r}: use 'loss', "
+                         "'factor', or 'both'")
+    # accepted for R-API compatibility (R/parse_dots.R:63) but the NMF
+    # loop is loss-converged in the reference too — its C++ NMFConfig has
+    # no convergence field (src/RcppFunctions_nmf.cpp:340-366), only the
+    # SVD honors the mode (svd_config.hpp:25).
     l1w, l1h = _pair(L1, "L1")
     l2w, l2h = _pair(L2, "L2")
     l21w, l21h = _pair(L21, "L21")

@@ -220,6 +220,10 @@ class SVDConfig:
     power_iters: int = 2               # randomized SVD power iterations
     work: int = 0                      # IRLBA working size; 0 = k + 7
     robust_delta: float = 0.0
+    # convergence criterion for deflation/krylov (svd_config.hpp:25-29):
+    # "factor" = relative factor change, "loss" = relative sigma /
+    # variance change, "both" = either
+    convergence: str = "factor"
 
     # Per-side constraints (krylov / deflation solvers)
     u: FactorConfig = FactorConfig(nonneg=False)

@@ -615,9 +615,20 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
             sigma_new = jnp.sqrt(jnp.sum(u_new * u_new))
             u_new = u_new / jnp.maximum(sigma_new, 1e-30)
             cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
+            # convergence modes (deflation.hpp:796-814): FACTOR = cosine
+            # distance of consecutive u; LOSS = relative sigma change
+            # (valid from iteration 1); BOTH = either
+            if cfg.convergence == "factor":
+                cd = cos_dist
+            else:
+                d_sigma = jnp.abs(sigma_new - sigma) / jnp.maximum(
+                    sigma, np.float32(np.finfo(np.float32).eps))
+                d_sigma = jnp.where(it > 0, d_sigma, jnp.float32(jnp.inf))
+                cd = (d_sigma if cfg.convergence == "loss"
+                      else jnp.minimum(cos_dist, d_sigma))
             # a zero factor means the reference breaks out (deflation.hpp:745,783)
-            cos_dist = jnp.where((sigma_new > 0) & (sigma_v > 0), cos_dist, -1.0)
-            return (u_new, v_new, u, sigma_new, it + 1, cos_dist)
+            cd = jnp.where((sigma_new > 0) & (sigma_v > 0), cd, -1.0)
+            return (u_new, v_new, u, sigma_new, it + 1, cd)
 
         init = (u0, jnp.zeros((n,), jnp.float32), u0,
                 jnp.float32(0.0), jnp.int32(0), jnp.float32(jnp.inf))
@@ -796,15 +807,24 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     passes = 0
     converged = False
     prev_W = None
+    prev_var = None
     for passes in range(1, max_passes + 1):
         W, V, d = one_pass(W, V, d)
-        if prev_W is not None:
+        # convergence modes (krylov.hpp:590-622): FACTOR = relative W
+        # change; LOSS = relative change of sum(d^2) (variance proxy)
+        factor_conv = loss_conv = False
+        if cfg.convergence != "loss" and prev_W is not None:
             dW = float(jnp.linalg.norm(W - prev_W) /
                        (jnp.linalg.norm(prev_W) + 1e-30))
-            if dW < tol:
-                converged = True
-                break
+            factor_conv = dW < tol
+        if cfg.convergence != "factor" and prev_var is not None:
+            var_new = float(jnp.sum(d * d))
+            loss_conv = abs(var_new - prev_var) / (prev_var + 1e-30) < tol
+        if factor_conv or loss_conv:
+            converged = True
+            break
         prev_W = W
+        prev_var = float(jnp.sum(d * d))
 
     order = np.argsort(-np.asarray(d), kind="stable")
     U_np = np.asarray(W)[:, order]
@@ -855,7 +875,8 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         maxit: int = 0, oversample: int = 10, power_iters: int = 2,
         nonneg=(False, False), L1=(0.0, 0.0), L2=(0.0, 0.0),
         L21=(0.0, 0.0), upper_bound=(0.0, 0.0), robust=False,
-        test_fraction: float = 0.0, cv_seed: int = 0, **kw) -> SVDResult:
+        test_fraction: float = 0.0, cv_seed: int = 0,
+        convergence: str = "factor", **kw) -> SVDResult:
     """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161).
 
     A ``.spz`` path dispatches to the streaming gateway
@@ -904,12 +925,16 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     else:
         robust_delta = float(robust)
 
+    if convergence not in ("factor", "loss", "both"):
+        raise ValueError(f"convergence={convergence!r}: use 'factor', "
+                         "'loss', or 'both' (svd/gateway.hpp:119-122)")
+
     auto_k = isinstance(k, str) and k == "auto"
     cfg = SVDConfig(
         k=(min(*data.shape) if auto_k else int(k)),
         tol=tol, max_iter=maxit, center=center, scale=scale, seed=seed,
         oversample=oversample, power_iters=power_iters,
-        robust_delta=robust_delta,
+        robust_delta=robust_delta, convergence=convergence,
         u=FC(L1=l1u, L2=l2u, L21=l21u, nonneg=bool(nnu), upper_bound=ubu),
         v=FC(L1=l1v, L2=l2v, L21=l21v, nonneg=bool(nnv), upper_bound=ubv),
         test_fraction=(test_fraction if test_fraction > 0 else
