@@ -38,8 +38,8 @@ from ..ops.linalg import PREC
 from ..result import NMFResult
 from . import nmf as nmf_mod
 from .nmf_irls import (_block_count, _init_dispersion, _pad_cols,
-                       gp_theta_update, irls_solve_batch, nb_size_update,
-                       phi_update)
+                       _zi_pi_init, gp_theta_update, irls_solve_batch,
+                       nb_size_update, phi_update, zi_em_step)
 
 
 class CVState(NamedTuple):
@@ -57,6 +57,9 @@ class CVState(NamedTuple):
     test_hist: jax.Array
     best_test_loss: jax.Array
     best_iter: jax.Array
+    pi_row: jax.Array              # (m,) ZI dropout (zeros when no ZI)
+    pi_col: jax.Array              # (n,)
+    A_imp: jax.Array               # (m, n) soft-imputed data (ZI only)
 
 
 def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
@@ -258,6 +261,13 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
     per_col = cfg.dispersion == Dispersion.PER_COL
     has_disp = cfg.dispersion != Dispersion.NONE and is_irls
     active_loss = Loss.KL if is_gp else cfg.loss
+    # zero-inflation rides the CV/masked loop exactly like fit_cv.hpp:
+    # the solves see the soft-imputed matrix (:434,485), the EM imputes
+    # every zero (:1285-1340), losses stay on the observed A (:1388+)
+    is_zi = cfg.has_zi()
+    zi_valid = None
+    if is_zi and valid is not None:
+        zi_valid = jnp.broadcast_to(valid, (m, n))
 
     # gathered-downdate fast path for the 0/1-weight MSE solves: excluded
     # indices are a pure function of the (iteration-invariant) masks, so
@@ -301,10 +311,13 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
     def body(state: CVState) -> CVState:
         W_T, H, d, it = state.W_T, state.H, state.d, state.it
         disp_row, disp_col = state.disp_row, state.disp_col
+        # ZI: solves see the imputed matrix from iteration >= 1
+        A_solve = state.A_imp if is_zi else A
 
         th_row = disp_row if (is_nb and not per_col) else None
         th_col = disp_col if (is_nb and per_col) else None
-        H_new = solve_side(A, W_T, train_w, cfg.H, H, it, th_row, th_col,
+        H_new = solve_side(A_solve, W_T, train_w, cfg.H, H, it, th_row,
+                           th_col,
                            aux.get("graph_H"), aux.get("target_H"), dd=dd_h)
         if cfg.H.upper_bound > 0:
             H_new = feat.apply_upper_bound(H_new, cfg.H.upper_bound)
@@ -317,7 +330,7 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
 
         th_row_w = disp_col if (is_nb and per_col) else None
         th_col_w = disp_row if (is_nb and not per_col) else None
-        W_new = solve_side(A.T, H, train_w.T, cfg.W, W_T, it,
+        W_new = solve_side(A_solve.T, H, train_w.T, cfg.W, W_T, it,
                            th_row_w, th_col_w,
                            aux.get("graph_W"), aux.get("target_W"), dd=dd_w)
         if cfg.W.upper_bound > 0:
@@ -350,6 +363,13 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
                     disp_col = phi_update(A_train, S_train, cfg, 0)
                 else:
                     disp_row = phi_update(A_train, S_train, cfg, 1)
+
+        # --- ZI EM + soft imputation (fit_cv.hpp:1285-1340) ---
+        pi_row, pi_col, A_imp = state.pi_row, state.pi_col, state.A_imp
+        if is_zi:
+            pi_row, pi_col, A_imp = zi_em_step(A, S, cfg, disp_row,
+                                               pi_row, pi_col,
+                                               valid=zi_valid)
 
         # --- per-entry train / test losses (fit_cv.hpp:1368-1548) ---
         theta = losses._expand_theta(
@@ -387,10 +407,16 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
             converged, final_tol,
             state.train_hist.at[it].set(train_loss),
             state.test_hist.at[it].set(test_loss),
-            best_test, best_iter)
+            best_test, best_iter, pi_row, pi_col, A_imp)
 
     def cond(state: CVState):
         return (state.it < max_iter) & jnp.logical_not(state.converged)
+
+    if is_zi:
+        pi_row0, pi_col0 = _zi_pi_init(A, cfg)
+    else:
+        pi_row0 = jnp.zeros((m,), dtype)
+        pi_col0 = jnp.zeros((n,), dtype)
 
     init = CVState(
         W_T=W_T0, H=H0, d=d0, disp_row=disp_row0, disp_col=disp_col0,
@@ -403,6 +429,8 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         test_hist=jnp.full((max_iter,), jnp.nan, dtype),
         best_test_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
         best_iter=jnp.int32(0),
+        pi_row=pi_row0, pi_col=pi_col0,
+        A_imp=(A if is_zi else jnp.zeros((), dtype)),
     )
     return lax.while_loop(cond, body, init)
 
@@ -566,6 +594,9 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
                             masks, aux_dev, W_T0, H0, d0,
                             jnp.asarray(disp_row0), jnp.asarray(disp_col0),
                             seed_pair, sparse_zeros, is_cv, t_max=t_max)
+    # selective transfer: the (m, n) imputed buffer is loop-internal and
+    # would dominate the ~100 MB/s tunnel transfer (see nmf_irls.py)
+    state = state._replace(A_imp=jnp.zeros((), jnp.float32))
     state = jax.device_get(state)   # one batched transfer
 
     it = int(state.it)
@@ -584,12 +615,20 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     res.misc["best_test_loss"] = float(state.best_test_loss)
     per_col = cfg.dispersion == Dispersion.PER_COL
     disp_len = n if per_col else m      # slice off any mesh padding
-    if cfg.loss in (Loss.GP, Loss.NB):
+    if cfg.dispersion == Dispersion.NONE:
+        pass   # dispersion='none' returns nothing (test_distribution_api.R:181)
+    elif cfg.loss in (Loss.GP, Loss.NB):
         res.theta = np.asarray(
             state.disp_col if per_col else state.disp_row)[:disp_len]
     elif cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE):
         res.dispersion = np.asarray(
             state.disp_col if per_col else state.disp_row)[:disp_len]
+    if cfg.has_zi():
+        from ..config import ZI
+        if cfg.zi == ZI.ROW:
+            res.pi_row = np.asarray(state.pi_row)[:m]
+        else:
+            res.pi_col = np.asarray(state.pi_col)[:n]
     if cfg.sort_model:
         res.sort()
     return res

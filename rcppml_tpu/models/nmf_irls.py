@@ -244,14 +244,18 @@ def phi_update(A, S, cfg: NMFConfig, axis: int):
     return phi
 
 
-def zi_em_step(A, S, cfg: NMFConfig, disp_row, pi_row, pi_col):
+def zi_em_step(A, S, cfg: NMFConfig, disp_row, pi_row, pi_col, valid=None):
     """ZI E/M-step + soft imputation (fit_cpu.hpp:1285-1552).
 
     Returns (pi_row, pi_col, A_imputed).  zero entries of A get imputed with
-    z_ij * mu_ij; real structure stays.
+    z_ij * mu_ij; real structure stays.  ``valid``: optional (m, n) bool —
+    mesh-padding entries excluded from zero counts and pi denominators
+    (used by the CV path, which runs on the padded matrix directly).
     """
     m, n = A.shape
     is_zero = A == 0
+    if valid is not None:
+        is_zero = is_zero & valid
     s = jnp.maximum(S, 1e-10)
     if cfg.loss == Loss.NB:
         r = jnp.maximum(disp_row, 1e-10)[:, None]
@@ -269,11 +273,15 @@ def zi_em_step(A, S, cfg: NMFConfig, disp_row, pi_row, pi_col):
 
     if cfg.zi == ZI.ROW:
         zero_cnt = jnp.sum(is_zero, axis=1)
-        new_pi = jnp.clip(jnp.sum(z, axis=1) / n, 0.001, 0.999)
+        denom = (jnp.maximum(jnp.sum(valid, axis=1), 1)
+                 if valid is not None else n)
+        new_pi = jnp.clip(jnp.sum(z, axis=1) / denom, 0.001, 0.999)
         pi_row = jnp.where(zero_cnt > 0, new_pi, pi_row)
     else:
         zero_cnt = jnp.sum(is_zero, axis=0)
-        new_pi = jnp.clip(jnp.sum(z, axis=0) / m, 0.001, 0.999)
+        denom = (jnp.maximum(jnp.sum(valid, axis=0), 1)
+                 if valid is not None else m)
+        new_pi = jnp.clip(jnp.sum(z, axis=0) / denom, 0.001, 0.999)
         pi_col = jnp.where(zero_cnt > 0, new_pi, pi_col)
 
     A_imp = jnp.where(is_zero, z * s, A)
@@ -504,7 +512,11 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
     per_col = cfg.dispersion == Dispersion.PER_COL
     extra = {}
     disp = np.asarray(state.disp_col if per_col else state.disp_row)
-    if cfg.loss in (Loss.GP, Loss.NB):
+    # dispersion='none' estimates nothing and returns nothing
+    # (test_distribution_api.R:181-195, test_gp_nmf.R:124-133)
+    if cfg.dispersion == Dispersion.NONE:
+        pass
+    elif cfg.loss in (Loss.GP, Loss.NB):
         extra["theta"] = disp
     elif cfg.loss in (Loss.GAMMA, Loss.INVGAUSS, Loss.TWEEDIE):
         extra["dispersion"] = disp
