@@ -313,6 +313,9 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     A, mask, _mz = _resolve_mask(A, mask)
     if _mz:
         kwargs.setdefault("mask_zeros", True)
+    if kwargs.get("symmetric") and A.shape[0] != A.shape[1]:
+        raise ValueError(f"symmetric NMF requires a square matrix, got "
+                         f"{A.shape[0]} x {A.shape[1]}")
     if kwargs.get("mask_zeros") and not float(kwargs.get("test_fraction", 0)):
         # non-CV mask="zeros": zeros are missing — exact masked fit where
         # zero entries leave Gram AND RHS (fit_cv.hpp is_holdout==zeros ->

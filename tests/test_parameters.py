@@ -94,6 +94,9 @@ def test_cv_combos(kw):
     dict(zi="row"),                      # zi requires gp/nb
     dict(test_fraction=1.5),
     dict(loss="nope"),
+    dict(symmetric=True),                # A_DENSE is 24x30: not square
+    dict(convergence="bogus"),
+    dict(mask="bogus"),
 ])
 def test_unsupported_combos(bad):
     with pytest.raises((ValueError, KeyError)):
