@@ -138,8 +138,17 @@ def build_config(
     robust=False,
     dispersion: str = "per_row",
     theta_init: float = 0.1,
+    theta_min: Optional[float] = None,
+    theta_max: Optional[float] = None,
     nb_size_init: float = 10.0,
+    nb_size_min: Optional[float] = None,
+    nb_size_max: Optional[float] = None,
     gamma_phi_init: float = 1.0,
+    gamma_phi_min: Optional[float] = None,
+    gamma_phi_max: Optional[float] = None,
+    huber_delta: float = 1.0,
+    zi_em_iters: int = 1,
+    track_train_loss: bool = True,
     tweedie_power: float = 1.5,
     irls_max_iter: int = constants.IRLS_MAX_ITER,
     irls_tol: float = constants.IRLS_TOL,
@@ -179,6 +188,17 @@ def build_config(
     glw, glh = _pair(graph_lambda, "graph_lambda")
     nnw, nnh = (nonneg, nonneg) if isinstance(nonneg, bool) else tuple(nonneg)
 
+    # loss="huber"/"mae" are IRLS reweightings of squared error
+    # (math/loss.hpp:39-50, loss_type 1/2): expressed here as MSE +
+    # robust delta (huber_delta / the mae 1e-4 floor)
+    if loss == "huber":
+        loss = "mse"
+        if robust is False:
+            robust = float(huber_delta)
+    elif loss == "mae":
+        loss = "mse"
+        if robust is False:
+            robust = "mae"
     loss_e = Loss(loss)
     # robust: False=0, True=1.345, "mae"=1e-4, numeric (R/nmf_thin.R:341-353)
     if isinstance(robust, bool):
@@ -224,7 +244,8 @@ def build_config(
         loss=loss_e, robust_delta=robust_delta, tweedie_power=float(tweedie_power),
         dispersion=Dispersion(dispersion), theta_init=float(theta_init),
         nb_size_init=float(nb_size_init), gamma_phi_init=float(gamma_phi_init),
-        zi=ZI(zi),
+        zi=ZI(zi), zi_em_iters=int(zi_em_iters),
+        track_loss_history=bool(track_train_loss),
         solver=solver_e, cd_max_iter=int(cd_maxit), cd_tol=float(cd_tol),
         irls_max_iter=int(irls_max_iter), irls_tol=float(irls_tol),
         seed=seed_int, init_mode=init_mode, norm=Norm(norm),
@@ -239,6 +260,16 @@ def build_config(
         has_mask=has_mask, has_graph_W=has_graph_W, has_graph_H=has_graph_H,
         has_target_H=has_target_H, has_target_W=has_target_W,
     )
+    # optional dispersion-bound overrides (R/parse_dots.R:24-31)
+    bounds = {name: val for name, val in (
+        ("theta_min", theta_min), ("theta_max", theta_max),
+        ("nb_size_min", nb_size_min), ("nb_size_max", nb_size_max),
+        ("gamma_phi_min", gamma_phi_min), ("gamma_phi_max", gamma_phi_max),
+    ) if val is not None}
+    if bounds:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **{k: float(v)
+                                          for k, v in bounds.items()})
     cfg.validate()
     return cfg
 
@@ -285,6 +316,10 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     if isinstance(mask, str) and mask.strip().lower() == "zeros":
         # R string form mask="zeros" == mask_zeros=True (R/nmf_thin.R)
         mask = None
+        kwargs.setdefault("mask_zeros", True)
+    if kwargs.pop("sparse", False):
+        # R sparse=TRUE: treat zeros as missing (R/parse_dots.R:65,
+        # test_parameters.R:260)
         kwargs.setdefault("mask_zeros", True)
 
     # streaming / out-of-core dispatch (nmf/fit_streaming_spz.hpp:54)
@@ -333,6 +368,10 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     # multi-rank CV sweep / auto-rank dispatch (R/nmf_thin.R:922-1094)
     if isinstance(k, str) and k == "auto":
         from .models.rank_cv import find_optimal_rank
+        if "cv_k_range" in kwargs:      # R cv_k_range = c(lo, hi)
+            lo, hi = kwargs.pop("cv_k_range")
+            kwargs.setdefault("k_init", int(lo))
+            kwargs.setdefault("max_k", int(hi))
         return find_optimal_rank(_host(A), mask=mask, **kwargs)
     if not np.isscalar(k):
         from .models.nmf_cv import cv_sweep

@@ -106,6 +106,8 @@ class NMFConfig:
     nb_size_min: float = 0.1
     nb_size_max: float = 1000.0
     gamma_phi_init: float = 1.0
+    gamma_phi_min: float = 1e-4
+    gamma_phi_max: float = 1e4
 
     zi: ZI = ZI.NONE
     zi_em_iters: int = 1

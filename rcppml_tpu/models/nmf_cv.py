@@ -367,9 +367,10 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         # --- ZI EM + soft imputation (fit_cv.hpp:1285-1340) ---
         pi_row, pi_col, A_imp = state.pi_row, state.pi_col, state.A_imp
         if is_zi:
-            pi_row, pi_col, A_imp = zi_em_step(A, S, cfg, disp_row,
-                                               pi_row, pi_col,
-                                               valid=zi_valid)
+            for _ in range(max(1, cfg.zi_em_iters)):   # static unroll
+                pi_row, pi_col, A_imp = zi_em_step(A, S, cfg, disp_row,
+                                                   pi_row, pi_col,
+                                                   valid=zi_valid)
 
         # --- per-entry train / test losses (fit_cv.hpp:1368-1548) ---
         theta = losses._expand_theta(

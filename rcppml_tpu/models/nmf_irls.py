@@ -237,7 +237,7 @@ def phi_update(A, S, cfg: NMFConfig, axis: int):
     pear = jnp.where(pos, (A - mu) ** 2 / v_mu, 0.0)
     cnt = jnp.sum(pos, axis=red).astype(A.dtype)
     phi_new = jnp.sum(pear, axis=red) / jnp.maximum(cnt, 1.0)
-    phi_new = jnp.clip(phi_new, 1e-4, 1e4)
+    phi_new = jnp.clip(phi_new, cfg.gamma_phi_min, cfg.gamma_phi_max)
     phi = jnp.where((cnt > 0) & jnp.isfinite(phi_new), phi_new, 1.0)
     if cfg.dispersion == Dispersion.GLOBAL:
         phi = jnp.full_like(phi, jnp.median(phi))
@@ -433,8 +433,10 @@ def _fit_irls_jit(cfg: NMFConfig, A, aux, W_T0, H0, d0, disp_row0, disp_col0,
         # --- ZI EM + soft imputation (fit_cpu.hpp:1285-1552) ---
         pi_row, pi_col, A_imp = state.pi_row, state.pi_col, state.A_imp
         if is_zi:
-            pr, pc, A_imp_t = zi_em_step(A_t, S_t, cfg, disp_row[:vm],
-                                         pi_row[:vm], pi_col[:vn])
+            pr, pc = pi_row[:vm], pi_col[:vn]
+            for _ in range(max(1, cfg.zi_em_iters)):   # static unroll
+                pr, pc, A_imp_t = zi_em_step(A_t, S_t, cfg, disp_row[:vm],
+                                             pr, pc)
             pi_row, pi_col = _pad_row(pr), _pad_col(pc)
             A_imp = (jnp.pad(A_imp_t, ((0, m - vm), (0, n - vn)))
                      if padded else A_imp_t)

@@ -502,6 +502,12 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         A_train = A_train - center[:, None]
     else:
         center = None
+    row_sds = None
+    if cfg.scale:
+        # correlation PCA: rows standardized by population sd
+        # (deflation.hpp:385-394, spmv.hpp compute_row_sds)
+        row_sds = np.maximum(A_train.std(axis=1), 1e-8).astype(np.float32)
+        A_train = A_train / row_sds[:, None]
 
     Ad = jnp.asarray(A_train)
     At = Ad.T
@@ -698,7 +704,7 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
     res = SVDResult(U=U_all[:, :k_sel], d=d_all[:k_sel], V=V_all[:, :k_sel],
                     k_selected=k_sel, converged=True,
                     iterations=int(np.sum(iters_per_factor)),
-                    center=center,
+                    center=center, scale=row_sds,
                     test_loss=best_test if do_cv else float("nan"))
     res.misc["iters_per_factor"] = iters_per_factor
     res.misc["test_loss_trajectory"] = test_traj
@@ -783,6 +789,10 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
         A_np = A_np - center[:, None]
     else:
         center = None
+    row_sds = None
+    if cfg.scale:
+        row_sds = np.maximum(A_np.std(axis=1), 1e-8).astype(np.float32)
+        A_np = A_np / row_sds[:, None]
     Ad = jnp.asarray(A_np)
 
     max_passes = cfg.max_iter if cfg.max_iter > 0 else max(
@@ -837,12 +847,14 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
         k_sel = best_k if best_k > 0 else k
         res = SVDResult(U=U_np[:, :k_sel], d=d_np[:k_sel], V=V_np[:, :k_sel],
                         k_selected=k_sel, converged=converged,
-                        iterations=passes, center=center, test_loss=best_mse)
+                        iterations=passes, center=center, scale=row_sds,
+                        test_loss=best_mse)
         res.misc["test_loss_trajectory"] = traj
         return res
 
     return SVDResult(U=U_np, d=d_np, V=V_np, k_selected=k,
-                     converged=converged, iterations=passes, center=center)
+                     converged=converged, iterations=passes, center=center,
+                     scale=row_sds)
 
 
 # ---------------------------------------------------------------------------
@@ -928,6 +940,8 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     if convergence not in ("factor", "loss", "both"):
         raise ValueError(f"convergence={convergence!r}: use 'factor', "
                          "'loss', or 'both' (svd/gateway.hpp:119-122)")
+    if scale and not center:
+        center = True      # correlation PCA needs centering (R/svd.R:189)
 
     auto_k = isinstance(k, str) and k == "auto"
     cfg = SVDConfig(
@@ -968,6 +982,30 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
 
     res = fn(data, cfg)
     res.misc["method"] = method
+    # total-variance denominator for variance_explained()
+    # (deflation.hpp:396-417): ||A||^2, minus n*||rowmean||^2 when
+    # centered; exactly m*n when scaled (standardized rows)
+    m_, n_ = (data.shape if not isinstance(data, str) else (0, 0))
+    if cfg.scale:
+        res.misc["frobenius_norm_sq"] = float(m_) * float(n_)
+    elif not isinstance(data, str):
+        if hasattr(data, "nnz"):
+            fro2 = float((data.data.astype(np.float64) ** 2).sum())
+            if cfg.center:
+                mu = np.asarray(data.mean(axis=1), dtype=np.float64).ravel()
+                fro2 -= n_ * float((mu ** 2).sum())
+        elif isinstance(data, jax.Array):  # device: one small reduction
+            fro2 = float(jnp.sum(data.astype(jnp.float32) ** 2))
+            if cfg.center:
+                mu = jnp.mean(data, axis=1)
+                fro2 -= n_ * float(jnp.sum(mu ** 2))
+        else:
+            arr = np.asarray(data, dtype=np.float64)
+            fro2 = float((arr ** 2).sum())
+            if cfg.center:
+                mu = arr.mean(axis=1)
+                fro2 -= n_ * float((mu ** 2).sum())
+        res.misc["frobenius_norm_sq"] = fro2
     res.row_names, res.col_names = row_names, col_names
     return res
 

@@ -163,8 +163,13 @@ class SVDResult:
         return rec
 
     def variance_explained(self) -> np.ndarray:
+        """Proportion of TOTAL variance per factor: d_i^2 / ||A||_F^2 when
+        the gateway recorded the denominator (deflation.hpp:396-417; sums
+        to <= 1 for a truncated SVD), else the within-retained fallback
+        d_i^2 / sum(d^2)."""
         d2 = np.asarray(self.d) ** 2
-        return d2 / d2.sum()
+        fro2 = self.misc.get("frobenius_norm_sq")
+        return d2 / (fro2 if fro2 else d2.sum())
 
     def predict(self, newdata) -> np.ndarray:
         """Project new samples (rows) onto the right singular vectors:

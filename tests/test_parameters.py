@@ -178,3 +178,56 @@ def test_dimnames_from_r_datasets():
     res = rt.nmf(datasets.hawaiibirds(), 3, seed=1, maxit=5)
     assert res.row_names is not None and len(res.row_names) == 183
     assert "Myna" in " ".join(str(x) for x in res.row_names[:5])
+
+
+def test_loss_huber_and_mae_aliases():
+    """loss='huber'/'mae' are IRLS reweightings of squared error
+    (math/loss.hpp loss_type 1/2): huber == mse+robust(huber_delta),
+    mae == mse+robust('mae')."""
+    h1 = rt.nmf(A_DENSE, 3, seed=42, maxit=6, loss="huber",
+                huber_delta=1.345, solver="cd", sort_model=False)
+    h2 = rt.nmf(A_DENSE, 3, seed=42, maxit=6, robust=1.345, solver="cd",
+                sort_model=False)
+    np.testing.assert_allclose(np.asarray(h1.W), np.asarray(h2.W))
+    m1 = rt.nmf(A_DENSE, 3, seed=42, maxit=6, loss="mae", solver="cd",
+                sort_model=False)
+    m2 = rt.nmf(A_DENSE, 3, seed=42, maxit=6, robust="mae", solver="cd",
+                sort_model=False)
+    np.testing.assert_allclose(np.asarray(m1.W), np.asarray(m2.W))
+
+
+def test_dispersion_bound_overrides():
+    """theta_max / nb_size bounds flow into the estimators
+    (R/parse_dots.R:24-31)."""
+    res = rt.nmf(A_COUNTS, 3, seed=42, maxit=6, loss="gp",
+                 dispersion="per_row", theta_max=0.2, sort_model=False)
+    assert np.all(np.asarray(res.theta) <= 0.2 + 1e-6)
+    res = rt.nmf(A_COUNTS, 3, seed=42, maxit=6, loss="nb",
+                 dispersion="per_row", nb_size_max=50.0, sort_model=False)
+    assert np.all(np.asarray(res.theta) <= 50.0 + 1e-4)
+
+
+def test_sparse_alias_and_track_train_loss():
+    """sparse=True treats zeros as missing (test_parameters.R:260);
+    track_train_loss=False suppresses the history."""
+    A = A_DENSE.copy()
+    A[A < np.median(A)] = 0.0
+    r1 = rt.nmf(A, 3, seed=42, maxit=8, sparse=True, sort_model=False)
+    r2 = rt.nmf(A, 3, seed=42, maxit=8, mask="zeros", sort_model=False)
+    np.testing.assert_allclose(np.asarray(r1.W), np.asarray(r2.W))
+    r3 = rt.nmf(A_DENSE, 3, seed=42, maxit=8, track_train_loss=False)
+    assert r3.loss_history is None or len(r3.loss_history) == 0
+
+
+def test_zi_em_iters_accepted():
+    res = rt.nmf(A_COUNTS, 3, seed=42, maxit=4, loss="gp", zi="row",
+                 dispersion="per_row", zi_em_iters=2, sort_model=False)
+    assert res.pi_row is not None
+
+
+def test_auto_rank_cv_k_range():
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=40, n=40, k=3, noise=0.02, seed=5)
+    res = rt.nmf(sim["A"], "auto", cv_k_range=(2, 8), test_fraction=0.1,
+                 maxit=30, seed=42)
+    assert 2 <= res.k <= 8

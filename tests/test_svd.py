@@ -9,6 +9,7 @@ import pytest
 from rcppml_tpu.models.svd import (deflation_svd, irlba_svd, krylov_svd,
                                    lanczos_svd, pca, randomized_svd, svd)
 from rcppml_tpu.config import SVDConfig, FactorConfig
+import rcppml_tpu as rt
 
 
 @pytest.fixture(scope="module")
@@ -346,3 +347,51 @@ def test_streaming_spz_svd_all_methods(tmp_path, lowrank):
     for meth in ["randomized", "lanczos", "irlba", "deflation"]:
         res = svd_fn(path, 3, method=meth, seed=3)
         np.testing.assert_allclose(res.d, ref, rtol=2e-2), meth
+
+
+def test_svd_scale_standardizes():
+    """scale=True auto-enables centering and matches numpy SVD of the
+    row-standardized matrix across methods (test_svd.R:366-465)."""
+    rs = np.random.RandomState(4)
+    A = (rs.rand(40, 25) * np.linspace(1, 20, 40)[:, None]).astype(np.float32)
+    mu = A.mean(axis=1, keepdims=True)
+    sd = A.std(axis=1, keepdims=True)
+    s_ref = np.linalg.svd((A - mu) / sd, compute_uv=False)[:4]
+    for method in ("lanczos", "randomized", "deflation", "krylov"):
+        res = rt.svd(A, 4, method=method, scale=True, seed=1)
+        np.testing.assert_allclose(np.asarray(res.d), s_ref, rtol=2e-2)
+        assert res.scale is not None and res.center is not None
+        np.testing.assert_allclose(np.asarray(res.scale), sd.ravel(),
+                                   rtol=1e-4)
+
+
+def test_svd_scale_frobenius_equals_mn():
+    # test_svd.R:433-439
+    rs = np.random.RandomState(5)
+    A = rs.rand(30, 20).astype(np.float32)
+    res = rt.svd(A, 3, method="lanczos", scale=True, seed=1)
+    assert res.misc["frobenius_norm_sq"] == 30 * 20
+
+
+def test_svd_scale_reconstruct_roundtrip():
+    rs = np.random.RandomState(6)
+    A = rs.rand(25, 18).astype(np.float32)
+    res = rt.svd(A, min(25, 18), method="lanczos", scale=True, seed=1)
+    np.testing.assert_allclose(res.reconstruct(), A, atol=1e-3)
+
+
+def test_variance_explained_total_variance():
+    """d_i^2 / ||A||_F^2 — decreasing, positive, sums <= 1
+    (test_svd.R:247-256,466-479)."""
+    rs = np.random.RandomState(7)
+    A = rs.rand(40, 30).astype(np.float32)
+    res = rt.svd(A, 5, method="lanczos", seed=1)
+    ve = res.variance_explained()
+    assert len(ve) == 5
+    assert np.all(ve > 0) and np.all(ve <= 1)
+    assert np.all(np.diff(ve) <= 1e-7)
+    assert ve.sum() <= 1 + 1e-6
+    # scaled: denominator is exactly m*n
+    res_s = rt.svd(A, 5, method="lanczos", scale=True, seed=1)
+    ves = res_s.variance_explained()
+    assert ves.sum() <= 1 + 1e-6
