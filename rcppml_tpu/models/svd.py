@@ -421,7 +421,8 @@ def _soft_threshold(x, t):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
 
 
-def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound, cv_corr=1.0):
+def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound, cv_corr=1.0,
+               G_add=None):
     """One constrained-LS half-update of the KSPR refinement
     (svd/krylov.hpp:420-600): given B = A V (resp. A^T W) and the fixed
     side F_other, solve the ridge system, apply the elementwise constraint
@@ -436,6 +437,10 @@ def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound, cv_corr=1.0):
     k = F_other.shape[1]
     G = cv_corr * jnp.dot(F_other.T, F_other, precision=PREC) + \
         (1e-12 + L2) * jnp.eye(k, dtype=F_other.dtype)
+    if G_add is not None:
+        # tier-2 Gram-level features from the previous iterate of the
+        # side being solved (svd/krylov.hpp:481-497)
+        G = G + G_add
     L = lax.linalg.cholesky(G)
     Xt = lax.linalg.triangular_solve(L, B.T, left_side=True, lower=True)
     Xt = lax.linalg.triangular_solve(L, Xt, left_side=True, lower=True,
@@ -471,7 +476,8 @@ def _apply_reg_vec(x, L1, L2, nonneg, upper_bound, norm_sq, L21):
     return x
 
 
-def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
+def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
+                  aux=None) -> SVDResult:
     """Rank-1 ALS deflation SVD with constraints, robust IRLS, and built-in
     speckled-holdout auto-rank (svd/deflation.hpp:430-900).
 
@@ -553,8 +559,15 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         z = ar / scale
         return jnp.where(z <= delta, 1.0, delta / jnp.maximum(z, 1e-30))
 
+    aux = aux or {}
+    has_gu = aux.get("graph_U") is not None and cfg.u.graph_lambda > 0
+    has_gv = aux.get("graph_V") is not None and cfg.v.graph_lambda > 0
+    _gdummy = jnp.zeros((1, 1), jnp.float32)
+    gu_dev = jnp.asarray(aux["graph_U"], jnp.float32) if has_gu else _gdummy
+    gv_dev = jnp.asarray(aux["graph_V"], jnp.float32) if has_gv else _gdummy
+
     @partial(jax.jit, static_argnames=())
-    def rank1_solve(u0, Uk, dk, Vk, tol_k):
+    def rank1_solve(u0, Uk, dk, Vk, tol_k, gu, gv):
         """Full rank-1 ALS on the deflated operator, on-device.
 
         One lax.while_loop replaces the reference's host iteration loop
@@ -604,6 +617,15 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
             u_sq = jnp.sum(u_hat * u_hat) * cv_corr
             v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
                                    cfg.v.upper_bound, u_sq, cfg.v.L21)
+            # angular vs prior factors + graph smoothness
+            # (deflation.hpp:256-292, applied at :740-741)
+            u_sq_safe = jnp.maximum(u_sq, 1e-30)
+            if cfg.v.angular > 0:
+                v_new = v_new - (cfg.v.angular / u_sq_safe) * jnp.dot(
+                    Vk, jnp.dot(Vk.T, v_new, precision=PREC), precision=PREC)
+            if has_gv:
+                v_new = v_new - (cfg.v.graph_lambda / u_sq_safe) * jnp.dot(
+                    gv, v_new, precision=PREC)
             sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
             v_new = v_new / jnp.maximum(sigma_v, 1e-30)
 
@@ -618,6 +640,13 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
             v_sq = jnp.sum(v_new * v_new) * cv_corr
             u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
                                    cfg.u.upper_bound, v_sq, cfg.u.L21)
+            v_sq_safe = jnp.maximum(v_sq, 1e-30)
+            if cfg.u.angular > 0:   # deflation.hpp:785-787
+                u_new = u_new - (cfg.u.angular / v_sq_safe) * jnp.dot(
+                    Uk, jnp.dot(Uk.T, u_new, precision=PREC), precision=PREC)
+            if has_gu:
+                u_new = u_new - (cfg.u.graph_lambda / v_sq_safe) * jnp.dot(
+                    gu, u_new, precision=PREC)
             sigma_new = jnp.sqrt(jnp.sum(u_new * u_new))
             u_new = u_new / jnp.maximum(sigma_new, 1e-30)
             cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
@@ -664,7 +693,8 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None) -> SVDResult:
         if kk > 0 and d_all[0] > 0 and d_all[kk - 1] > 0:
             tol_k = min(tol_k * d_all[0] / d_all[kk - 1], tol_k * 100)
 
-        u, v, _sig, it = rank1_solve(u, Uk, dk, Vk, jnp.float32(tol_k))
+        u, v, _sig, it = rank1_solve(u, Uk, dk, Vk, jnp.float32(tol_k),
+                                     gu_dev, gv_dev)
         it = int(it)
 
         # two-pass Gram-Schmidt against stored factors (deflation.hpp:824-850)
@@ -744,7 +774,7 @@ def _cv_rank_select(A_orig, M_test, U, d, V, center, patience):
     return best_k, best, traj
 
 
-def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
+def krylov_svd(A, cfg: SVDConfig, aux=None) -> SVDResult:
     """KSPR constrained SVD: Lanczos seed -> batched projected refinement
     (svd/krylov.hpp:420-600).
 
@@ -761,7 +791,10 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     """
     has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
                       cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
-                      cfg.u.L21 > 0 or cfg.v.L21 > 0)
+                      cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                      cfg.u.angular > 0 or cfg.v.angular > 0 or
+                      bool(aux and (aux.get("graph_U") is not None or
+                                    aux.get("graph_V") is not None)))
     do_cv = cfg.test_fraction > 0
 
     M_test = None
@@ -799,16 +832,45 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
         10, 2 * int(math.ceil(math.log2(max(k, 2)))) + 3)
     tol = cfg.tol if cfg.tol > 0 else 1e-5
 
+    aux = aux or {}
+    has_gu = aux.get("graph_U") is not None and cfg.u.graph_lambda > 0
+    has_gv = aux.get("graph_V") is not None and cfg.v.graph_lambda > 0
+    # Laplacians travel as jit ARGUMENTS (a closure capture would bake
+    # them into the HLO as constants — oversized remote-compile payloads)
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    gu_dev = jnp.asarray(aux["graph_U"], jnp.float32) if has_gu else dummy
+    gv_dev = jnp.asarray(aux["graph_V"], jnp.float32) if has_gv else dummy
+
+    def _tier2(X_prev, fc, graph, has_graph):
+        # L21 / angular / graph at Gram level from the previous iterate
+        # of the side being solved (krylov.hpp:481-497); X_prev is
+        # (dim, k) -> the helpers take (k, dim)
+        if fc.L21 <= 0 and fc.angular <= 0 and not has_graph:
+            return None
+        from ..ops import features as feat
+        k_ = X_prev.shape[1]
+        GA = jnp.zeros((k_, k_), X_prev.dtype)
+        Xt = X_prev.T
+        if fc.L21 > 0:
+            GA = feat.apply_l21(GA, Xt, fc.L21)
+        if fc.angular > 0:
+            GA = feat.apply_angular_gram(GA, Xt, fc.angular)
+        if has_graph:
+            GA = feat.apply_graph_reg(GA, graph, Xt, fc.graph_lambda)
+        return GA
+
     @jax.jit
-    def one_pass(W, V, d):
-        B = jnp.dot(Ad, V, precision=PREC)                     # (m, k)
+    def one_pass(Adev, W, V, d, gu, gv):
+        B = jnp.dot(Adev, V, precision=PREC)                   # (m, k)
         W, d = _kspr_half(V, B, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
-                          cfg.u.upper_bound, cv_corr)
-        B = jnp.dot(Ad.T, W, precision=PREC)                   # (n, k)
+                          cfg.u.upper_bound, cv_corr,
+                          G_add=_tier2(W, cfg.u, gu, has_gu))
+        B = jnp.dot(Adev.T, W, precision=PREC)                 # (n, k)
         # d REPLACED by the raw column norm each half-update — W and V stay
         # unit-norm, d tracks the singular value (krylov.hpp:424-427)
         V, d = _kspr_half(W, B, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
-                          cfg.v.upper_bound, cv_corr)
+                          cfg.v.upper_bound, cv_corr,
+                          G_add=_tier2(V, cfg.v, gv, has_gv))
         return W, V, d
 
     W = jnp.asarray(np.abs(seed_res.U) if cfg.u.nonneg else seed_res.U)
@@ -819,7 +881,7 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
     prev_W = None
     prev_var = None
     for passes in range(1, max_passes + 1):
-        W, V, d = one_pass(W, V, d)
+        W, V, d = one_pass(Ad, W, V, d, gu_dev, gv_dev)
         # convergence modes (krylov.hpp:590-622): FACTOR = relative W
         # change; LOSS = relative change of sum(d^2) (variance proxy)
         factor_conv = loss_conv = False
@@ -863,7 +925,9 @@ def krylov_svd(A, cfg: SVDConfig) -> SVDResult:
 
 def _auto_select_method(cfg: SVDConfig, k: int) -> str:
     has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
-                      cfg.v.L1 > 0 or cfg.u.L21 > 0 or cfg.v.L21 > 0)
+                      cfg.v.L1 > 0 or cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                      cfg.u.angular > 0 or cfg.v.angular > 0 or
+                      cfg.u.graph_lambda > 0 or cfg.v.graph_lambda > 0)
     if cfg.robust_delta > 0:
         return "deflation"            # only robust-capable method
     if has_constraints:
@@ -886,7 +950,8 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         scale: bool = False, seed: int = 0, tol: float = 1e-5,
         maxit: int = 0, oversample: int = 10, power_iters: int = 2,
         nonneg=(False, False), L1=(0.0, 0.0), L2=(0.0, 0.0),
-        L21=(0.0, 0.0), upper_bound=(0.0, 0.0), robust=False,
+        L21=(0.0, 0.0), upper_bound=(0.0, 0.0), angular=(0.0, 0.0),
+        graph_U=None, graph_V=None, graph_lambda=(0.0, 0.0), robust=False,
         test_fraction: float = 0.0, cv_seed: int = 0,
         convergence: str = "factor", **kw) -> SVDResult:
     """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161).
@@ -932,10 +997,19 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     l21u, l21v = pair(L21)
     nnu, nnv = (nonneg, nonneg) if isinstance(nonneg, bool) else tuple(nonneg)
     ubu, ubv = pair(upper_bound)
+    angu, angv = pair(angular)
+    glu, glv = pair(graph_lambda)
     if isinstance(robust, bool):
         robust_delta = 1.345 if robust else 0.0
     else:
         robust_delta = float(robust)
+
+    def _dense_graph(L):
+        if L is None:
+            return None
+        return np.asarray(L.todense() if hasattr(L, "todense") else L,
+                          dtype=np.float32)
+    aux = {"graph_U": _dense_graph(graph_U), "graph_V": _dense_graph(graph_V)}
 
     if convergence not in ("factor", "loss", "both"):
         raise ValueError(f"convergence={convergence!r}: use 'factor', "
@@ -949,8 +1023,10 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         tol=tol, max_iter=maxit, center=center, scale=scale, seed=seed,
         oversample=oversample, power_iters=power_iters,
         robust_delta=robust_delta, convergence=convergence,
-        u=FC(L1=l1u, L2=l2u, L21=l21u, nonneg=bool(nnu), upper_bound=ubu),
-        v=FC(L1=l1v, L2=l2v, L21=l21v, nonneg=bool(nnv), upper_bound=ubv),
+        u=FC(L1=l1u, L2=l2u, L21=l21u, nonneg=bool(nnu), upper_bound=ubu,
+             angular=angu, graph_lambda=glu),
+        v=FC(L1=l1v, L2=l2v, L21=l21v, nonneg=bool(nnv), upper_bound=ubv,
+             angular=angv, graph_lambda=glv),
         test_fraction=(test_fraction if test_fraction > 0 else
                        (0.05 if auto_k else 0.0)),
         cv_seed=cv_seed)
@@ -980,7 +1056,17 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                       "test_fraction ignored (use 'deflation' or 'krylov')")
         cfg = cfg.replace(test_fraction=0.0)
 
-    res = fn(data, cfg)
+    has_tier2 = (angu > 0 or angv > 0 or
+                 aux["graph_U"] is not None or aux["graph_V"] is not None)
+    if method in ("deflation", "krylov"):
+        res = fn(data, cfg, aux=aux)
+    else:
+        if has_tier2:
+            import warnings
+            warnings.warn(f"method {method!r} does not support angular/"
+                          "graph regularization; use 'deflation' or "
+                          "'krylov'")
+        res = fn(data, cfg)
     res.misc["method"] = method
     # total-variance denominator for variance_explained()
     # (deflation.hpp:396-417): ||A||^2, minus n*||rowmean||^2 when

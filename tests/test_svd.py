@@ -395,3 +395,85 @@ def test_variance_explained_total_variance():
     res_s = rt.svd(A, 5, method="lanczos", scale=True, seed=1)
     ves = res_s.variance_explained()
     assert ves.sum() <= 1 + 1e-6
+
+
+def _chain_laplacian(n):
+    L = np.zeros((n, n), np.float32)
+    for i in range(n):
+        if i > 0:
+            L[i, i] += 1; L[i, i - 1] -= 1
+        if i < n - 1:
+            L[i, i] += 1; L[i, i + 1] -= 1
+    return L
+
+
+def test_svd_graph_reg_smooths_deflation():
+    """graph_V Laplacian smooths v along the chain (deflation.hpp:283-292)."""
+    rs = np.random.RandomState(8)
+    A = (rs.rand(30, 40) + np.sin(np.arange(40) / 3)[None, :]).astype(np.float32)
+    L = _chain_laplacian(40)
+    plain = rt.svd(A, 3, method="deflation", seed=1)
+    # explicit gradient step: stable for lambda * eig(L) < 2 (chain
+    # Laplacian eigs <= 4), same stability region as the reference's
+    # v -= (lambda/norm_sq) L v
+    reg = rt.svd(A, 3, method="deflation", graph_V=L,
+                 graph_lambda=(0.0, 0.3), seed=1)
+
+    def rough(V):
+        v = np.asarray(V)
+        return float(np.sum(np.diff(v, axis=0) ** 2))
+    assert rough(reg.V) < rough(plain.V)
+
+
+def test_svd_graph_reg_smooths_krylov():
+    rs = np.random.RandomState(9)
+    A = np.abs(rs.rand(30, 40)).astype(np.float32)
+    L = _chain_laplacian(40)
+    plain = rt.svd(A, 3, method="krylov", nonneg=(True, True), seed=1)
+    reg = rt.svd(A, 3, method="krylov", nonneg=(True, True), graph_V=L,
+                 graph_lambda=(0.0, 5.0), seed=1)
+
+    def rough(V):
+        return float(np.sum(np.diff(np.asarray(V), axis=0) ** 2))
+    assert rough(reg.V) < rough(plain.V)
+
+
+def test_svd_angular_decorrelates():
+    """angular pushes factors apart: projection vs prior factors in
+    deflation (deflation.hpp:256-267); Gram-level in krylov
+    (features/angular.hpp:42-66, runs without degrading)."""
+    rs = np.random.RandomState(10)
+    base = np.abs(rs.rand(40, 1))
+    A = (base @ np.abs(rs.rand(1, 30)) +
+         0.3 * np.abs(rs.rand(40, 30))).astype(np.float32)
+
+    def max_cos(U):
+        u = np.asarray(U)
+        u = u / np.maximum(np.linalg.norm(u, axis=0), 1e-15)
+        C = np.abs(u.T @ u) - np.eye(u.shape[1])
+        return float(C.max())
+    plain = rt.svd(A, 3, method="deflation", nonneg=(True, True), seed=1)
+    ang = rt.svd(A, 3, method="deflation", nonneg=(True, True),
+                 angular=(0.3, 0.3), seed=1)
+    assert max_cos(ang.U) < max_cos(plain.U)
+    kry = rt.svd(A, 3, method="krylov", nonneg=(True, True),
+                 angular=(0.3, 0.3), seed=1)
+    assert np.all(np.isfinite(np.asarray(kry.U)))
+
+
+def test_svd_l21_krylov_zeroes_components():
+    """L21 drives weak components to zero in the krylov solve
+    (features/L21.hpp:51-63) — previously accepted but ignored."""
+    rs = np.random.RandomState(11)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    plain = rt.svd(A, 5, method="krylov", nonneg=(True, True), seed=1)
+    reg = rt.svd(A, 5, method="krylov", nonneg=(True, True),
+                 L21=(40.0, 40.0), seed=1)
+    assert float(np.asarray(reg.d)[-1]) < float(np.asarray(plain.d)[-1])
+
+
+def test_svd_tier2_unsupported_method_warns():
+    rs = np.random.RandomState(12)
+    A = rs.rand(20, 15).astype(np.float32)
+    with pytest.warns(UserWarning, match="angular"):
+        rt.svd(A, 3, method="randomized", angular=(0.5, 0.5), seed=1)
