@@ -975,6 +975,12 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                                  "them before svd()")
 
     if isinstance(data, str) and data.endswith(".spz"):
+        if (any(np.atleast_1d(L21) != 0) or any(np.atleast_1d(angular) != 0)
+                or graph_U is not None or graph_V is not None):
+            raise ValueError(
+                "streaming .spz SVD supports L1/L2/nonneg/upper_bound/"
+                "robust only; decode in-memory (st_read) for L21/angular/"
+                "graph regularization")
         if method == "auto":
             has_con = (any(np.atleast_1d(L1) != 0) or
                        any(np.atleast_1d(L2) != 0) or
