@@ -313,6 +313,32 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     (out-of-core streaming path, R/nmf_thin.R:422-627) and ``streaming=True``
     forces the chunked loader for in-memory matrices.
     """
+    # multi-modal list/dict input -> shared-H factor_net
+    # (R/nmf_thin.R:279-304: nmf(list(...)) delegates to factor_net)
+    if isinstance(data, (list, tuple, dict)) and not _is_sparse(data):
+        from .models import graph as graph_mod
+        if isinstance(data, dict):
+            named = list(data.items())
+        else:
+            named = [(f"modal{i + 1}", d) for i, d in enumerate(data)]
+        if len(named) < 2:
+            raise ValueError("multi-modal NMF requires 2+ matrices with "
+                             "the same number of columns (samples)")
+        ncols = {np.shape(d)[1] for _, d in named}
+        if len(ncols) != 1:
+            raise ValueError("all matrices in multi-modal NMF must share "
+                             "the number of columns (samples)")
+        inputs = [graph_mod.factor_input(_to_dense_f32(d), nm)
+                  for nm, d in named]
+        shared = graph_mod.factor_shared(*inputs)
+        layer = graph_mod.nmf_layer(shared, int(k), name="L1")
+        net = graph_mod.factor_net(
+            inputs, layer,
+            maxit=kwargs.get("maxit", constants.NMF_MAXIT),
+            tol=kwargs.get("tol", constants.NMF_TOL),
+            seed=kwargs.get("seed"), verbose=kwargs.get("verbose"))
+        return graph_mod.fit(net)
+
     if isinstance(mask, str) and mask.strip().lower() == "zeros":
         # R string form mask="zeros" == mask_zeros=True (R/nmf_thin.R)
         mask = None

@@ -49,6 +49,20 @@ class Input(Node):
 
     def __init__(self, data, name: Optional[str] = None):
         super().__init__(name)
+        if isinstance(data, str):
+            # .spz path input (R factor_input file routing,
+            # test_factor_net.R:406-447): decoded through the native
+            # codec; the graph engine then runs its dense fused path
+            import os as _os
+            if not data.endswith(".spz"):
+                raise ValueError(f"factor_input path must be .spz: {data!r}")
+            if not _os.path.exists(data):
+                raise ValueError(f"no such .spz file: {data!r}")
+            from ..io.spz import st_read
+            from ..utils.memory import guard_dense_input
+            sp_mat = st_read(data)
+            guard_dense_input(sp_mat.shape[0], sp_mat.shape[1])
+            data = np.asarray(sp_mat.todense(), dtype=np.float32)
         self.data = data
 
 
@@ -229,6 +243,38 @@ class GraphResult:
 
     def __getitem__(self, name):
         return self.layers[name]
+
+    def predict(self, newdata):
+        """Project new samples through the fitted layers
+        (R/factor_methods.R:742-777 predict.factor_net_result).
+
+        Single layer: returns H_new (k, n_new).  Multi-layer: chains —
+        each layer's H_new (transposed) feeds the next — and returns
+        {layer_name: H_new}.  Multi-modal first layers need the
+        modalities row-concatenated in training order.
+        """
+        from .project import nnls
+        items = list(self.layers.items())
+
+        def _project(lr, X):
+            W = np.asarray(lr.W) * np.asarray(lr.d)[None, :]
+            return nnls(X, w=W)
+
+        if len(items) == 1:
+            return _project(items[0][1], newdata)
+        current = np.asarray(newdata, dtype=np.float32)
+        out = {}
+        for i, (name, lr) in enumerate(items):
+            if i == 0:
+                emb = np.asarray(_project(lr, current))   # (k1, n_new)
+            else:
+                # deeper layers factorize t(H_prev): new samples are new
+                # ROWS there, so the projection basis is (d * H).T
+                basis = np.asarray(lr.H).T * np.asarray(lr.d)[None, :]
+                emb = np.asarray(nnls(current, w=basis))  # (k_l, n_new)
+            out[name] = emb
+            current = emb
+        return out
 
 
 class FactorNet:

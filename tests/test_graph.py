@@ -5,7 +5,7 @@ import pytest
 
 from rcppml_tpu.models.graph import (Add, Concat, Condition, FactorNet, Input,
                                      NMFLayer, Shared, cross_validate_graph,
-                                     factor_net, fit)
+                                     factor_input, factor_net, fit, nmf_layer)
 from rcppml_tpu.utils.simulate import simulate_nmf
 
 
@@ -269,3 +269,66 @@ def test_layer_with_W_H_builders(modalities):
     layer = nmf_layer(x, 3, W=W(L1=0.05), H=H(L2=0.01), maxit=5, name="reg")
     res = fit(factor_net([x], layer))
     assert np.isfinite(res.total_loss)
+
+
+def test_nmf_list_input_dispatches_to_factor_net():
+    """nmf(list/dict) -> shared-H factor_net (R/nmf_thin.R:279-304,
+    test_factor_net.R:248-262)."""
+    import rcppml_tpu as rt
+    rs = np.random.RandomState(0)
+    X1 = np.abs(rs.rand(30, 25)).astype(np.float32)
+    X2 = np.abs(rs.rand(18, 25)).astype(np.float32)
+    res = rt.nmf({"rna": X1, "adt": X2}, 4, maxit=20, seed=42)
+    lr = res["L1"]
+    assert set(lr.W_blocks) == {"rna", "adt"}
+    assert lr.W_blocks["rna"].shape == (30, 4)
+    assert lr.W_blocks["adt"].shape == (18, 4)
+    assert lr.H.shape == (4, 25)
+    res2 = rt.nmf([X1, X2], 4, maxit=10, seed=42)
+    assert set(res2["L1"].W_blocks) == {"modal1", "modal2"}
+    with pytest.raises(ValueError, match="2\\+"):
+        rt.nmf([X1], 4)
+    with pytest.raises(ValueError, match="columns"):
+        rt.nmf([X1, X2[:, :10]], 4)
+
+
+def test_graph_result_predict(modalities):
+    """predict.factor_net_result chaining (R/factor_methods.R:742-777)."""
+    X = modalities[0]
+    inp = factor_input(X, "X")
+    net = factor_net([inp], nmf_layer(inp, 5, name="L1"), maxit=50,
+                     tol=1e-5, seed=42)
+    res = fit(net)
+    H_pred = res.predict(X)
+    assert H_pred.shape == (5, X.shape[1])
+    rs = np.random.RandomState(1)
+    X_new = np.abs(rs.rand(X.shape[0], 10)).astype(np.float32)
+    assert res.predict(X_new).shape == (5, 10)
+    # deep net: chained dict of per-layer projections
+    deep = factor_net([inp], nmf_layer(nmf_layer(inp, 6, name="L1"), 3,
+                                       name="L2"), maxit=20, seed=42)
+    dres = fit(deep)
+    out = dres.predict(X_new)
+    assert set(out) == {"L1", "L2"}
+    assert out["L1"].shape == (6, 10)
+    assert out["L2"].shape == (3, 10)
+
+
+def test_factor_input_spz(tmp_path):
+    """.spz path inputs route through the native codec
+    (test_factor_net.R:406-447)."""
+    import scipy.sparse as sp
+    from rcppml_tpu.io.spz import st_write
+    rs = np.random.RandomState(2)
+    X = np.abs(rs.rand(25, 20)).astype(np.float32)
+    X[X < 0.4] = 0
+    p = str(tmp_path / "g.spz")
+    st_write(sp.csc_matrix(X), p)
+    inp = factor_input(p, "xs")
+    net = factor_net([inp], nmf_layer(inp, 3, name="L1"), maxit=10, seed=1)
+    res = fit(net)
+    assert res["L1"].W.shape == (25, 3)
+    with pytest.raises(ValueError, match="no such"):
+        factor_input(str(tmp_path / "missing.spz"))
+    with pytest.raises(ValueError, match="spz"):
+        factor_input("/tmp/file.csv")
