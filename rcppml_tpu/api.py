@@ -59,6 +59,11 @@ def _to_dense_f32(data, allow_nan: bool = False):
         # R/nmf_validation.R NA detection: fail loudly, not with NaN factors
         raise ValueError("data contains NaN/NA values; impute or mask them "
                          "(use mask= for missing-value factorization)")
+    if np.isinf(arr).any():
+        # Inf cannot be masked away like NA; erroring (not NaN factors) is
+        # the acceptable behavior (test_p2_hardening.R:253-266)
+        raise ValueError("data contains infinite values; clip or remove "
+                         "them before factorization")
     return arr
 
 
@@ -338,6 +343,35 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
             tol=kwargs.get("tol", constants.NMF_TOL),
             seed=kwargs.get("seed"), verbose=kwargs.get("verbose"))
         return graph_mod.fit(net)
+
+    # seed = matrix -> custom W init; seed = list -> multi-restart with
+    # best-loss selection (test_parameters.R:149,554-578)
+    seed_arg = kwargs.get("seed")
+    if isinstance(seed_arg, np.ndarray) and seed_arg.ndim == 2:
+        if np.isscalar(k) and seed_arg.shape[1] != int(k):
+            raise ValueError(
+                f"Rank mismatch: seed matrix has {seed_arg.shape[1]} "
+                f"columns but k = {int(k)}")
+        if w_init is None:
+            w_init = seed_arg
+        kwargs["seed"] = 0
+    elif isinstance(seed_arg, (list, tuple)) and len(seed_arg) > 0:
+        runs = []
+        for s in seed_arg:
+            sub = dict(kwargs)
+            sub["seed"] = s
+            runs.append(nmf(data, k, mask=mask, graph_W=graph_W,
+                            graph_H=graph_H, target_H=target_H,
+                            target_W=target_W, w_init=w_init,
+                            h_init=h_init, streaming=streaming,
+                            chunk_cols=chunk_cols, mesh=mesh, **sub))
+        losses_ = [float(r.train_loss) for r in runs]
+        best_ix = int(np.nanargmin(losses_))
+        best = runs[best_ix]
+        best.misc["all_inits"] = [
+            {"init": i, "loss": losses_[i], "selected": i == best_ix}
+            for i in range(len(runs))]
+        return best
 
     if isinstance(mask, str) and mask.strip().lower() == "zeros":
         # R string form mask="zeros" == mask_zeros=True (R/nmf_thin.R)

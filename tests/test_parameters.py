@@ -231,3 +231,39 @@ def test_auto_rank_cv_k_range():
     res = rt.nmf(sim["A"], "auto", cv_k_range=(2, 8), test_fraction=0.1,
                  maxit=30, seed=42)
     assert 2 <= res.k <= 8
+
+
+def test_seed_matrix_custom_init():
+    """seed = matrix -> custom W initialization (test_parameters.R:149)."""
+    W0 = np.abs(np.random.RandomState(9).rand(24, 3)).astype(np.float32)
+    res = rt.nmf(A_DENSE, 3, seed=W0, maxit=5, sort_model=False)
+    assert res.W.shape == (24, 3)
+    r2 = rt.nmf(A_DENSE, 3, w_init=W0, seed=0, maxit=5, sort_model=False)
+    np.testing.assert_allclose(np.asarray(res.W), np.asarray(r2.W))
+    with pytest.raises(ValueError, match="Rank mismatch"):
+        rt.nmf(A_DENSE, 3, seed=W0[:, :2], maxit=5)
+
+
+def test_seed_list_multi_restart():
+    """seed = list -> best-of-N restart selection with all_inits record
+    (test_parameters.R:554-578)."""
+    res = rt.nmf(A_DENSE, 2, seed=[11, 22, 33], maxit=10, sort_model=False)
+    rows = res.misc["all_inits"]
+    assert len(rows) == 3
+    assert sum(r["selected"] for r in rows) == 1
+    best = min(r["loss"] for r in rows)
+    assert res.train_loss == best
+    # list of custom init matrices
+    inits = [np.abs(np.random.RandomState(s).rand(24, 2)).astype(np.float32)
+             for s in (1, 2, 3)]
+    res2 = rt.nmf(A_DENSE, 2, seed=inits, maxit=10, sort_model=False)
+    assert len(res2.misc["all_inits"]) == 3
+
+
+def test_inf_input_rejected():
+    """Inf input errors cleanly instead of returning non-finite factors
+    (test_p2_hardening.R:253-266 allows error-or-valid)."""
+    B = A_DENSE.copy()
+    B[1, 2] = np.inf
+    with pytest.raises(ValueError, match="infinite"):
+        rt.nmf(B, 2, maxit=3)
