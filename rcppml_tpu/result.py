@@ -171,6 +171,25 @@ class SVDResult:
         fro2 = self.misc.get("frobenius_norm_sq")
         return d2 / (fro2 if fro2 else d2.sum())
 
+    @property
+    def shape(self):
+        return (self.U.shape[0], self.V.shape[0])
+
+    def subset_factors(self, idx) -> "SVDResult":
+        """s[i] factor subsetting (test_svd.R:277-288)."""
+        idx = np.atleast_1d(np.asarray(idx))
+        import dataclasses
+        return dataclasses.replace(
+            self, U=np.asarray(self.U)[:, idx], d=np.asarray(self.d)[idx],
+            V=np.asarray(self.V)[:, idx], k_selected=int(idx.size))
+
+    def head(self, n: int = 6) -> np.ndarray:
+        """First rows of U scaled by d (R head.svd semantics)."""
+        return (np.asarray(self.U) * np.asarray(self.d)[None, :])[:n]
+
+    def __getitem__(self, key):
+        return self.subset_factors(key)
+
     def predict(self, newdata) -> np.ndarray:
         """Project new samples (rows) onto the right singular vectors:
         scores = newdata @ V / d — PCA out-of-sample prediction

@@ -55,7 +55,13 @@ def load_data(path: str):
     """Auto-detecting matrix loader (R/nmf_validation.R:30-120
     validate_data): .spz / .mtx / .csv / .h5ad / .loom / .h5 / .rda / .npz.
     """
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such data file: {path}")
     lower = path.lower()
+    if lower.endswith((".tsv", ".tsv.gz", ".txt")):
+        import numpy as np
+        return np.loadtxt(path, delimiter="\t", ndmin=2)
     if lower.endswith(".spz"):
         from ..io.spz import st_read_auto
         return st_read_auto(path)

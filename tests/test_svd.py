@@ -477,3 +477,17 @@ def test_svd_tier2_unsupported_method_warns():
     A = rs.rand(20, 15).astype(np.float32)
     with pytest.warns(UserWarning, match="angular"):
         rt.svd(A, 3, method="randomized", angular=(0.5, 0.5), seed=1)
+
+
+def test_svd_result_methods():
+    """dim/head/subsetting on svd results (test_svd.R:258-288)."""
+    rs = np.random.RandomState(13)
+    A = rs.rand(20, 15).astype(np.float32)
+    res = rt.svd(A, 5, method="lanczos", seed=1)
+    assert res.shape == (20, 15)
+    assert res.head(4).shape == (4, 5)
+    sub = res[[0, 2]]
+    assert sub.k == 2
+    np.testing.assert_array_equal(np.asarray(sub.d),
+                                  np.asarray(res.d)[[0, 2]])
+    assert repr(res).startswith("SVDResult")
