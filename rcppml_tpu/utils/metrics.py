@@ -325,9 +325,25 @@ def assess(x, labels, *, batch=None, metrics="all", n_folds: int = 5,
 
 
 def cosine(a, b=None) -> np.ndarray:
-    """Column-wise cosine similarity (R/cosine.R:21)."""
-    A = np.asarray(a, dtype=np.float64)
-    B = A if b is None else np.asarray(b, dtype=np.float64)
+    """Column-wise cosine similarity (R/cosine.R:21).
+
+    Accepts dense or scipy-sparse matrices and 1-D vectors (treated as a
+    single column, matching the R matrix/vector dispatch,
+    tests/testthat/test_cosine.R:35-70); a lone vector with ``b=None``
+    errors like R's ``cosine(x)`` on a vector.
+    """
+    def _as2d(x):
+        if hasattr(x, "todense"):
+            x = np.asarray(x.todense())
+        x = np.asarray(x, dtype=np.float64)
+        return x[:, None] if x.ndim == 1 else x
+
+    a_is_vec = not hasattr(a, "todense") and np.ndim(a) == 1
+    if b is None and a_is_vec:
+        raise ValueError("cosine of a single vector needs a second "
+                         "argument (R/cosine.R vector dispatch)")
+    A = _as2d(a)
+    B = A if b is None else _as2d(b)
     An = A / np.maximum(np.linalg.norm(A, axis=0), 1e-15)
     Bn = B / np.maximum(np.linalg.norm(B, axis=0), 1e-15)
     return An.T @ Bn
