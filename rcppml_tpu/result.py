@@ -115,11 +115,26 @@ class NMFResult:
             out[:, gi] = np.asarray(self.H)[:, groups == g].mean(axis=1)
         return out
 
-    def align_to(self, ref: "NMFResult") -> "NMFResult":
+    def align_to(self, ref: "NMFResult",
+                 method: str = "cosine") -> "NMFResult":
         """Permute factors to best match a reference model (Hungarian on
-        cosine; R/nmf_methods.R `align`)."""
-        from .models.clustering import align_factors
-        perm, _ = align_factors(np.asarray(ref.W), np.asarray(self.W))
+        cosine or Pearson correlation; R/nmf_methods.R:261-271 `align`)."""
+        W = np.asarray(self.W)
+        Wr = np.asarray(ref.W)
+        if W.shape != Wr.shape:
+            raise ValueError("dimensions of object W and ref W are not "
+                             "identical")
+        if method == "cosine":
+            from .models.clustering import align_factors
+            perm, _ = align_factors(Wr, W)
+        elif method == "cor":
+            from .models.clustering import bipartite_match
+            C = np.corrcoef(W, Wr, rowvar=False)[:W.shape[1], W.shape[1]:]
+            cost = np.maximum(1.0 - C + 1e-10, 0.0)
+            perm = bipartite_match(cost.T)["pairs"][:, 1]
+        else:
+            raise ValueError(f"align method {method!r}: use 'cosine' or "
+                             "'cor'")
         return self.subset_factors(perm)
 
     def __getitem__(self, key):

@@ -109,3 +109,75 @@ def test_bipartition_device_resident_matches_host():
     assert dev.dist == pytest.approx(host.dist, rel=1e-4)
     np.testing.assert_allclose(dev.center1, host.center1, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_dclust_structure_and_nonoverlap():
+    """Cluster IDs unique, indices partition the samples, centers have
+    feature length (test_dclust_expanded.R:13-135)."""
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    A = simulate_nmf(m=30, n=120, k=4, noise=0.02, seed=9)["A"]
+    out = dclust(A, min_samples=20, seed=1)
+    all_idx = np.concatenate([c.samples for c in out])
+    assert sorted(all_idx) == list(range(120))
+    ids = [c.id for c in out]
+    assert len(set(ids)) == len(ids)
+    for c in out:
+        assert len(c.center) == 30
+        assert len(c.samples) >= 1
+
+
+def test_dclust_min_dist_controls_resolution():
+    # test_dclust_expanded.R:47-61 — larger min_dist -> fewer clusters
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    A = simulate_nmf(m=30, n=150, k=5, noise=0.05, seed=3)["A"]
+    lo = dclust(A, min_samples=10, min_dist=0.0, seed=1)
+    hi = dclust(A, min_samples=10, min_dist=0.5, seed=1)
+    assert len(hi) <= len(lo)
+
+
+def test_dclust_ground_truth_recovery():
+    # test_dclust_expanded.R:136+ — separable blocks are recovered
+    rs = np.random.RandomState(4)
+    blocks = []
+    for b in range(3):
+        B = np.full((20, 40), 0.05)
+        B[b * 6:(b + 1) * 6, :] = 5.0 + rs.rand(6, 40)
+        blocks.append(B)
+    A = np.concatenate(blocks, axis=1)
+    out = dclust(A, min_samples=25, seed=1)
+    assert len(out) == 3
+    for c in out:
+        cols = np.asarray(c.samples) // 40
+        assert len(set(cols.tolist())) == 1     # no mixing across blocks
+
+
+def test_align_methods_and_errors():
+    """align(method='cosine'/'cor'), dim mismatch, identity
+    (test_align.R:7-111)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    A = simulate_nmf(m=40, n=50, k=4, noise=0.02, seed=11)["A"]
+    r1 = rt.nmf(A, 4, maxit=100, tol=1e-7, seed=1)
+    r2 = rt.nmf(A, 4, maxit=100, tol=1e-7, seed=77)
+
+    def diag_cos(a, b):
+        wa = np.asarray(a.W) / np.maximum(
+            np.linalg.norm(np.asarray(a.W), axis=0), 1e-15)
+        wb = np.asarray(b.W) / np.maximum(
+            np.linalg.norm(np.asarray(b.W), axis=0), 1e-15)
+        return float(np.mean(np.sum(wa * wb, axis=0)))
+
+    before = diag_cos(r2, r1)
+    for method in ("cosine", "cor"):
+        aligned = r2.align_to(r1, method=method)
+        assert diag_cos(aligned, r1) >= before - 1e-9
+        # alignment is a permutation: reconstruction unchanged
+        np.testing.assert_allclose(aligned.reconstruct(),
+                                   r2.reconstruct(), rtol=1e-6)
+    ident = r1.align_to(r1)
+    np.testing.assert_array_equal(np.asarray(ident.W), np.asarray(r1.W))
+    r3 = rt.nmf(A[:20], 4, maxit=5, seed=1)
+    with pytest.raises(ValueError, match="identical"):
+        r3.align_to(r1)
+    with pytest.raises(ValueError, match="method"):
+        r2.align_to(r1, method="bogus")
