@@ -48,13 +48,18 @@ class NMFResult:
     def shape(self):
         return (self.W.shape[0], self.H.shape[1])
 
-    def sort(self) -> "NMFResult":
-        """Sort factors by decreasing d (result.hpp sort())."""
-        order = np.argsort(-np.asarray(self.d), kind="stable")
+    def sort(self, decreasing: bool = True) -> "NMFResult":
+        """Sort factors by d (result.hpp sort(); R sort(decreasing=))."""
+        d = np.asarray(self.d)
+        order = np.argsort(-d if decreasing else d, kind="stable")
         self.W = self.W[:, order]
         self.d = self.d[order]
         self.H = self.H[order, :]
         return self
+
+    def head(self, n: int = 6) -> np.ndarray:
+        """First rows of W (R head.nmf)."""
+        return np.asarray(self.W)[:n]
 
     def reconstruct(self) -> np.ndarray:
         return (self.W * self.d[None, :]) @ self.H

@@ -113,3 +113,18 @@ def test_bipartite_match_optimality():
     C2 = np.abs(np.random.RandomState(8).rand(3, 5))
     out2 = bipartite_match(C2)
     assert len(out2["pairs"]) == 3
+
+
+def test_nmf_result_method_roundtrips():
+    """t(t(x)) identity, sort(decreasing=False), head, prod
+    (test_s4_methods.R:38-96,171-181)."""
+    rs = np.random.RandomState(9)
+    A = np.abs(rs.rand(20, 15)).astype(np.float32)
+    res = rt.nmf(A, 4, maxit=10, seed=1)
+    tt = res.t().t()
+    np.testing.assert_array_equal(np.asarray(tt.W), np.asarray(res.W))
+    asc = rt.nmf(A, 4, maxit=10, seed=1).sort(decreasing=False)
+    d = np.asarray(asc.d)
+    assert np.all(np.diff(d) >= -1e-7)
+    assert res.head(3).shape == (3, 4)
+    np.testing.assert_allclose(res.prod(), res.reconstruct())
