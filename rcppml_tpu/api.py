@@ -384,6 +384,25 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     # streaming / out-of-core dispatch (nmf/fit_streaming_spz.hpp:54)
     is_spz = isinstance(data, str) and data.endswith(".spz")
+    if (not is_spz and not streaming and mesh is None
+            and not isinstance(data, str) and hasattr(data, "shape")
+            and np.isscalar(k)):
+        # auto-activate streaming when the dense fp32 matrix cannot fit
+        # in device HBM with headroom (gpu/loader.hpp streaming mode,
+        # test_gpu_oom.R:9) — panels stream through the chunked engine
+        # instead of OOMing the accelerator.  ZI and symmetric need the
+        # full matrix resident, so they stay on the in-memory path.
+        from .utils.memory import check_dense_alloc
+        chk = check_dense_alloc(data.shape[0], data.shape[1],
+                                where="device")
+        if not chk.fits and kwargs.get("zi", "none") == "none" \
+                and not kwargs.get("symmetric"):
+            from .utils import logging as logmod
+            logmod.log_summary(
+                "[nmf] %d x %d exceeds device memory (%s); streaming in "
+                "column panels", data.shape[0], data.shape[1], chk.message,
+                verbose=kwargs.get("verbose") or None)
+            streaming = True
     if is_spz or streaming:
         from .io.loaders import InMemoryLoader, SpzLoader
         from .models.nmf_chunked import nmf_chunked

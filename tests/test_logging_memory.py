@@ -107,3 +107,20 @@ def test_unknown_budget_passes(monkeypatch):
     monkeypatch.setattr(memmod, "available_host_bytes", lambda: 0)
     res = memmod.check_dense_alloc(10 ** 7, 10 ** 7)
     assert res.fits and "unknown" in res.message
+
+
+def test_auto_streaming_beyond_hbm(monkeypatch):
+    """Inputs that exceed device HBM auto-stream through the chunked
+    engine instead of OOMing (gpu/loader.hpp streaming mode,
+    test_gpu_oom.R:9)."""
+    monkeypatch.setattr(memmod, "device_hbm_bytes", lambda: 20_000)
+    A = np.abs(np.random.RandomState(0).rand(60, 50)).astype(np.float32)
+    res = rt.nmf(A, 3, maxit=5, seed=1)
+    # chunked result still matches shapes and is finite
+    assert res.W.shape == (60, 3)
+    assert np.all(np.isfinite(np.asarray(res.W)))
+    # ZI cannot stream: stays in-memory rather than erroring
+    cnt = np.random.RandomState(1).poisson(2, (30, 25)).astype(np.float64)
+    r2 = rt.nmf(cnt, 2, maxit=3, seed=1, loss="nb", zi="row",
+                dispersion="per_row")
+    assert r2.pi_row is not None
