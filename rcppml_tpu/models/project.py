@@ -24,13 +24,16 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
          L21: float = 0.0, angular: float = 0.0, nonneg: bool = True,
          upper_bound: float = 0.0, loss: str = "mse",
          solver: str = "auto", cd_maxit: int = 100, cd_tol: float = 1e-8,
-         irls_max_iter: int = 5, irls_tol: float = 1e-4) -> np.ndarray:
+         irls_max_iter: int = 5, irls_tol: float = 1e-4,
+         warm_start=None) -> np.ndarray:
     """Solve the projection problem min ||A - w X|| (or min ||A - X h||)
     subject to constraints (R/solve.R:84-357).
 
     Exactly one of ``w`` (m, k) / ``h`` (k, n) must be given; returns the
     other factor.  Non-MSE losses delegate to a single-iteration weighted
-    solve, as the R API does via one NMF iteration.
+    solve, as the R API does via one NMF iteration.  ``warm_start``: a
+    previous solution in the RETURN orientation — seeds the CD sweeps
+    (test_unified_backend.R:143-186; forces the CD solver).
     """
     if (w is None) == (h is None):
         raise ValueError("provide exactly one of w=, h=")
@@ -64,10 +67,21 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
             G = G + L2 * jnp.eye(k, dtype=G.dtype)
         if L1 > 0:
             B = B - L1
-        use_cd = (solver == "cd") or (solver == "auto" and (L1 > 0 or k >= 32))
+        X0 = None
+        if warm_start is not None:
+            X0 = np.asarray(warm_start, dtype=np.float32)
+            if h is None:
+                pass            # returned X is already (k, n)
+            else:
+                X0 = X0.T       # return orientation was (m, k)
+            X0 = jnp.asarray(X0)
+        use_cd = (solver == "cd") or X0 is not None or \
+            (solver == "auto" and (L1 > 0 or k >= 32))
         if use_cd:
-            X = solvers.cd_nnls_batch(G, B, nonneg=nonneg, maxit=cd_maxit,
-                                      cd_tol=cd_tol, upper_bound=upper_bound)
+            X = solvers.cd_nnls_batch(G, B, X0, nonneg=nonneg,
+                                      maxit=cd_maxit, cd_tol=cd_tol,
+                                      upper_bound=upper_bound,
+                                      warm_start=X0 is not None)
         else:
             X = solvers.cholesky_clip_batch(G, B, nonneg=nonneg,
                                             upper_bound=upper_bound)

@@ -105,3 +105,22 @@ def test_evaluate_missing_only_requires_mask(small_factors):
     res = rt.nmf(small_factors["A"], 4, seed=42, maxit=5)
     with pytest.raises(ValueError, match="mask"):
         evaluate(res, small_factors["A"], missing_only=True)
+
+
+def test_nnls_warm_start_not_worse():
+    """Warm-started CD must not increase the residual
+    (test_unified_backend.R:143-186)."""
+    from rcppml_tpu.models.project import nnls
+    rs = np.random.RandomState(42)
+    W = rs.rand(50, 3).astype(np.float32)
+    H = rs.rand(3, 40).astype(np.float32)
+    A = np.maximum(W @ H + rs.normal(0, 0.01, (50, 40)), 0).astype(np.float32)
+    H_cold = nnls(A, w=W, cd_maxit=5, solver="cd")
+    H_warm = nnls(A, w=W, cd_maxit=5, warm_start=H_cold)
+    r_cold = float(np.sum((A - W @ H_cold) ** 2))
+    r_warm = float(np.sum((A - W @ H_warm) ** 2))
+    assert r_warm <= r_cold * 1.001
+    # h-side orientation: warm start in return orientation (m, k)
+    W_cold = nnls(A, h=H, cd_maxit=5, solver="cd")
+    W_warm = nnls(A, h=H, cd_maxit=5, warm_start=W_cold)
+    assert np.sum((A - W_warm @ H) ** 2) <= np.sum((A - W_cold @ H) ** 2) * 1.001
