@@ -10,10 +10,13 @@
 // Build: g++ -O3 -march=native -shared -fPIC streampress.cpp -o libstreampress.so
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <stdexcept>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -596,6 +599,88 @@ int spz_decode(const uint8_t* buf, uint64_t len, int transpose,
         }
         if (out_nnz != h.nnz) corrupt("total chunk nnz disagrees with header");
         p_out[v.ncols] = static_cast<int64_t>(out_nnz);
+        return 0;
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
+// Multithreaded decode.  Chunks are independent except for the output
+// offsets, which are prefix sums of the chunk nnz counts: a serial
+// descriptor pass computes (and validates) every chunk's slice, then a
+// work-stealing pool rANS-decodes chunks straight into their slices.
+// n_threads <= 0 means hardware_concurrency.
+int spz_decode_mt(const uint8_t* buf, uint64_t len, int transpose,
+                  int64_t* p_out, int32_t* i_out, float* x_out,
+                  int n_threads) {
+    try {
+        Header h = read_header_v2(buf, len);
+        StreamView v = resolve_stream(h, buf, len, transpose);
+
+        std::vector<ChunkDesc> descs(v.num_chunks);
+        std::vector<uint64_t> offs(v.num_chunks + 1, 0);
+        for (uint32_t c = 0; c < v.num_chunks; ++c) {
+            descs[c] = load_desc(buf, len, v, c);
+            if (descs[c].nnz > h.nnz - offs[c])
+                corrupt("chunk nnz exceeds header nnz");
+            offs[c + 1] = offs[c] + descs[c].nnz;
+        }
+        if (offs[v.num_chunks] != h.nnz)
+            corrupt("total chunk nnz disagrees with header");
+
+        const uint8_t* base = buf + v.data_off;
+        int nt = n_threads > 0
+            ? n_threads
+            : static_cast<int>(std::thread::hardware_concurrency());
+        nt = std::max(1, std::min<int>(nt, static_cast<int>(
+            v.num_chunks ? v.num_chunks : 1)));
+
+        std::atomic<uint32_t> next{0};
+        std::mutex err_mu;
+        std::string err;
+        auto worker = [&]() {
+            std::vector<uint32_t> col_counts, rows;
+            for (;;) {
+                uint32_t c = next.fetch_add(1);
+                if (c >= v.num_chunks) return;
+                try {
+                    const ChunkDesc& d = descs[c];
+                    const uint64_t off = offs[c];
+                    decode_gaps(base + d.stream_offset[0],
+                                d.stream_size[0], d, v.nrows,
+                                col_counts, rows);
+                    uint64_t run = off;
+                    for (uint32_t j = 0; j < d.num_cols; ++j) {
+                        p_out[d.col_start + j] =
+                            static_cast<int64_t>(run);
+                        run += col_counts[j];
+                    }
+                    std::memcpy(i_out + off, rows.data(),
+                                d.nnz * sizeof(int32_t));
+                    decode_values(base + d.stream_offset[1],
+                                  d.stream_size[1], d, h.value_type,
+                                  x_out + off);
+                } catch (const std::exception& e) {
+                    std::lock_guard<std::mutex> g(err_mu);
+                    if (err.empty()) err = e.what();
+                    return;
+                }
+            }
+        };
+        if (nt <= 1) {
+            worker();
+        } else {
+            std::vector<std::thread> pool;
+            pool.reserve(nt);
+            for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        }
+        if (!err.empty()) {
+            g_error = err;
+            return -1;
+        }
+        p_out[v.ncols] = static_cast<int64_t>(h.nnz);
         return 0;
     } catch (const std::exception& e) {
         g_error = e.what();

@@ -48,6 +48,7 @@ def _load_lib():
     lib.spz_last_error.restype = ctypes.c_char_p
     lib.spz_info.restype = ctypes.c_int
     lib.spz_decode.restype = ctypes.c_int
+    lib.spz_decode_mt.restype = ctypes.c_int
     lib.spz_encode.restype = ctypes.c_int64
     lib.spz_num_chunks.restype = ctypes.c_int
     lib.spz_chunk_info.restype = ctypes.c_int
@@ -94,10 +95,13 @@ def decompress_spz_bytes(data: bytes, transpose: bool = False):
     i = np.zeros(nnz, dtype=np.int32)
     x = np.zeros(nnz, dtype=np.float32)
     buf = _as_buf(data)
-    rc = lib.spz_decode(buf, len(data), int(transpose),
-                        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    # chunk-parallel native decode (serial descriptor pass + thread pool)
+    n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.spz_decode_mt(buf, len(data), int(transpose),
+                           p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                           i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                           x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           int(n_threads))
     if rc:
         raise ValueError(f"spz_decode: {_err(lib)}")
     return sp.csc_matrix((x, i, p), shape=(m, n))
