@@ -337,11 +337,19 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                   for nm, d in named]
         shared = graph_mod.factor_shared(*inputs)
         layer = graph_mod.nmf_layer(shared, int(k), name="L1")
-        net = graph_mod.factor_net(
-            inputs, layer,
-            maxit=kwargs.get("maxit", constants.NMF_MAXIT),
-            tol=kwargs.get("tol", constants.NMF_TOL),
-            seed=kwargs.get("seed"), verbose=kwargs.get("verbose"))
+        # every remaining fit kwarg rides through GlobalConfig: named
+        # settings where they exist, everything else via dots (lowest
+        # priority, forwarded verbatim to the layer's nmf() call —
+        # R/nmf_thin.R:293-302 builds the same W/H/config plumbing)
+        gc_kwargs = dict(kwargs)
+        gc_named = {}
+        for name in ("maxit", "tol", "loss", "verbose", "seed", "norm",
+                     "solver", "test_fraction", "cv_seed", "mask_zeros",
+                     "patience"):
+            if name in gc_kwargs:
+                gc_named[name] = gc_kwargs.pop(name)
+        cfg_g = graph_mod.GlobalConfig(dots=gc_kwargs, **gc_named)
+        net = graph_mod.factor_net(inputs, layer, config=cfg_g)
         return graph_mod.fit(net)
 
     # seed = matrix -> custom W init; seed = list -> multi-restart with
@@ -404,6 +412,13 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                 verbose=kwargs.get("verbose") or None)
             streaming = True
     if is_spz or streaming:
+        if isinstance(mask, str):
+            # mask="zeros" was normalized to mask_zeros above; "NA" needs
+            # the full matrix in memory (R/nmf_thin.R:463-465)
+            raise ValueError(
+                "streaming NMF does not support mask='NA' — NA detection "
+                "requires the full matrix in memory; pass an explicit "
+                "mask matrix or disable streaming")
         from .io.loaders import InMemoryLoader, SpzLoader
         from .models.nmf_chunked import nmf_chunked
         cfg = build_config(int(k),

@@ -398,12 +398,15 @@ class FactorNet:
                     if key in ("graph", "target"):
                         arrays[f"{key}_{side}"] = val
                         continue
-                    arr = kw.setdefault(key, [0.0, 0.0] if key != "nonneg"
-                                        else [True, True])
-                    if np.isscalar(arr):
-                        arr = [arr, arr]
-                        kw[key] = arr
+                    arr = kw.get(key, [0.0, 0.0] if key != "nonneg"
+                                 else [True, True])
+                    # always copy before writing: kw values may alias the
+                    # SHARED lists inside gc.dots / layer.fit_kwargs, and
+                    # an in-place write would leak this layer's side
+                    # config into every other layer and later fit
+                    arr = [arr, arr] if np.isscalar(arr) else list(arr)
                     arr[0 if side == "W" else 1] = val
+                    kw[key] = arr
             kw.setdefault("loss", layer.loss if layer.loss != "mse"
                           else gc.loss)
         kw.setdefault("solver", gc.solver)

@@ -299,8 +299,7 @@ def _irlba_fused(A, center_vec, scale_vec, v0, tol, *, k: int, work: int,
         0, v0, work)
     B0 = jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
 
-    def restart(U, V, B, betas, v_next):
-        P, s, Qt = jnp.linalg.svd(B)
+    def restart(U, V, B, betas, v_next, P, s, Qt):
         Pk = P[:, :k]
         U_new = jnp.dot(U, Pk, precision=PREC)                      # (m, k)
         V_new = jnp.dot(V, Qt[:k].T, precision=PREC)                # (n, k)
@@ -341,12 +340,14 @@ def _irlba_fused(A, center_vec, scale_vec, v0, tol, *, k: int, work: int,
 
     def body(carry):
         U, V, B, betas, v_next, it, _ = carry
-        P, s, _ = jnp.linalg.svd(B)
+        # one projected SVD per restart: the convergence test and the
+        # thick-restart rotation share the same decomposition
+        P, s, Qt = jnp.linalg.svd(B)
         res = jnp.abs(betas[-1] * P[-1, :k])
         conv = jnp.all(res < tol * jnp.maximum(s[0], 1e-30))
         U, V, B, betas, v_next = lax.cond(
-            conv, lambda a: a[:5], lambda a: restart(*a[:5]),
-            (U, V, B, betas, v_next))
+            conv, lambda a: a[:5], lambda a: restart(*a),
+            (U, V, B, betas, v_next, P, s, Qt))
         return (U, V, B, betas, v_next, it + 1, conv)
 
     U, V, B, betas, v_next, it, conv = lax.while_loop(
@@ -501,7 +502,10 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
         inv_prob = int(1.0 / cfg.test_fraction)
         M_test = rng_mod.holdout_mask(
             cfg.cv_seed if cfg.cv_seed else cfg.seed, m, n, inv_prob)
-        cv_corr = 1.0 - cfg.test_fraction
+        # the holdout hash draws with probability 1/inv_prob — the
+        # unbiasing factor must match it, not the raw test_fraction
+        # (they differ when 1/test_fraction is not an integer)
+        cv_corr = 1.0 - 1.0 / inv_prob
     A_train = A_np * (~M_test) if M_test is not None else A_np
     if cfg.center:
         center = A_train.mean(axis=1)
@@ -536,6 +540,10 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
         te_resid = A_np[te_rows, te_cols].astype(np.float64)
         if center is not None:
             te_resid = te_resid - np.asarray(center, np.float64)[te_rows]
+        if row_sds is not None:
+            # factors reconstruct the row-STANDARDIZED matrix: held-out
+            # residuals must live in the same units or test MSE is garbage
+            te_resid = te_resid / np.asarray(row_sds, np.float64)[te_rows]
     # sequential draws mirror the reference per-factor init stream
     rng_state = {"offset": 0}
     seed = cfg.seed if cfg.seed != 0 else 42
@@ -745,7 +753,8 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
 # Krylov-Seeded Projected Refinement (constrained SVD; svd/krylov.hpp)
 # ---------------------------------------------------------------------------
 
-def _cv_rank_select(A_orig, M_test, U, d, V, center, patience):
+def _cv_rank_select(A_orig, M_test, U, d, V, center, patience,
+                    row_sds=None):
     """Exact per-entry held-out test-loss evaluation (svd/test_entries.hpp).
 
     The residual of every held-out entry (true value, row-centered like the
@@ -757,6 +766,9 @@ def _cv_rank_select(A_orig, M_test, U, d, V, center, patience):
     resid = A_orig[rows, cols].astype(np.float64)
     if center is not None:
         resid = resid - np.asarray(center, np.float64)[rows]
+    if row_sds is not None:
+        # match the row-standardized units of the factors (scale=True)
+        resid = resid / np.asarray(row_sds, np.float64)[rows]
     best = np.inf
     best_k = 0
     pat = 0
@@ -807,7 +819,10 @@ def krylov_svd(A, cfg: SVDConfig, aux=None) -> SVDResult:
         M_test = rng_mod.holdout_mask(
             cfg.cv_seed if cfg.cv_seed else cfg.seed,
             A_orig.shape[0], A_orig.shape[1], inv_prob)
-        cv_corr = 1.0 - cfg.test_fraction
+        # the holdout hash draws with probability 1/inv_prob — the
+        # unbiasing factor must match it, not the raw test_fraction
+        # (they differ when 1/test_fraction is not an integer)
+        cv_corr = 1.0 - 1.0 / inv_prob
         A = A_orig * (~M_test)          # phases 1+2 train on zeroed matrix
 
     seed_res = lanczos_svd(A, cfg)
@@ -905,7 +920,8 @@ def krylov_svd(A, cfg: SVDConfig, aux=None) -> SVDResult:
 
     if do_cv:
         best_k, best_mse, traj = _cv_rank_select(
-            A_orig, M_test, U_np, d_np, V_np, center, cfg.patience)
+            A_orig, M_test, U_np, d_np, V_np, center, cfg.patience,
+            row_sds=row_sds)
         k_sel = best_k if best_k > 0 else k
         res = SVDResult(U=U_np[:, :k_sel], d=d_np[:k_sel], V=V_np[:, :k_sel],
                         k_selected=k_sel, converged=converged,
@@ -981,9 +997,16 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                 "streaming .spz SVD supports L1/L2/nonneg/upper_bound/"
                 "robust only; decode in-memory (st_read) for L21/angular/"
                 "graph regularization")
+        if scale or test_fraction > 0 or convergence != "factor" \
+                or (isinstance(k, str) and k == "auto"):
+            raise ValueError(
+                "streaming .spz SVD does not support scale=, "
+                "test_fraction=, convergence=, or k='auto'; decode "
+                "in-memory (st_read) for those")
         if method == "auto":
             has_con = (any(np.atleast_1d(L1) != 0) or
                        any(np.atleast_1d(L2) != 0) or
+                       any(np.atleast_1d(upper_bound) != 0) or
                        any(np.atleast_1d(nonneg)))
             robust_on = robust if isinstance(robust, bool) else robust > 0
             method = ("deflation" if robust_on else
@@ -1213,6 +1236,16 @@ def streaming_svd(loader, k: int = 10, *, method: str = "randomized",
     additionally supports robust Huber IRLS.  Every algorithm touches A
     only through chunked panel products (``_LoaderOp``)."""
     from ..io.loaders import DataLoader, InMemoryLoader, SpzLoader
+    if method in ("randomized", "lanczos", "irlba"):
+        has_con = (any(np.atleast_1d(L1) != 0) or
+                   any(np.atleast_1d(L2) != 0) or
+                   any(np.atleast_1d(upper_bound) != 0) or
+                   any(np.atleast_1d(nonneg)))
+        if has_con:
+            import warnings
+            warnings.warn(f"streaming method {method!r} does not apply "
+                          "elementwise constraints; use 'krylov' or "
+                          "'deflation'")
     if isinstance(loader, (str, bytes)):
         loader = SpzLoader(loader)
     elif not isinstance(loader, DataLoader):

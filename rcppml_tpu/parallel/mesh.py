@@ -45,15 +45,23 @@ def check_device_health(devices=None, *, timeout: float = 60.0):
             raise RuntimeError(f"wrong arithmetic result {y}")
 
     bad = []
-    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+    hung = False
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    try:
         futs = {ex.submit(probe, d): d for d in devices}
         for fut, dev in futs.items():
             try:
                 fut.result(timeout=timeout)
             except concurrent.futures.TimeoutError:
+                hung = True
                 bad.append(f"{dev}: no response within {timeout:.0f}s (hung)")
             except Exception as e:                       # noqa: BLE001
                 bad.append(f"{dev}: {e!r}")
+    finally:
+        # a probe stuck on a wedged device would make shutdown(wait=True)
+        # block forever — exactly the deadlock this check exists to
+        # prevent; leave hung worker threads behind instead
+        ex.shutdown(wait=not hung, cancel_futures=True)
     if bad:
         raise RuntimeError("unhealthy devices at mesh init:\n  "
                            + "\n  ".join(bad))

@@ -332,3 +332,34 @@ def test_factor_input_spz(tmp_path):
         factor_input(str(tmp_path / "missing.spz"))
     with pytest.raises(ValueError, match="spz"):
         factor_input("/tmp/file.csv")
+
+
+def test_layer_side_config_does_not_leak(modalities):
+    """Layer W/H overrides must not mutate the shared GlobalConfig dots
+    (regression: in-place list write leaked into sibling layers)."""
+    from rcppml_tpu.models.graph import GlobalConfig
+    X = modalities[0]
+    from rcppml_tpu.models.graph import W as Wcfg
+    cfg = GlobalConfig(maxit=5, seed=1, dots={"L1": [0.0, 0.0]})
+    inp = factor_input(X, "X")
+    l1 = nmf_layer(inp, 4, name="L1", W=Wcfg(L1=0.4))
+    net = factor_net([inp], l1, config=cfg)
+    fit(net)
+    assert cfg.dots == {"L1": [0.0, 0.0]}
+
+
+def test_multimodal_dispatch_forwards_kwargs():
+    """nmf(list, ...) forwards loss/regularization/CV kwargs to the net
+    (regression: silently dropped)."""
+    import rcppml_tpu as rt
+    rs = np.random.RandomState(5)
+    X1 = np.abs(rs.rand(30, 25)).astype(np.float32)
+    X2 = np.abs(rs.rand(18, 25)).astype(np.float32)
+    plain = rt.nmf({"a": X1, "b": X2}, 3, maxit=15, seed=42)
+    reg = rt.nmf({"a": X1, "b": X2}, 3, maxit=15, seed=42, L1=(0.0, 0.3))
+    h_plain = np.asarray(plain["L1"].H)
+    h_reg = np.asarray(reg["L1"].H)
+    assert (h_reg == 0).mean() > (h_plain == 0).mean()
+    cv = rt.nmf({"a": X1, "b": X2}, 3, maxit=15, seed=42,
+                test_fraction=0.1, cv_seed=1)
+    assert np.isfinite(cv["L1"].test_loss)

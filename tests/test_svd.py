@@ -491,3 +491,42 @@ def test_svd_result_methods():
     np.testing.assert_array_equal(np.asarray(sub.d),
                                   np.asarray(res.d)[[0, 2]])
     assert repr(res).startswith("SVDResult")
+
+
+def test_svd_scale_cv_rank_selection():
+    """scale=True + CV evaluates held-out residuals in standardized
+    units — rank selection must see improvement past k=1 (regression:
+    unit mismatch made test MSE increase monotonically)."""
+    rs = np.random.RandomState(21)
+    U = rs.normal(size=(80, 4))
+    V = rs.normal(size=(60, 4))
+    A = (((U * [40, 25, 12, 6]) @ V.T + 0.1 * rs.normal(size=(80, 60)))
+         * np.linspace(1, 1000, 80)[:, None]).astype(np.float32)
+    res = rt.svd(A, 8, method="deflation", scale=True, test_fraction=0.1,
+                 seed=1)
+    traj = res.misc["test_loss_trajectory"]
+    assert res.k_selected >= 3
+    assert traj[res.k_selected - 1] < traj[0]
+    res_k = rt.svd(A, 8, method="krylov", nonneg=(False, False), L2=(0.01, 0.01),
+                   scale=True, test_fraction=0.1, seed=1)
+    assert res_k.k_selected >= 3
+
+
+def test_svd_cv_noninteger_inverse_fraction_unbiased():
+    """cv_corr must match the actual 1/inv_prob holdout probability
+    (regression: used 1-test_fraction).  The train-matrix sigma is
+    attenuated by exactly (1 - 1/inv_prob); with the matching correction
+    the singular vectors stay aligned with the clean factors."""
+    rs = np.random.RandomState(22)
+    U = rs.normal(size=(100, 3))
+    V = rs.normal(size=(80, 3))
+    A = ((U * [30, 15, 7]) @ V.T).astype(np.float32)
+    u_ref = np.linalg.svd(A, full_matrices=False)[0][:, 0]
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    # test_fraction=0.15 -> inv_prob=6 -> actual holdout probability 1/6
+    res = rt.svd(A, 3, method="deflation", test_fraction=0.15, seed=1)
+    k_got = len(np.asarray(res.d))
+    np.testing.assert_allclose(np.asarray(res.d)[:k_got],
+                               s_ref[:k_got] * (1.0 - 1.0 / 6.0),
+                               rtol=0.05)
+    assert abs(float(np.dot(np.asarray(res.U)[:, 0], u_ref))) > 0.99
