@@ -23,27 +23,100 @@ __all__ = [
 ]
 
 
+# Lazy accessor table: every reference NAMESPACE export (NAMESPACE:30-111)
+# resolves at the package top level, but `import rcppml_tpu` stays light.
+# Values are (module, attr); attr None means same name.
+_LAZY = {
+    # core algorithms
+    "svd": (".models.svd", None), "pca": (".models.svd", None),
+    "bipartition": (".models.clustering", None),
+    "dclust": (".models.clustering", None),
+    "consensus_nmf": (".models.clustering", None),
+    "bipartiteMatch": (".models.clustering", "bipartite_match"),
+    "bipartite_match": (".models.clustering", None),
+    "align": (".models.clustering", "align_factors"),
+    "nnls": (".models.project", None), "predict": (".models.project", None),
+    "evaluate": (".models.project", None), "mse": (".models.project", None),
+    # factor-graph engine (R/factor_net.R surface)
+    "factor_input": (".models.graph", None),
+    "factor_shared": (".models.graph", None),
+    "factor_concat": (".models.graph", None),
+    "factor_add": (".models.graph", None),
+    "factor_condition": (".models.graph", None),
+    "factor_config": (".models.graph", None),
+    "nmf_layer": (".models.graph", None),
+    "svd_layer": (".models.graph", None),
+    "factor_net": (".models.graph", None),
+    "fit": (".models.graph", None),
+    "cross_validate_graph": (".models.graph", None),
+    "W": (".models.graph", None), "H": (".models.graph", None),
+    "GlobalConfig": (".models.graph", None),
+    # diagnostics + assessment + classifiers
+    "auto_nmf_distribution": (".utils.diagnostics", None),
+    "score_test_distribution": (".utils.diagnostics", None),
+    "diagnose_zero_inflation": (".utils.diagnostics", None),
+    "diagnose_dispersion": (".utils.diagnostics", None),
+    "assess": (".utils.metrics", None),
+    "cosine": (".utils.metrics", None),
+    "classify_embedding": (".utils.metrics", None),
+    "classify_logistic": (".utils.metrics", None),
+    "classify_rf": (".utils.metrics", None),
+    # guided NMF
+    "compute_target": (".utils.guided", None),
+    "refine": (".utils.guided", None),
+    # simulation (R camelCase + python names)
+    "simulateNMF": (".utils.simulate", "simulate_nmf"),
+    "simulateSwimmer": (".utils.simulate", "simulate_swimmer"),
+    "simulate_nmf": (".utils.simulate", None),
+    "simulate_swimmer": (".utils.simulate", None),
+    # training log + plots
+    "training_logger": (".utils.training_log", None),
+    "export_log": (".utils.training_log", None),
+    "compare_nmf": (".utils.plots", None),
+    "biplot": (".utils.plots", None),
+    # RNG surface (R/random.R)
+    "r_matrix": (".rng", None), "r_sparsematrix": (".rng", None),
+    "r_sample": (".rng", None), "r_unif": (".rng", None),
+    "r_binom": (".rng", None),
+    # parallel / logging
+    "default_mesh": (".parallel.mesh", None),
+    "set_verbosity": (".utils.logging", None),
+    "get_verbosity": (".utils.logging", None),
+    "LogLevel": (".utils.logging", None),
+    # datasets namespace
+    "datasets": (".datasets", "__module__"),
+}
+
+# the whole streampress st_* surface rides through io.spz
+_ST_NAMES = (
+    "st_write", "st_read", "st_read_transpose", "st_info", "st_write_dense",
+    "st_read_dense", "st_read_auto", "st_add_transpose", "st_convert",
+    "st_read_obs", "st_read_var", "st_read_dimnames",
+    "st_write_with_metadata", "st_chunk_ranges", "st_slice_cols",
+    "st_slice_rows", "st_slice", "st_map_chunks", "st_obs_indices",
+    "st_filter_cols", "st_filter_rows", "st_write_list", "st_read_device")
+
+
 def __getattr__(name):
-    # Lazy heavy submodule accessors so `import rcppml_tpu` stays light.
-    if name in ("svd", "pca"):
-        from .models import svd as _svd
-        return getattr(_svd, name)
-    if name in ("bipartition", "dclust"):
-        from .models import clustering as _cl
-        return getattr(_cl, name)
-    if name in ("nnls", "predict", "evaluate", "mse"):
-        from .models import project as _proj
-        return getattr(_proj, name)
-    if name == "consensus_nmf":
-        from .models.clustering import consensus_nmf as _cn
-        return _cn
-    if name == "default_mesh":
-        from .parallel.mesh import default_mesh as _dm
-        return _dm
-    if name == "simulate_nmf":
-        from .utils.simulate import simulate_nmf as _sim
-        return _sim
-    if name in ("set_verbosity", "get_verbosity", "LogLevel"):
-        from .utils import logging as _log
-        return getattr(_log, name)
+    import importlib
+    if name in _ST_NAMES:
+        mod = importlib.import_module(".io.spz", __name__)
+        return getattr(mod, name)
+    if name in _LAZY:
+        modname, attr = _LAZY[name]
+        mod = importlib.import_module(modname, __name__)
+        if attr == "__module__":
+            return mod
+        return getattr(mod, attr or name)
+    if name in ("reconstruct", "sparsity", "variance_explained"):
+        # R generics: free functions delegating to the result object
+        def _generic(obj, *a, **kw):
+            return getattr(obj, name)(*a, **kw)
+        _generic.__name__ = name
+        return _generic
     raise AttributeError(f"module 'rcppml_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(__all__) | set(_LAZY) | set(_ST_NAMES)
+                  | {"reconstruct", "sparsity", "variance_explained"})
