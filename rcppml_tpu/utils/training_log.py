@@ -50,10 +50,12 @@ class TrainingLogger:
         return list(self.records)
 
     def to_csv(self, path: str) -> None:
-        if not self.records:
-            return
+        # an empty logger still writes a header-only file, like the
+        # reference's empty data.frame export (R/training_log.R)
+        fields = (list(self.records[0].keys()) if self.records
+                  else ["iteration", "train_loss", "test_loss"])
         with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(self.records[0].keys()))
+            w = csv.DictWriter(f, fieldnames=fields)
             w.writeheader()
             w.writerows(self.records)
 
@@ -65,6 +67,8 @@ def training_logger(**kw) -> TrainingLogger:
     return TrainingLogger(**kw)
 
 
-def export_log(logger: "TrainingLogger", path: str) -> None:
-    """Write a logger's records as CSV (R/training_log.R export_log)."""
+def export_log(logger: "TrainingLogger", path: str):
+    """Write a logger's records as CSV and return them
+    (R/training_log.R export_log returns the data.frame)."""
     logger.to_csv(path)
+    return logger.export()

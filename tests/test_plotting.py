@@ -1,0 +1,119 @@
+"""Plot-surface smoke tests (reference: test_plotting.R, test_plot_cv.R,
+test_plot_consensus.R — 14 blocks).  Every helper must return a savable
+matplotlib Figure on the Agg backend.
+"""
+
+import numpy as np
+import pytest
+
+import rcppml_tpu as rt
+from rcppml_tpu.utils import plots
+
+matplotlib = pytest.importorskip("matplotlib")
+matplotlib.use("Agg", force=True)
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    rs = np.random.RandomState(3)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    return A, rt.nmf(A, 4, seed=1, maxit=20)
+
+
+def _check_fig(fig, tmp_path, name):
+    from matplotlib.figure import Figure
+    assert isinstance(fig, Figure)
+    fig.savefig(str(tmp_path / f"{name}.png"))
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_plot_loss(fitted, tmp_path):
+    _, res = fitted
+    _check_fig(plots.plot_loss(res), tmp_path, "loss")
+
+
+def test_plot_loss_with_test_history(fitted, tmp_path):
+    A, _ = fitted
+    res = rt.nmf(A, 3, seed=1, maxit=15, test_fraction=0.1, cv_seed=1)
+    _check_fig(plots.plot_loss(res), tmp_path, "loss_cv")
+
+
+def test_plot_cv_table(fitted, tmp_path):
+    A, _ = fitted
+    rows = rt.nmf(A, [2, 3], seed=1, maxit=8, test_fraction=0.1, cv_seed=1)
+    _check_fig(plots.plot_cv(rows), tmp_path, "cv")
+    _check_fig(plots.plot_cv(rows, metric="train_mse"), tmp_path, "cv_train")
+
+
+def test_plot_factor_sparsity(fitted, tmp_path):
+    A, _ = fitted
+    res = rt.nmf(A, 4, seed=1, maxit=15, L1=(0.0, 0.3))
+    _check_fig(plots.plot_factor_sparsity(res), tmp_path, "sparsity")
+
+
+def test_biplot(fitted, tmp_path):
+    _, res = fitted
+    _check_fig(plots.biplot(res), tmp_path, "biplot")
+    _check_fig(rt.biplot(res, f1=1, f2=2), tmp_path, "biplot_f23")
+
+
+def test_plot_dclust(tmp_path):
+    rs = np.random.RandomState(5)
+    centers = rs.rand(4, 8) * 5
+    X = np.abs(np.repeat(centers, 25, axis=0)
+               + rs.rand(100, 8) * 0.3).astype(np.float32).T
+    cl = rt.dclust(X, min_samples=10)
+    _check_fig(plots.plot_dclust(cl), tmp_path, "dclust")
+
+
+def test_plot_consensus(tmp_path):
+    rs = np.random.RandomState(6)
+    A = np.abs(rs.rand(30, 25)).astype(np.float32)
+    cons = rt.consensus_nmf(A, 3, n_runs=3, maxit=10, seed=1)
+    _check_fig(plots.plot_consensus(cons), tmp_path, "consensus")
+
+
+def test_compare_nmf(fitted, tmp_path):
+    A, res = fitted
+    res2 = rt.nmf(A, 4, seed=2, maxit=20)
+    _check_fig(plots.compare_nmf([res, res2], labels=["a", "b"]),
+               tmp_path, "compare")
+    _check_fig(rt.compare_nmf([res, res2]), tmp_path, "compare_nolab")
+
+
+def test_plot_convergence(fitted, tmp_path):
+    _, res = fitted
+    _check_fig(plots.plot_convergence(res), tmp_path, "convergence")
+
+
+def test_plot_convergence_needs_history():
+    from rcppml_tpu.result import NMFResult
+    res = NMFResult(W=np.zeros((2, 1), np.float32), d=np.ones(1, np.float32),
+                    H=np.zeros((1, 2), np.float32), iterations=1,
+                    converged=False, final_tol=0.0, train_loss=0.0,
+                    test_loss=float("nan"), best_iter=0,
+                    loss_history=[1.0])
+    with pytest.raises(ValueError):
+        plots.plot_convergence(res)
+
+
+def test_training_logger_export_and_plot(fitted, tmp_path):
+    A, _ = fitted
+    logger = rt.training_logger()
+    res = rt.nmf(A, 3, seed=1, maxit=12, on_iteration=logger)
+    assert len(logger) > 0
+    rt.export_log(logger, str(tmp_path / "log.csv"))
+    lines = (tmp_path / "log.csv").read_text().strip().splitlines()
+    assert len(lines) == len(logger) + 1  # header + rows
+    assert "train_loss" in lines[0]
+    # loss curves from the logged history
+    logger.attach_history(res)
+    _check_fig(plots.plot_loss(res), tmp_path, "logged")
+
+
+def test_export_log_empty_logger(tmp_path):
+    logger = rt.training_logger()
+    rt.export_log(logger, str(tmp_path / "empty.csv"))
+    content = (tmp_path / "empty.csv").read_text()
+    assert "train_loss" in content or content.strip() == ""
