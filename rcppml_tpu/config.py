@@ -235,6 +235,9 @@ class SVDConfig:
     test_fraction: float = 0.0
     cv_seed: int = 0
     patience: int = 3                  # auto-rank non-improving factors (R/svd.R:43)
+    # CV holdout restricted to nonzero entries (svd_config.hpp:127;
+    # recommender-style missingness)
+    mask_zeros: bool = False
 
     def replace(self, **kw) -> "SVDConfig":
         return dataclasses.replace(self, **kw)

@@ -477,7 +477,7 @@ def _apply_reg_vec(x, L1, L2, nonneg, upper_bound, norm_sq, L21):
     return x
 
 
-def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
+def deflation_svd(A, cfg: SVDConfig, *, obs_mask=None,
                   aux=None) -> SVDResult:
     """Rank-1 ALS deflation SVD with constraints, robust IRLS, and built-in
     speckled-holdout auto-rank (svd/deflation.hpp:430-900).
@@ -486,6 +486,11 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
     semi-NMF SVD (nonneg one side).  With ``cfg.test_fraction > 0``, stops
     adding factors when held-out MSE stops improving (patience from
     cfg via max(2, ...)).
+
+    ``obs_mask`` (bool (m, n)): user-unobserved entries — zeroed in the
+    training matrix BEFORE the CV holdout so the model never sees them
+    (deflation.hpp:450-485); ``cfg.mask_zeros`` restricts CV holdout to
+    nonzero entries of A (speckled_cv.hpp:52-53).
     """
     from .. import rng as rng_mod
     A_np = np.asarray(_densify(A), dtype=np.float32)
@@ -495,6 +500,14 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
     do_robust = cfg.robust_delta > 0
     patience = cfg.patience
 
+    A_obs = A_np
+    if obs_mask is not None:
+        obs_mask = np.asarray(obs_mask, dtype=bool)
+        if obs_mask.shape != (m, n):
+            raise ValueError(f"mask dimensions {obs_mask.shape} must match "
+                             f"data {(m, n)}")
+        A_obs = A_np * (~obs_mask)
+
     # CV: zero held-out entries in the training matrix; evaluate on them
     cv_corr = 1.0
     M_test = None
@@ -502,11 +515,14 @@ def deflation_svd(A, cfg: SVDConfig, *, train_mask=None,
         inv_prob = int(1.0 / cfg.test_fraction)
         M_test = rng_mod.holdout_mask(
             cfg.cv_seed if cfg.cv_seed else cfg.seed, m, n, inv_prob)
+        if cfg.mask_zeros:
+            # only nonzero entries are observed -> eligible for holdout
+            M_test &= A_np != 0
         # the holdout hash draws with probability 1/inv_prob — the
         # unbiasing factor must match it, not the raw test_fraction
         # (they differ when 1/test_fraction is not an integer)
         cv_corr = 1.0 - 1.0 / inv_prob
-    A_train = A_np * (~M_test) if M_test is not None else A_np
+    A_train = A_obs * (~M_test) if M_test is not None else A_obs
     if cfg.center:
         center = A_train.mean(axis=1)
         A_train = A_train - center[:, None]
@@ -968,9 +984,16 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
         nonneg=(False, False), L1=(0.0, 0.0), L2=(0.0, 0.0),
         L21=(0.0, 0.0), upper_bound=(0.0, 0.0), angular=(0.0, 0.0),
         graph_U=None, graph_V=None, graph_lambda=(0.0, 0.0), robust=False,
-        test_fraction: float = 0.0, cv_seed: int = 0,
+        test_fraction: float = 0.0, cv_seed: int = 0, mask=None,
         convergence: str = "factor", **kw) -> SVDResult:
     """Truncated SVD gateway (R/svd.R:108, svd/gateway.hpp:141-161).
+
+    ``mask`` accepts ``None``, ``"zeros"`` (CV holdout restricted to
+    nonzero entries), a matrix of unobserved entries, or
+    ``("zeros", matrix)`` for both (R/svd.R:233-268).  Masks are honored
+    by the deflation solver only (the reference's other solvers silently
+    ignore ``obs_mask`` — deflation.hpp is its sole consumer; we reject
+    instead).
 
     A ``.spz`` path dispatches to the streaming gateway
     (svd/gateway.hpp:173-187)."""
@@ -980,9 +1003,10 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     row_names = col_names = None
     if not isinstance(data, str):
         row_names, col_names, data = _extract_dimnames(data)
-        # NaN detection (R/nmf_validation.R): SVD has no mask path, so
-        # fail loudly instead of returning NaN factors.  Device-resident
-        # arrays skip the host scan (assumed clean, as in nmf()).
+        # NaN detection (R/nmf_validation.R): SVD treats masks as
+        # unobserved-zero rather than NaN-aware, so fail loudly instead
+        # of returning NaN factors.  Device-resident arrays skip the
+        # host scan (assumed clean, as in nmf()).
         import jax as _jax
         if not isinstance(data, _jax.Array):
             vals = data.data if hasattr(data, "nnz") else np.asarray(data)
@@ -998,11 +1022,12 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                 "robust only; decode in-memory (st_read) for L21/angular/"
                 "graph regularization")
         if scale or test_fraction > 0 or convergence != "factor" \
+                or mask is not None \
                 or (isinstance(k, str) and k == "auto"):
             raise ValueError(
                 "streaming .spz SVD does not support scale=, "
-                "test_fraction=, convergence=, or k='auto'; decode "
-                "in-memory (st_read) for those")
+                "test_fraction=, mask=, convergence=, or k='auto'; "
+                "decode in-memory (st_read) for those")
         if method == "auto":
             has_con = (any(np.atleast_1d(L1) != 0) or
                        any(np.atleast_1d(L2) != 0) or
@@ -1030,6 +1055,9 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     glu, glv = pair(graph_lambda)
     if isinstance(robust, bool):
         robust_delta = 1.345 if robust else 0.0
+    elif robust == "mae":
+        # MAE = Huber with a vanishing quadratic zone (R/nmf_thin.R:341-353)
+        robust_delta = 1e-4
     else:
         robust_delta = float(robust)
 
@@ -1046,6 +1074,31 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     if scale and not center:
         center = True      # correlation PCA needs centering (R/svd.R:189)
 
+    # mask parsing (R/svd.R:233-268): None | "zeros" | matrix |
+    # ("zeros", matrix)
+    mask_zeros = False
+    obs_mask = None
+    if mask is not None:
+        if isinstance(mask, str):
+            if mask != "zeros":
+                raise ValueError(f"mask string must be 'zeros'; got {mask!r}")
+            mask_zeros = True
+        elif isinstance(mask, (list, tuple)):
+            if len(mask) < 2 or mask[0] != "zeros":
+                raise ValueError("mask sequence must be ('zeros', matrix)")
+            mask_zeros = True
+            obs_mask = mask[1]
+        else:
+            obs_mask = mask
+        if obs_mask is not None:
+            if hasattr(obs_mask, "todense"):
+                obs_mask = np.asarray(obs_mask.todense())
+            obs_mask = np.asarray(obs_mask) != 0
+            if not isinstance(data, str) and obs_mask.shape != data.shape:
+                raise ValueError(
+                    f"mask dimensions {obs_mask.shape} must match data "
+                    f"{tuple(data.shape)}")
+
     auto_k = isinstance(k, str) and k == "auto"
     cfg = SVDConfig(
         k=(min(*data.shape) if auto_k else int(k)),
@@ -1058,12 +1111,19 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
              angular=angv, graph_lambda=glv),
         test_fraction=(test_fraction if test_fraction > 0 else
                        (0.05 if auto_k else 0.0)),
-        cv_seed=cv_seed)
+        cv_seed=cv_seed, mask_zeros=mask_zeros)
 
     if auto_k:
         method = "deflation"          # built-in auto-rank
+    if method == "auto" and (mask_zeros or obs_mask is not None):
+        method = "deflation"          # the only mask-honoring solver
     if method == "auto":
         method = _auto_select_method(cfg, cfg.k)
+    if (mask_zeros or obs_mask is not None) and method != "deflation":
+        raise ValueError(
+            f"mask= is supported by method='deflation' only (got "
+            f"{method!r}); the reference's other solvers silently ignore "
+            "masks (svd/deflation.hpp is the sole obs_mask consumer)")
     methods = {"lanczos": lanczos_svd, "irlba": irlba_svd,
                "randomized": randomized_svd, "krylov": krylov_svd,
                "deflation": deflation_svd}
@@ -1087,7 +1147,9 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
 
     has_tier2 = (angu > 0 or angv > 0 or
                  aux["graph_U"] is not None or aux["graph_V"] is not None)
-    if method in ("deflation", "krylov"):
+    if method == "deflation":
+        res = fn(data, cfg, aux=aux, obs_mask=obs_mask)
+    elif method == "krylov":
         res = fn(data, cfg, aux=aux)
     else:
         if has_tier2:
@@ -1373,6 +1435,9 @@ def _stream_deflation(op, k_max, *, seed, tol, maxit, nonneg, L1, L2,
     tol = tol if tol > 0 else 1e-5
     if isinstance(robust, bool):
         robust_delta = 1.345 if robust else 0.0
+    elif robust == "mae":
+        # MAE = Huber with a vanishing quadratic zone (R/nmf_thin.R:341-353)
+        robust_delta = 1e-4
     else:
         robust_delta = float(robust)
     do_robust = robust_delta > 0
