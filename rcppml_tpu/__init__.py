@@ -78,8 +78,13 @@ _LAZY = {
     "r_matrix": (".rng", None), "r_sparsematrix": (".rng", None),
     "r_sample": (".rng", None), "r_unif": (".rng", None),
     "r_binom": (".rng", None),
-    # parallel / logging
+    # parallel / logging / device introspection (gpu_available/gpu_info
+    # analogs, R/gpu_backend.R:68-143)
     "default_mesh": (".parallel.mesh", None),
+    "tpu_available": (".utils.resources", None),
+    "tpu_info": (".utils.resources", None),
+    "accelerator_available": (".utils.resources", "tpu_available"),
+    "accelerator_info": (".utils.resources", "tpu_info"),
     "set_verbosity": (".utils.logging", None),
     "get_verbosity": (".utils.logging", None),
     "LogLevel": (".utils.logging", None),

@@ -255,7 +255,12 @@ def build_config(
         irls_max_iter=int(irls_max_iter), irls_tol=float(irls_tol),
         seed=seed_int, init_mode=init_mode, norm=Norm(norm),
         projective=projective, symmetric=symmetric, sort_model=sort_model,
-        test_fraction=float(test_fraction), cv_seed=int(cv_seed),
+        # a cv_seed vector with scalar k uses only its first entry, as the
+        # bridge does (src/RcppFunctions_nmf.cpp:358 `cv_seeds[0]`); vectors
+        # matter only in the multi-rank sweep (R/nmf_thin.R:1013-1094)
+        test_fraction=float(test_fraction),
+        cv_seed=int(cv_seed if np.isscalar(cv_seed)
+                    else (list(cv_seed) or [0])[0]),
         mask_zeros=bool(mask_zeros),
         cv_patience=int(cv_patience),
         cv_col_subsample=float(cv_col_subsample),
