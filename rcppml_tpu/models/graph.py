@@ -240,6 +240,7 @@ class GraphResult:
     total_iterations: int = 0
     total_loss: float = float("nan")
     converged: bool = False
+    logger: Optional[object] = None      # training_logger passed to fit()
 
     def __getitem__(self, name):
         return self.layers[name]
@@ -559,12 +560,16 @@ class FactorNet:
                 result = jnp.concatenate([result, Zo], axis=1)
             return result
 
+        n_layers = len(layers)
+
         @jax.jit
         def run(datas, zs, auxs, states0):
             def body(carry):
-                states, it, prev_loss, _, _ = carry
+                states, it, prev_loss, _, _, hist = carry
                 states = list(states)
                 total = jnp.float32(0.0)
+                layer_losses = []
+                frobs = []
                 for i in range(len(layers)):
                     h_upd, w_upd, _ = make_updates(cfgs[i], auxs[i])
                     B = eff(i, states, datas, zs)
@@ -577,22 +582,37 @@ class FactorNet:
                     # avoids the (m, n) intermediate entirely)
                     trB = jnp.sum(B * B)
                     sse = linalg.mse_loss_from_saved(trB, W_T, d, B_w, G_w)
-                    total = total + sse / (B.shape[0] * B.shape[1])
+                    lyr = sse / (B.shape[0] * B.shape[1])
+                    total = total + lyr
+                    layer_losses.append(lyr)
+                    # recon Frobenius norm via the k x k Gram trick:
+                    # ||W diag(d) H||_F^2 = tr(diag(d) W'W diag(d) HH')
+                    GW = (W_T * d[:, None]) @ (W_T * d[:, None]).T
+                    frobs.append(jnp.sqrt(jnp.maximum(
+                        jnp.sum(GW * (Hm @ Hm.T)), 0.0)))
                 rel = jnp.abs(prev_loss - total) / (jnp.abs(prev_loss) + 1e-15)
                 conv = jnp.isfinite(prev_loss) & (rel < tol)
-                return (tuple(states), it + 1, total, total, conv)
+                # training_logger history (R/training_log.R records total
+                # loss + per-layer Frobenius norms each outer iteration)
+                hist = hist.at[it, 0].set(total)
+                hist = hist.at[it, 1:1 + n_layers].set(
+                    jnp.stack(layer_losses))
+                hist = hist.at[it, 1 + n_layers:].set(jnp.stack(frobs))
+                return (tuple(states), it + 1, total, total, conv, hist)
 
             def cond(carry):
-                _, it, _, _, conv = carry
+                _, it, _, _, conv, _ = carry
                 return (it < maxit) & jnp.logical_not(conv)
 
+            hist0 = jnp.full((maxit, 1 + 2 * n_layers), jnp.nan,
+                             dtype=jnp.float32)
             init = (states0, jnp.int32(0), jnp.float32(jnp.inf),
-                    jnp.float32(jnp.nan), jnp.bool_(False))
+                    jnp.float32(jnp.nan), jnp.bool_(False), hist0)
             return lax.while_loop(cond, body, init)
 
         return run
 
-    def _fit_deep_fused(self, data_map) -> Optional[GraphResult]:
+    def _fit_deep_fused(self, data_map, logger=None) -> Optional[GraphResult]:
         """Fully on-device outer ALS.  Returns None when ineligible (then
         the host-driven loop below runs, exactly like the reference)."""
         cfgs_auxs = self._deep_cfgs()
@@ -634,11 +654,24 @@ class FactorNet:
 
         if self._fused_fn is None:
             self._fused_fn = self._build_fused(cfgs_auxs, data_ids)
-        out_states, it, loss, _, conv = jax.device_get(
+        out_states, it, loss, _, conv, hist = jax.device_get(
             self._fused_fn(datas, zs, auxs, tuple(states)))
 
         out = GraphResult(total_iterations=int(it), total_loss=float(loss),
                           converged=bool(conv))
+        if logger is not None:
+            names = [l.name for l in self._layers]
+            for t in range(int(it)):
+                logger.records.append({
+                    "iter": t + 1,
+                    "train_loss": float(hist[t, 0]),
+                    **{f"{nm}_loss": float(hist[t, 1 + j])
+                       for j, nm in enumerate(names)},
+                    **{f"{nm}_frobenius":
+                       float(hist[t, 1 + len(names) + j])
+                       for j, nm in enumerate(names)},
+                })
+            out.logger = logger
         for i, layer in enumerate(self._layers):
             W_T, Hm, d = out_states[i]
             s = LayerResult(W=np.asarray(W_T).T, d=np.asarray(d),
@@ -651,7 +684,7 @@ class FactorNet:
             out.layers[layer.name] = s
         return out
 
-    def fit(self) -> GraphResult:
+    def fit(self, logger=None) -> GraphResult:
         if not self._compiled:
             self.compile()
 
@@ -682,10 +715,13 @@ class FactorNet:
                               total_iterations=res.iterations,
                               total_loss=res.train_loss,
                               converged=res.converged)
+            if logger is not None:
+                logger.attach_history(res)
+                out.logger = logger
             return out
 
         # ---- multi-layer outer ALS ----
-        fused = self._fit_deep_fused(data_map)
+        fused = self._fit_deep_fused(data_map, logger=logger)
         if fused is not None:
             if self.verbose:
                 print(f"  fused outer ALS: {fused.total_iterations} iters, "
@@ -720,11 +756,20 @@ class FactorNet:
             total_iter += 1
 
             cur_loss = 0.0
+            entry = {"iter": total_iter}
             for i, layer in enumerate(self._layers):
                 inp = self._effective_input(i, states, data_map)
                 s = states[i]
                 recon = (s.W * s.d[None, :]) @ s.H
-                cur_loss += float(np.mean((inp - recon) ** 2))
+                lyr = float(np.mean((inp - recon) ** 2))
+                cur_loss += lyr
+                entry[f"{layer.name}_loss"] = lyr
+                entry[f"{layer.name}_frobenius"] = float(
+                    np.linalg.norm(recon))
+            if logger is not None:
+                logger.records.append(
+                    {"iter": total_iter, "train_loss": cur_loss,
+                     **{k: v for k, v in entry.items() if k != "iter"}})
             if self.verbose:
                 print(f"  outer iter {total_iter}: loss = {cur_loss:.6g}")
             if np.isfinite(prev_loss):
@@ -736,7 +781,8 @@ class FactorNet:
             prev_loss = cur_loss
 
         out = GraphResult(total_iterations=total_iter,
-                          total_loss=float(prev_loss), converged=converged)
+                          total_loss=float(prev_loss), converged=converged,
+                          logger=logger)
         for i, layer in enumerate(self._layers):
             s = states[i]
             s.iterations = total_iter
@@ -761,8 +807,12 @@ def factor_net(inputs, output, *, config: Optional[GlobalConfig] = None,
                      seed=seed, verbose=verbose).compile()
 
 
-def fit(net: FactorNet) -> GraphResult:
-    return net.fit()
+def fit(net: FactorNet, *, logger=None) -> GraphResult:
+    """Fit a compiled FactorNet.  ``logger`` is a ``training_logger()``
+    that records one entry per outer iteration: total loss, per-layer
+    loss, and per-layer reconstruction Frobenius norm
+    (R/factor_methods.R fit.factor_net logger wiring)."""
+    return net.fit(logger=logger)
 
 
 # ---------------------------------------------------------------------------

@@ -196,7 +196,7 @@ def test_fused_deep_matches_host_loop(modalities):
     assert net_f._fused_fn is not None             # fused path was taken
 
     net_h = build()
-    net_h._fit_deep_fused = lambda data_map: None  # force host fallback
+    net_h._fit_deep_fused = lambda data_map, **kw: None  # force host fallback
     res_h = fit(net_h)
 
     assert res_f.total_iterations == res_h.total_iterations == 8
@@ -363,3 +363,155 @@ def test_multimodal_dispatch_forwards_kwargs():
     cv = rt.nmf({"a": X1, "b": X2}, 3, maxit=15, seed=42,
                 test_fraction=0.1, cv_seed=1)
     assert np.isfinite(cv["L1"].test_loss)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions mirroring test_factor_net.R behaviors not yet covered
+# ---------------------------------------------------------------------------
+
+def test_single_layer_matches_nmf_exactly(modalities):
+    """factor_net single layer delegates to nmf() with identical results
+    (test_factor_net.R:80-92)."""
+    import rcppml_tpu as rt
+    A, _ = modalities
+    inp = factor_input(A, "X")
+    net = factor_net(inp, nmf_layer(inp, 5, name="L1"),
+                     config=rt.factor_config(maxit=50, tol=1e-4, seed=42))
+    fn = fit(net)["L1"]
+    direct = rt.nmf(A, 5, maxit=50, tol=1e-4, seed=42)
+    np.testing.assert_allclose(np.sort(fn.d)[::-1],
+                               np.sort(np.asarray(direct.d))[::-1],
+                               rtol=1e-4)
+
+
+def test_multimodal_matches_concatenated_nmf(modalities):
+    """Shared-H fit == nmf() on the row-stacked matrix
+    (test_factor_net.R:113-141)."""
+    import rcppml_tpu as rt
+    A1, A2 = modalities
+    i1, i2 = factor_input(A1, "m1"), factor_input(A2, "m2")
+    shared = Shared(i1, i2)
+    net = factor_net([i1, i2], nmf_layer(shared, 4, name="J"),
+                     config=rt.factor_config(maxit=50, seed=42))
+    fn = fit(net)["J"]
+    cat = rt.nmf(np.vstack([A1, A2]), 4, maxit=50, seed=42)
+    np.testing.assert_allclose(np.sort(fn.d)[::-1],
+                               np.sort(np.asarray(cat.d))[::-1], rtol=1e-4)
+    recat = np.vstack([fn.W_blocks["m1"], fn.W_blocks["m2"]])
+    np.testing.assert_allclose(recat, np.asarray(cat.W), atol=1e-6)
+
+
+def test_layer_W_H_override_hierarchy(modalities):
+    """Layer-level L1 with an H() override still yields a valid sorted
+    model (test_factor_net.R:94-107)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.models.graph import H as Hcfg
+    A, _ = modalities
+    inp = factor_input(A, "X")
+    layer = nmf_layer(inp, 5, name="L1", L1=0.01, H=Hcfg(L1=0.05))
+    net = factor_net(inp, layer, config=rt.factor_config(maxit=30, seed=42))
+    res = fit(net)["L1"]
+    assert res.W.shape[1] == 5 and res.H.shape[0] == 5
+    assert (res.d > 0).all()
+
+
+def test_single_layer_cv_test_loss(modalities):
+    """CV settings in factor_config flow into the layer fit
+    (test_factor_net.R:355-371)."""
+    import rcppml_tpu as rt
+    A, _ = modalities
+    inp = factor_input(A, "X")
+    net = factor_net(inp, nmf_layer(inp, 5, name="L1"),
+                     config=rt.factor_config(maxit=30, tol=1e-4, seed=42,
+                                             test_fraction=0.1, cv_seed=99,
+                                             patience=5))
+    res = fit(net)["L1"]
+    assert res.test_loss > 0
+    assert res.best_test_loss > 0
+    assert res.loss > 0
+
+
+def test_training_logger_deep_fit(modalities):
+    """Logger records one entry per outer iteration with total loss and
+    per-layer Frobenius norms (test_factor_net.R:333-349)."""
+    import rcppml_tpu as rt
+    A, _ = modalities
+    logger = rt.training_logger()
+    inp = factor_input(A, "X")
+    l1 = nmf_layer(inp, 8, name="enc")
+    l2 = nmf_layer(l1, 3, name="bot")
+    net = factor_net(inp, l2,
+                     config=rt.factor_config(maxit=10, tol=1e-8, seed=42))
+    res = fit(net, logger=logger)
+    assert res.logger is logger
+    assert len(logger.records) > 0
+    keys = set(logger.records[0])
+    assert "iter" in keys and "train_loss" in keys
+    assert any(k.endswith("_frobenius") for k in keys)
+
+
+def test_graph_regularization_changes_w(modalities):
+    """W-side graph Laplacian produces different, still-nonnegative
+    factors (test_factor_net.R:448-479)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.models.graph import W as Wcfg
+    A, _ = modalities
+    m = A.shape[0]
+    lap = (np.diag(np.full(m, 2.0)) + np.diag(np.full(m - 1, -1.0), 1)
+           + np.diag(np.full(m - 1, -1.0), -1)).astype(np.float32)
+    inp = factor_input(A, "X")
+    plain = fit(factor_net(inp, nmf_layer(inp, 5, name="L"),
+                           config=rt.factor_config(maxit=30, seed=42)))["L"]
+    reg = fit(factor_net(
+        inp, nmf_layer(inp, 5, name="L",
+                       W=Wcfg(graph=lap, graph_lambda=1.0)),
+        config=rt.factor_config(maxit=30, seed=42)))["L"]
+    assert np.max(np.abs(plain.W - reg.W)) > 1e-4
+    assert (reg.W >= -1e-10).all() and (reg.H >= -1e-10).all()
+
+
+def test_mixed_svd_nmf_deep(modalities):
+    """SVD layer feeding an NMF layer (test_factor_net.R:179-193)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.models.graph import svd_layer
+    A, _ = modalities
+    inp = factor_input(A, "X")
+    s1 = svd_layer(inp, 8, name="pca")
+    l2 = nmf_layer(s1, 3, name="top")
+    net = factor_net(inp, l2, config=rt.factor_config(maxit=10, seed=42))
+    res = fit(net)
+    assert res["top"].W.shape[1] == 3
+    assert np.isfinite(res.total_loss)
+
+
+def test_svd_layer_signed_factors(modalities):
+    """svd_layer factors may be negative, unlike NMF layers
+    (test_factor_net.R:214-225)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.models.graph import svd_layer
+    A, _ = modalities
+    B = A - A.mean()       # signed data
+    inp = factor_input(B, "X")
+    net = factor_net(inp, svd_layer(inp, 3, name="S"),
+                     config=rt.factor_config(maxit=10, seed=1))
+    res = fit(net)["S"]
+    assert (res.W < 0).any() or (res.H < 0).any()
+
+
+def test_factor_input_rejects_missing_spz(tmp_path):
+    """Nonexistent .spz path errors at construction
+    (test_factor_net.R:406-408)."""
+    with pytest.raises(ValueError, match="spz"):
+        factor_input(str(tmp_path / "nope.spz"), "X")
+
+
+def test_graph_repr_methods(modalities):
+    """print methods run without error (test_factor_net.R:505-520)."""
+    import rcppml_tpu as rt
+    A, _ = modalities
+    inp = factor_input(A, "X")
+    net = factor_net(inp, nmf_layer(inp, 3, name="L1"),
+                     config=rt.factor_config(maxit=5, seed=1))
+    assert repr(net)
+    res = fit(net)
+    assert repr(res)
