@@ -25,7 +25,8 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
          upper_bound: float = 0.0, loss: str = "mse",
          solver: str = "auto", cd_maxit: int = 100, cd_tol: float = 1e-8,
          irls_max_iter: int = 5, irls_tol: float = 1e-4,
-         warm_start=None) -> np.ndarray:
+         warm_start=None, target_H=None, target_lambda: float = 0.0,
+         **fit_kwargs) -> np.ndarray:
     """Solve the projection problem min ||A - w X|| (or min ||A - X h||)
     subject to constraints (R/solve.R:84-357).
 
@@ -34,12 +35,37 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
     solve, as the R API does via one NMF iteration.  ``warm_start``: a
     previous solution in the RETURN orientation — seeds the CD sweeps
     (test_unified_backend.R:143-186; forces the CD solver).
+
+    ``target_H``/``target_lambda`` (enrichment > 0, PROJ_ADV < 0) delegate
+    to one seeded NMF iteration exactly as the R API does
+    (R/solve.R:133-186); extra ``fit_kwargs`` ride along to that call.
     """
     if (w is None) == (h is None):
         raise ValueError("provide exactly one of w=, h=")
-    A = np.asarray(A, dtype=np.float32)
+    if L1 < 0 or L2 < 0 or L21 < 0:
+        # R/nmf_validation.R penalty validators (test_predict.R:62-80)
+        raise ValueError("L1/L2/L21 penalties must be >= 0")
+    if (target_H is not None and np.any(np.atleast_1d(target_lambda) != 0)) \
+            or fit_kwargs:
+        from ..api import nmf as nmf_api
+        k_t = (np.shape(w)[1] if w is not None else np.shape(h)[0])
+        model = nmf_api(A, int(k_t), maxit=1, loss=loss,
+                        L1=(L1, L1), L2=(L2, L2), L21=(L21, L21),
+                        angular=(angular, angular), nonneg=nonneg,
+                        upper_bound=(upper_bound, upper_bound),
+                        target_H=target_H, target_lambda=target_lambda,
+                        norm="none",
+                        **(dict(w_init=np.asarray(w, dtype=np.float32))
+                           if w is not None else
+                           dict(h_init=np.asarray(h, dtype=np.float32))),
+                        **fit_kwargs)
+        return (np.asarray(model.H) * np.asarray(model.d)[:, None]
+                if w is not None else
+                np.asarray(model.W) * np.asarray(model.d)[None, :])
     if hasattr(A, "todense"):
         A = np.asarray(A.todense(), dtype=np.float32)
+    else:
+        A = np.asarray(A, dtype=np.float32)
 
     if w is not None:
         F = jnp.asarray(np.asarray(w, dtype=np.float32).T)   # (k, m)
@@ -133,7 +159,10 @@ def evaluate(model: NMFResult, A, *, mask=None, loss: str = "mse",
     (tests/testthat/test_evaluate.R)."""
     if missing_only and mask is None:
         raise ValueError("a mask matrix must be specified with missing_only")
-    A = np.asarray(A, dtype=np.float32)
+    if hasattr(A, "todense"):
+        A = np.asarray(A.todense(), dtype=np.float32)
+    else:
+        A = np.asarray(A, dtype=np.float32)
     rec = model.reconstruct()
     from ..api import build_config
     cfg = build_config(model.k, loss=loss, solver="cd" if loss != "mse" else "auto")

@@ -29,8 +29,25 @@ if not _ON_TPU:
             xla_flags + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
 
+import gc
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled XLA executables between test modules.
+
+    Every compiled executable holds JIT code pages as live memory
+    mappings; the full suite compiles thousands and crosses the kernel's
+    vm.max_map_count (65530) mid-run, at which point mmap failures inside
+    XLA's compiler segfault the process.  Clearing the jit caches per
+    module keeps the mapping count bounded (measured: ~250 maps/test
+    unbounded, segfault at ~450 tests; bounded with this fixture)."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

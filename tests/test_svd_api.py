@@ -166,3 +166,54 @@ def test_svd_preserves_dimnames(lowrank):
     res = rt.svd(wrapped, 3, method="lanczos", seed=1)
     assert list(res.row_names) == rn
     assert list(res.col_names) == cn
+
+
+# ---------------------------------------------------------------------------
+# cross-method agreement + combined constraints (test_svd.R:119-228,452-464)
+# ---------------------------------------------------------------------------
+
+def test_krylov_agrees_with_deflation(lowrank):
+    kk = rt.svd(lowrank, 3, method="krylov", seed=1)
+    dd = rt.svd(lowrank, 3, method="deflation", seed=1)
+    np.testing.assert_allclose(np.asarray(kk.d), np.asarray(dd.d),
+                               rtol=5e-2)
+
+
+def test_krylov_combined_nonneg_l1(lowrank):
+    A = np.abs(lowrank)
+    res = rt.svd(A, 3, method="krylov", nonneg=(True, True),
+                 L1=(0.0, 0.05), seed=1)
+    assert (np.asarray(res.U) >= -1e-6).all()
+    assert (np.asarray(res.V) >= -1e-6).all()
+    plain = rt.svd(A, 3, method="krylov", nonneg=(True, True), seed=1)
+    assert (np.asarray(res.V) == 0).mean() >= (np.asarray(plain.V) == 0).mean()
+
+
+def test_krylov_deflation_nonneg_quality_comparable(lowrank):
+    A = np.abs(lowrank)
+    def resid(r):
+        rec = np.asarray(r.U) * np.asarray(r.d) @ np.asarray(r.V).T
+        return np.linalg.norm(A - rec) / np.linalg.norm(A)
+    rk = resid(rt.svd(A, 3, method="krylov", nonneg=(True, True), seed=1))
+    rd = resid(rt.svd(A, 3, method="deflation", nonneg=(True, True), seed=1))
+    assert rk < 1.5 * rd + 0.05
+
+
+def test_scale_sparse_dense_agree(A_sparse):
+    ds = rt.svd(A_sparse, 3, method="lanczos", scale=True, seed=1)
+    dd = rt.svd(np.asarray(A_sparse.todense(), dtype=np.float32), 3,
+                method="lanczos", scale=True, seed=1)
+    np.testing.assert_allclose(np.asarray(ds.d), np.asarray(dd.d),
+                               rtol=1e-4)
+
+
+def test_scale_multiple_methods(lowrank):
+    ref = None
+    for method in ("lanczos", "randomized", "deflation"):
+        r = rt.svd(lowrank, 3, method=method, scale=True, seed=1,
+                   power_iters=6)
+        assert np.isfinite(np.asarray(r.d)).all()
+        if ref is None:
+            ref = np.asarray(r.d)
+        else:
+            np.testing.assert_allclose(np.asarray(r.d), ref, rtol=5e-2)
