@@ -74,6 +74,12 @@ _LAZY = {
     "export_log": (".utils.training_log", None),
     "compare_nmf": (".utils.plots", None),
     "biplot": (".utils.plots", None),
+    "plot_nmf": (".utils.plots", None),
+    "plot_cv": (".utils.plots", None),
+    "plot_dclust": (".utils.plots", None),
+    "plot_consensus": (".utils.plots", None),
+    # streaming SVD over a DataLoader / .spz path (svd/streaming.hpp)
+    "streaming_svd": (".models.svd", None),
     # RNG surface (R/random.R)
     "r_matrix": (".rng", None), "r_sparsematrix": (".rng", None),
     "r_sample": (".rng", None), "r_unif": (".rng", None),

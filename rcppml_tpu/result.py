@@ -110,6 +110,12 @@ class NMFResult:
         """W diag(d) H (the `prod` S4 method)."""
         return self.reconstruct()
 
+    def predict(self, newdata, **kw) -> np.ndarray:
+        """Project new columns onto this model's W (R/predict_nmf.R:48);
+        returns H_new (k, n_new).  See models.project.predict."""
+        from .models.project import predict as _predict
+        return _predict(self, newdata, **kw)
+
     def summary(self, group_by) -> np.ndarray:
         """Mean factor weight per sample group: (k, n_groups)
         (R/nmf_methods.R summary(group_by))."""

@@ -19,6 +19,35 @@ def _plt():
     return plt
 
 
+def plot_nmf(result, type: str = "loss", **kw):
+    """plot(model, type=) dispatcher (R/plot_nmf.R:41-59):
+    loss / convergence / regularization / sparsity."""
+    if type == "loss":
+        return plot_loss(result, **kw)
+    if type == "convergence":
+        return plot_convergence(result, **kw)
+    if type == "sparsity":
+        return plot_factor_sparsity(result, **kw)
+    if type == "regularization":
+        # per-iteration penalty breakdown is not stored; the reference
+        # plots the objective with an active-penalty annotation
+        # (R/plot_nmf.R plot_nmf_regularization)
+        fig = plot_loss(result, **kw)
+        cfg = result.misc.get("config")
+        active = []
+        if cfg is not None:
+            if getattr(cfg.W, "L1", 0) or getattr(cfg.H, "L1", 0):
+                active.append("L1 (sparsity)")
+            if getattr(cfg.W, "L2", 0) or getattr(cfg.H, "L2", 0):
+                active.append("L2 (ridge)")
+        sub = ("Active penalties: " + ", ".join(active)) if active \
+            else "No regularization penalties active"
+        fig.axes[0].set_title(f"NMF objective (with regularization)\n{sub}")
+        return fig
+    raise ValueError(
+        "type must be one of loss/convergence/regularization/sparsity")
+
+
 def plot_loss(result, *, log: bool = True, ax=None):
     """Training (and test) loss curves (plot.nmf type='loss')."""
     plt = _plt()

@@ -189,3 +189,10 @@ def test_nnls_target_proj_adv(sim, fitted):
     h_adv = nnls(sim, w=W, target_H=T, target_lambda=-1.0)
     assert np.isfinite(h_adv).all()
     assert h_adv.shape == (3, sim.shape[1])
+
+
+def test_result_predict_method(sim, fitted):
+    """NMFResult.predict delegates to the projection solver
+    (R predict,nmf S4 method)."""
+    np.testing.assert_allclose(fitted.predict(sim[:, :6]),
+                               predict(fitted, sim[:, :6]), atol=1e-6)

@@ -117,3 +117,21 @@ def test_export_log_empty_logger(tmp_path):
     rt.export_log(logger, str(tmp_path / "empty.csv"))
     content = (tmp_path / "empty.csv").read_text()
     assert "train_loss" in content or content.strip() == ""
+
+
+def test_plot_nmf_dispatcher(tmp_path):
+    """plot(model, type=) dispatch incl. regularization annotation
+    (R/plot_nmf.R:41-59)."""
+    rs = np.random.RandomState(5)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    res = rt.nmf(A, 3, seed=1, maxit=15, L1=(0.05, 0.05),
+                 track_train_loss=True)
+    for t in ("loss", "convergence", "regularization", "sparsity"):
+        _check_fig(rt.plot_nmf(res, type=t), tmp_path, f"nmf_{t}")
+    with pytest.raises(ValueError):
+        rt.plot_nmf(res, type="nope")
+
+
+def test_plot_exports_top_level():
+    for name in ("plot_nmf", "plot_cv", "plot_dclust", "plot_consensus"):
+        assert callable(getattr(rt, name))
