@@ -327,6 +327,23 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
     # (R/nmf_thin.R:279-304: nmf(list(...)) delegates to factor_net)
     if isinstance(data, (list, tuple, dict)) and not _is_sparse(data):
         from .models import graph as graph_mod
+        # the shared-H delegation supports config-level settings only —
+        # reject (never silently drop) the matrix-shaped arguments that
+        # cannot ride through GlobalConfig (round-2 review #6)
+        _unsupported = {"mask": mask, "graph_W": graph_W, "graph_H": graph_H,
+                        "target_H": target_H, "target_W": target_W,
+                        "w_init": w_init, "h_init": h_init, "mesh": mesh,
+                        "on_iteration": on_iteration,
+                        "checkpoint_path": checkpoint_path}
+        _set = [n for n, v in _unsupported.items() if v is not None]
+        if streaming:
+            _set.append("streaming")
+        if _set:
+            raise ValueError(
+                f"multi-modal nmf(list/dict) does not support "
+                f"{', '.join(sorted(_set))}; build the factor_net "
+                "explicitly (rt.factor_input/factor_shared/nmf_layer) to "
+                "control per-layer features")
         if isinstance(data, dict):
             named = list(data.items())
         else:
@@ -369,15 +386,33 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
             w_init = seed_arg
         kwargs["seed"] = 0
     elif isinstance(seed_arg, (list, tuple)) and len(seed_arg) > 0:
+        if not np.isscalar(k) or isinstance(k, str):
+            # a rank sweep / auto-rank search returns CV rows, not a
+            # model — best-restart selection has no meaning there; reps
+            # come from cv_seed (R/nmf_thin.R:1013-1094 rep x rank)
+            raise ValueError(
+                "seed=[...] multi-restart requires a scalar integer k; "
+                "for a rank sweep use cv_seed=[...] to control "
+                "repetitions")
         runs = []
-        for s in seed_arg:
+        for ri, s in enumerate(seed_arg):
             sub = dict(kwargs)
             sub["seed"] = s
+            ck = checkpoint_path
+            if ck is not None:
+                # one checkpoint per restart — a shared path would make
+                # restart i resume restart i-1's state (config mismatch)
+                root, dot, ext = ck.rpartition(".")
+                ck = (f"{root}.restart{ri}.{ext}" if dot
+                      else f"{ck}.restart{ri}")
             runs.append(nmf(data, k, mask=mask, graph_W=graph_W,
                             graph_H=graph_H, target_H=target_H,
                             target_W=target_W, w_init=w_init,
                             h_init=h_init, streaming=streaming,
-                            chunk_cols=chunk_cols, mesh=mesh, **sub))
+                            chunk_cols=chunk_cols, mesh=mesh,
+                            on_iteration=on_iteration,
+                            checkpoint_path=ck,
+                            checkpoint_every=checkpoint_every, **sub))
         losses_ = [float(r.train_loss) for r in runs]
         best_ix = int(np.nanargmin(losses_))
         best = runs[best_ix]
@@ -426,6 +461,28 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                 "mask matrix or disable streaming")
         from .io.loaders import InMemoryLoader, SpzLoader
         from .models.nmf_chunked import nmf_chunked
+        if not is_spz:
+            # same NaN auto-mask / Inf rejection contract as the
+            # in-memory path — streaming must not silently produce NaN
+            # factors (round-2 review #3).  Sparse inputs stay sparse
+            # (the loader panels them); their zeros cannot be NaN, so
+            # checking the stored values suffices.
+            if _is_sparse(data):
+                vals = data.data if hasattr(data, "data") else \
+                    np.asarray(data.tocsc().data)
+                if np.isnan(vals).any():
+                    raise ValueError(
+                        "data contains NaN/NA values; streaming cannot "
+                        "auto-mask them — impute, or pass an explicit "
+                        "mask= matrix")
+                if np.isinf(vals).any():
+                    raise ValueError("data contains infinite values; clip "
+                                     "or remove them before factorization")
+            else:
+                data = _to_dense_f32(data, allow_nan=True)
+                data, mask, _mz_s = _resolve_mask(data, mask)
+                if _mz_s:
+                    kwargs.setdefault("mask_zeros", True)
         cfg = build_config(int(k),
                            has_mask=mask is not None,
                            has_graph_W=graph_W is not None,

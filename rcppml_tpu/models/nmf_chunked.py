@@ -282,6 +282,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         H_parts = {}
         pf = Prefetcher(loader, transpose=False)
         for ch in pf:
+            if it == 0 and not np.isfinite(ch.data).all():
+                # streamed panels (e.g. .spz) bypass the in-memory NaN
+                # auto-mask, so a corrupt/NaN file must fail loudly here
+                # instead of producing NaN factors (round-2 review #3)
+                raise ValueError(
+                    f"non-finite values in columns "
+                    f"{ch.col_start}..{ch.col_start + ch.num_cols}; "
+                    "streaming cannot auto-mask NaN/Inf — clean the data "
+                    "or fit in-memory with mask=")
             A_panel = jnp.asarray(ch.data)
             X_warm = jax.lax.dynamic_slice_in_dim(H, ch.col_start,
                                                   ch.num_cols, axis=1)

@@ -517,7 +517,14 @@ def deflation_svd(A, cfg: SVDConfig, *, obs_mask=None,
             cfg.cv_seed if cfg.cv_seed else cfg.seed, m, n, inv_prob)
         if cfg.mask_zeros:
             # only nonzero entries are observed -> eligible for holdout
-            M_test &= A_np != 0
+            # (use A_obs: user-masked entries are not observations)
+            M_test &= A_obs != 0
+        if obs_mask is not None:
+            # user-masked entries are unobserved — they must be excluded
+            # from the holdout too, or test loss / auto-rank selection
+            # would be scored against values the model never sees
+            # (svd/test_entries.hpp skips config-masked entries)
+            M_test &= ~obs_mask
         # the holdout hash draws with probability 1/inv_prob — the
         # unbiasing factor must match it, not the raw test_fraction
         # (they differ when 1/test_fraction is not an integer)
@@ -1145,6 +1152,17 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                       "test_fraction ignored (use 'deflation' or 'krylov')")
         cfg = cfg.replace(test_fraction=0.0)
 
+    if mask_zeros and obs_mask is None and cfg.test_fraction <= 0 \
+            and not auto_k:
+        # reference semantics: mask="zeros" only restricts CV-holdout
+        # eligibility (R/svd.R:64-65); without CV it changes nothing —
+        # say so instead of silently accepting (round-2 review #4)
+        import warnings
+        warnings.warn("svd(mask='zeros') without test_fraction>0 or "
+                      "k='auto' has no effect: zeros only restrict CV "
+                      "holdout eligibility (R/svd.R:64-65); the fit "
+                      "itself treats zeros as observed")
+
     has_tier2 = (angu > 0 or angv > 0 or
                  aux["graph_U"] is not None or aux["graph_V"] is not None)
     if method == "deflation":
@@ -1476,14 +1494,13 @@ def _stream_deflation(op, k_max, *, seed, tol, maxit, nonneg, L1, L2,
 
     d_np = np.zeros((k_max,), np.float32)
     for kk in range(k_max):
-        if kk == 0:
-            u = rand_u()
-        else:
-            u = U_all[:, kk - 1]
+        # fresh sequential random draw per factor, matching the in-memory
+        # deflation_svd (seeding from the previous factor and then
+        # orthogonalizing against it is self-cancelling — round-2 review #8)
+        u = rand_u()
+        if kk > 0:
             u = u - jnp.dot(U_all, jnp.dot(U_all.T, u, precision=PREC),
                             precision=PREC)
-            if float(jnp.sqrt(jnp.sum(u * u))) < 1e-5:
-                u = rand_u()
         u = u / jnp.maximum(jnp.sqrt(jnp.sum(u * u)), 1e-30)
         tol_k = tol
         if kk > 0 and d_np[0] > 0 and d_np[kk - 1] > 0:

@@ -97,9 +97,10 @@ def auto_nmf_distribution(data, k: int, *,
             "best": best["distribution"], "results": rows}
 
 
-def score_test_distribution(data, model, powers: Sequence[float] = (0, 1, 2, 3),
+def score_test_distribution(data, model=None,
+                            powers: Sequence[float] = (0, 1, 2, 3),
                             *, test_nb: bool = True,
-                            min_mu: float = 1e-6) -> dict:
+                            min_mu: float = 1e-6, **fit_kwargs) -> dict:
     """Power-variance-family score test on a fitted model
     (R/auto_distribution.R:194-267).
 
@@ -111,6 +112,14 @@ def score_test_distribution(data, model, powers: Sequence[float] = (0, 1, 2, 3),
     data additionally gets the NB quadratic-overdispersion diagnostic
     ``T_NB = mean((r^2 - mu) / mu^2)`` (> 0.1 -> overdispersed).
     """
+    if model is None or isinstance(model, (int, np.integer)):
+        # int/None back-compat shim, as in diagnose_dispersion /
+        # diagnose_zero_inflation: a rank fits a quick GP model first
+        from ..api import nmf as nmf_api
+        k = int(model) if model is not None else int(fit_kwargs.pop("k", 10))
+        fit_kwargs.setdefault("maxit", 30)
+        fit_kwargs.setdefault("seed", 42)
+        model = nmf_api(data, k, loss="gp", dispersion="none", **fit_kwargs)
     mu_mat = _mu_matrix(model)
     try:
         import scipy.sparse as sp
