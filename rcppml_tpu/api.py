@@ -167,6 +167,7 @@ def build_config(
     convergence: str = "loss",
     verbose: bool = False,
     profile: bool = False,
+    bf16_data: bool = False,
     has_mask: bool = False,
     has_graph_W: bool = False,
     has_graph_H: bool = False,
@@ -251,6 +252,7 @@ def build_config(
         nb_size_init=float(nb_size_init), gamma_phi_init=float(gamma_phi_init),
         zi=ZI(zi), zi_em_iters=int(zi_em_iters),
         track_loss_history=bool(track_train_loss),
+        bf16_data=bool(bf16_data),
         solver=solver_e, cd_max_iter=int(cd_maxit), cd_tol=float(cd_tol),
         irls_max_iter=int(irls_max_iter), irls_tol=float(irls_tol),
         seed=seed_int, init_mode=init_mode, norm=Norm(norm),

@@ -140,6 +140,10 @@ class NMFConfig:
     track_loss_history: bool = True
     enable_profiling: bool = False
     verbose: bool = False
+    # opt-in speed knob: store A as bfloat16 for the ALS matmuls (halves
+    # the HBM read that bounds the iteration; fp32 accumulation; loss
+    # bookkeeping stays fp32).  ~3 significant digits on the factors.
+    bf16_data: bool = False
 
     # Presence flags for traced aux arrays (affect compiled program shape)
     has_mask: bool = False
@@ -207,6 +211,13 @@ class NMFConfig:
             raise ValueError(
                 "PROJ_ADV target regularization (negative target_lambda) "
                 "requires the MSE loss.")
+        if self.bf16_data and (self.requires_irls() or self.is_cv()
+                               or self.has_mask):
+            # only the fused MSE loop honors the bf16 data path — reject
+            # rather than silently ignore the knob elsewhere
+            raise ValueError(
+                "bf16_data is supported for the plain MSE fit only (no "
+                "IRLS losses, CV, or masks)")
 
 
 @dataclass(frozen=True)

@@ -131,7 +131,7 @@ def make_updates(cfg: NMFConfig, aux):
             W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
             return W_new, W_new, d_new, None, None
         G_w = linalg.gram(H)                                   # saved pre-features
-        B_w = jnp.dot(H, A.T, precision=PREC)                  # saved pre-features
+        B_w = linalg.rhs(H, A.T)                               # saved pre-features
         G, B = feat.apply_features(G_w, B_w, W_T, cfg.W, graph=graph_W,
                                    target=target_W, target_gram=target_W_gram)
         W_new = _solve(cfg, G, B, W_T, cfg.W, it)
@@ -161,18 +161,21 @@ def _mse_loop(cfg: NMFConfig, A, aux, init: FitState, seg_end):
     tol = jnp.asarray(cfg.tol, dtype)
     h_update, w_update, compute_loss = make_updates(cfg, aux)
 
-    # tr(A'A) precomputed once (fit_cpu.hpp:224)
+    # tr(A'A) precomputed once (fit_cpu.hpp:224) — always fp32
     trAtA = jnp.sum(A * A)
+    # opt-in bandwidth knob: the loop's matmuls read A in bf16 (half the
+    # HBM traffic of the dominant operand); loss bookkeeping stays fp32
+    A_mm = A.astype(jnp.bfloat16) if cfg.bf16_data else A
 
     def body(state: FitState) -> FitState:
         W_T, H, d, it = state.W_T, state.H, state.d, state.it
         with jax.named_scope("h_update"):
-            H, d = h_update(A, W_T, H, d, it)
+            H, d = h_update(A_mm, W_T, H, d, it)
         with jax.named_scope("w_update"):
-            W_T, H, d, B_w, G_w = w_update(A, W_T, H, d, it)
+            W_T, H, d, B_w, G_w = w_update(A_mm, W_T, H, d, it)
 
         with jax.named_scope("loss"):
-            loss = compute_loss(trAtA, A, W_T, H, d, B_w, G_w)
+            loss = compute_loss(trAtA, A_mm, W_T, H, d, B_w, G_w)
 
         # relative-tolerance + patience convergence (fit_cpu.hpp:1770-1809)
         rel = jnp.abs(state.prev_loss - loss) / (jnp.abs(state.prev_loss) + 1e-15)
@@ -253,7 +256,9 @@ def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
     W_T = jnp.asarray(W_T0)
     H = jnp.asarray(H0)
     d = jnp.asarray(d0)
-    trAtA = jnp.sum(A_dev * A_dev)
+    trAtA = jnp.sum(A_dev * A_dev)        # fp32 before any bf16 cast
+    if cfg.bf16_data:
+        A_dev = A_dev.astype(jnp.bfloat16)
     prof: dict = {}
     hist = []
     prev_loss = np.inf

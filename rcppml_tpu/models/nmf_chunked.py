@@ -179,6 +179,9 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     m, n = loader.shape
     k = cfg.rank
     cfg.validate()
+    if cfg.bf16_data:
+        raise ValueError("bf16_data is not supported on the streaming "
+                         "path; use the in-memory fit")
     use_irls = cfg.requires_irls()
     if cfg.symmetric:
         raise NotImplementedError(

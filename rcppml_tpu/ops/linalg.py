@@ -40,7 +40,15 @@ def gram(F: jax.Array) -> jax.Array:
 
 
 def rhs(F: jax.Array, A: jax.Array) -> jax.Array:
-    """B = F @ A (k x n). The throughput kernel (primitives/cpu/rhs.hpp)."""
+    """B = F @ A (k x n). The throughput kernel (primitives/cpu/rhs.hpp).
+
+    When A is stored bf16 (opt-in ``bf16_data`` fast path) the small
+    operand is cast to match so the MXU runs a native bf16 matmul with
+    fp32 accumulation — halving the HBM read of the big operand, which
+    is what bounds the ALS iteration (BENCH_NOTES.md whole-fit study)."""
+    if A.dtype == jnp.bfloat16:
+        return jnp.dot(F.astype(jnp.bfloat16), A,
+                       preferred_element_type=jnp.float32)
     return jnp.dot(F, A, precision=PREC)
 
 

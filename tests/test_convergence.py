@@ -102,3 +102,68 @@ def test_svd_krylov_convergence_modes():
         outs[mode] = np.asarray(res.d)
     # same fixed point reached whichever criterion stops the loop
     np.testing.assert_allclose(outs["factor"], outs["loss"], rtol=2e-2)
+
+
+def test_loss_decreases_dense():
+    # test_convergence.R:48-67 — dense MSE decreases with iterations
+    rs = np.random.RandomState(9)
+    A = np.abs(rs.randn(45, 35)).astype(np.float32)
+    res = rt.nmf(A, 3, maxit=50, tol=0.0, seed=1, track_train_loss=True)
+    hist = np.asarray(res.loss_history, dtype=float)
+    hist = hist[np.isfinite(hist)]
+    assert hist[-1] <= hist[2] * 1.001
+
+
+def test_known_factorizable_low_mse():
+    # test_convergence.R — exact rank-3 product is fit to near zero
+    rs = np.random.RandomState(4)
+    A = (np.abs(rs.rand(40, 6)) @ np.abs(rs.rand(6, 30))).astype(np.float32)
+    res = rt.nmf(A, 6, maxit=200, tol=1e-8, seed=2)
+    rel = float(np.sum((A - _recon(res)) ** 2) / np.sum(A ** 2))
+    assert rel < 0.01
+
+
+def test_regularization_does_not_diverge():
+    # test_convergence.R — L1/L2 combinations stay finite and bounded
+    rs = np.random.RandomState(5)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    for l1, l2 in [(0.1, 0.0), (0.0, 0.1), (0.1, 0.1), (0.5, 0.5)]:
+        res = rt.nmf(A, 3, L1=(l1, l1), L2=(l2, l2), maxit=30, seed=1)
+        assert np.isfinite(np.asarray(res.W)).all()
+        assert np.isfinite(np.asarray(res.H)).all()
+        assert _recon(res).max() < A.max() * 100
+
+
+def test_tall_matrix():
+    # test_convergence.R — m >> n
+    rs = np.random.RandomState(6)
+    A = np.abs(rs.rand(400, 12)).astype(np.float32)
+    res = rt.nmf(A, 4, maxit=30, seed=1)
+    assert np.asarray(res.W).shape == (400, 4)
+    assert float(np.mean((A - _recon(res)) ** 2)) < float(np.var(A))
+
+
+def test_wide_matrix():
+    # test_convergence.R — n >> m
+    rs = np.random.RandomState(7)
+    A = np.abs(rs.rand(12, 400)).astype(np.float32)
+    res = rt.nmf(A, 4, maxit=30, seed=1)
+    assert np.asarray(res.H).shape == (4, 400)
+    assert float(np.mean((A - _recon(res)) ** 2)) < float(np.var(A))
+
+
+def test_very_sparse_matrix():
+    # test_convergence.R — 2% density still factorizes finitely
+    A = _sparse_abs(m=200, n=150, density=0.02, seed=11)
+    res = rt.nmf(A, 3, maxit=30, seed=1)
+    assert np.isfinite(np.asarray(res.W)).all()
+    assert np.isfinite(float(res.train_loss))
+
+
+def test_convergence_loss_matches_default():
+    # test_convergence.R — convergence='loss' IS the default criterion
+    rs = np.random.RandomState(8)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    a = rt.nmf(A, 3, maxit=40, seed=1)
+    b = rt.nmf(A, 3, maxit=40, seed=1, convergence="loss")
+    np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))

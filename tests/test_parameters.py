@@ -267,3 +267,31 @@ def test_inf_input_rejected():
     B[1, 2] = np.inf
     with pytest.raises(ValueError, match="infinite"):
         rt.nmf(B, 2, maxit=3)
+
+
+# ---------------------------------------------------------------------------
+# bf16_data speed knob (TPU HBM-bandwidth fast path; BENCH_NOTES.md)
+# ---------------------------------------------------------------------------
+
+def test_bf16_data_close_to_fp32():
+    rs = np.random.RandomState(0)
+    A = (np.abs(rs.randn(80, 60)) @ np.abs(rs.randn(60, 60)) / 60
+         ).astype(np.float32)
+    m32 = rt.nmf(A, 5, maxit=25, seed=1, tol=0.0)
+    m16 = rt.nmf(A, 5, maxit=25, seed=1, tol=0.0, bf16_data=True)
+    mse32 = float(np.mean((A - np.asarray(m32.reconstruct())) ** 2))
+    mse16 = float(np.mean((A - np.asarray(m16.reconstruct())) ** 2))
+    assert np.isfinite(mse16)
+    assert mse16 < mse32 * 1.25     # same model quality, reduced precision
+
+
+def test_bf16_data_rejected_outside_plain_mse():
+    A = np.abs(np.random.RandomState(1).rand(30, 20)).astype(np.float32)
+    with pytest.raises(ValueError, match="bf16_data"):
+        rt.nmf(A, 3, bf16_data=True, loss="gp", maxit=3)
+    with pytest.raises(ValueError, match="bf16_data"):
+        rt.nmf(A, 3, bf16_data=True, test_fraction=0.1, maxit=3)
+    with pytest.raises(ValueError, match="bf16_data"):
+        rt.nmf(A, 3, bf16_data=True, mask=np.zeros_like(A, bool), maxit=3)
+    with pytest.raises(ValueError, match="bf16_data"):
+        rt.nmf(A, 3, bf16_data=True, streaming=True, maxit=3)
