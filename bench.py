@@ -56,6 +56,12 @@ def main():
     nmf_fit(ml, cfg_ml, device_A=ml_dev)
     ml_s, res = _time_best_of(lambda: nmf_fit(ml, cfg_ml, device_A=ml_dev))
 
+    # --- bf16_data fast path on the same movielens workload ---
+    cfg16 = cfg_ml.replace(bf16_data=True)
+    nmf_fit(ml, cfg16, device_A=ml_dev)
+    ml16_s, res16 = _time_best_of(lambda: nmf_fit(ml, cfg16,
+                                                  device_A=ml_dev))
+
     print(json.dumps({
         "metric": "pbmc3k_k20_nmf_20iter_seconds",
         "value": round(pb_s, 4),
@@ -64,6 +70,8 @@ def main():
         "extra": {
             "vs_h100": round(PUBLISHED_PBMC_K20_H100_S / pb_s, 2),
             "movielens_k50_als_iters_per_sec": round(res.iterations / ml_s, 1),
+            "movielens_k50_bf16_iters_per_sec": round(
+                res16.iterations / ml16_s, 1),
         },
     }))
 
