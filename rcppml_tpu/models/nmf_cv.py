@@ -62,6 +62,18 @@ class CVState(NamedTuple):
     A_imp: jax.Array               # (m, n) soft-imputed data (ZI only)
 
 
+def _rank_ridge(Gb, eye):
+    """Relative ridge for batched per-column Grams: a column with < k
+    observed train entries has a rank-deficient Gram (the reference's
+    unpivoted LLT hits the same hazard, cholesky_clip.hpp:92-95); the
+    trace-relative ridge keeps the batched Cholesky finite without
+    measurably moving well-conditioned columns (1e-6 << fp32 solve
+    error).  Do NOT remove or retune per-site — see BENCH_NOTES."""
+    k = Gb.shape[-1]
+    tr = jnp.einsum("bkk->b", Gb) / k
+    return Gb + (1e-6 * tr + 1e-12)[:, None, None] * eye[None]
+
+
 def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
                            G_add=None, target=None):
     """MSE masked solve: per-column Gram over train entries only.
@@ -97,21 +109,19 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
             Gb = Gb + fc.target_lambda * eye[None]
             b = b + fc.target_lambda * lax.dynamic_slice_in_dim(
                 T_pad, blk_idx * bc, bc, axis=1)
-        if fc.L1 > 0:
-            b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:
-            # a column with < k observed train entries has a rank-
-            # deficient Gram (the reference's unpivoted LLT hits the same
-            # hazard, cholesky_clip.hpp:92-95); a relative ridge keeps
-            # the batched Cholesky finite without measurably moving
-            # well-conditioned columns (1e-6 << fp32 solve error)
-            tr = jnp.einsum("bkk->b", Gb) / k
-            Gb = Gb + (1e-6 * tr + 1e-12)[:, None, None] * eye[None]
+            if fc.L1 > 0:
+                # Cholesky mode applies L1 to the RHS (fused_nnls.hpp:117)
+                b = b - fc.L1
+            Gb = _rank_ridge(Gb, eye)
             return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
         X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
         B_res = b - solvers.batched_gram_matvec(Gb, X0)
+        # CD applies L1 per coordinate visit as the G_ii-scaled ratio
+        # threshold (nnls_batch.hpp:92-94) — NOT a RHS pre-subtraction,
+        # which would shrink by L1/G_ii instead
         return solvers.cd_nnls_batched_gram(
-            Gb, B_res, X0, 0.0, nonneg=fc.nonneg,
+            Gb, B_res, X0, fc.L1, nonneg=fc.nonneg,
             maxit=cfg.cd_max_iter, cd_tol=cfg.cd_tol)
 
     X_blocks = lax.map(solve_block, jnp.arange(nblocks))
@@ -146,19 +156,15 @@ def masked_downdate_solve_batch(B_full, F, G_feat, idx, val, cfg: NMFConfig,
         if T_pad is not None:
             b = b + fc.target_lambda * lax.dynamic_slice_in_dim(
                 T_pad, blk_idx * bc, bc, axis=1)
-        if fc.L1 > 0:
-            b = b - fc.L1
         if cfg.solver == Solver.CHOLESKY:
-            # same rank-deficiency guard as masked_mse_solve_batch
-            k_ = Gb.shape[-1]
-            eye_ = jnp.eye(k_, dtype=Gb.dtype)
-            tr = jnp.einsum("bkk->b", Gb) / k_
-            Gb = Gb + (1e-6 * tr + 1e-12)[:, None, None] * eye_[None]
+            if fc.L1 > 0:
+                b = b - fc.L1         # RHS form, Cholesky mode only
+            Gb = _rank_ridge(Gb, jnp.eye(Gb.shape[-1], dtype=Gb.dtype))
             return solvers.cholesky_clip_batched_gram(Gb, b, nonneg=fc.nonneg)
         X0 = lax.dynamic_slice_in_dim(X_warm_pad, blk_idx * bc, bc, axis=1)
         B_res = b - solvers.batched_gram_matvec(Gb, X0)
         return solvers.cd_nnls_batched_gram(
-            Gb, B_res, X0, 0.0, nonneg=fc.nonneg,
+            Gb, B_res, X0, fc.L1, nonneg=fc.nonneg,
             maxit=cfg.cd_max_iter, cd_tol=cfg.cd_tol)
 
     X_blocks = lax.map(solve_block, jnp.arange(nblocks))
@@ -266,8 +272,11 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
     # every zero (:1285-1340), losses stay on the observed A (:1388+)
     is_zi = cfg.has_zi()
     zi_valid = None
-    if is_zi and valid is not None:
-        zi_valid = jnp.broadcast_to(valid, (m, n))
+    if is_zi:
+        # ZI accounting sees TRAINED entries only: user-masked entries
+        # leave all accounting (fit_cv.hpp:1391-1393) and held-out /
+        # mesh-padded zeros must not inflate dropout estimates
+        zi_valid = train_w > 0
 
     # gathered-downdate fast path for the 0/1-weight MSE solves: excluded
     # indices are a pure function of the (iteration-invariant) masks, so
@@ -289,8 +298,12 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         tgt = target if (target is not None and fc.target_lambda > 0) else None
         Xw = X_warm * (it > 0).astype(dtype)
         if is_irls:
+            # ZI fits solve on the imputed matrix — the zeros-get-unit-
+            # weight sparse shortcut must not apply (nmf_irls.py uses the
+            # same `and not is_zi` guard on its solve calls)
             return irls_solve_batch(A_side, F, cfg, active_loss,
-                                    th_row, th_col, fc, sparse_zeros,
+                                    th_row, th_col, fc,
+                                    sparse_zeros and not is_zi,
                                     extra_w=w_train_side, X_warm=Xw,
                                     G_add=G_add, target=tgt)
         if dd is not None:
@@ -368,9 +381,13 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         pi_row, pi_col, A_imp = state.pi_row, state.pi_col, state.A_imp
         if is_zi:
             for _ in range(max(1, cfg.zi_em_iters)):   # static unroll
-                pi_row, pi_col, A_imp = zi_em_step(A, S, cfg, disp_row,
-                                                   pi_row, pi_col,
-                                                   valid=zi_valid)
+                pi_row, pi_col, A_imp = zi_em_step(
+                    A, S, cfg, disp_row, pi_row, pi_col, valid=zi_valid,
+                    disp_col=disp_col if per_col else None)
+            if cfg.theta_min > 0 and is_gp:
+                # same post-EM stabilizer as the plain IRLS loop
+                disp_row = jnp.maximum(disp_row, cfg.theta_min)
+                disp_col = jnp.maximum(disp_col, cfg.theta_min)
 
         # --- per-entry train / test losses (fit_cv.hpp:1368-1548) ---
         theta = losses._expand_theta(
@@ -414,7 +431,7 @@ def _fit_masked_jit(cfg: NMFConfig, A, masks, aux, W_T0, H0, d0,
         return (state.it < max_iter) & jnp.logical_not(state.converged)
 
     if is_zi:
-        pi_row0, pi_col0 = _zi_pi_init(A, cfg)
+        pi_row0, pi_col0 = _zi_pi_init(A, cfg, valid=zi_valid)
     else:
         pi_row0 = jnp.zeros((m,), dtype)
         pi_col0 = jnp.zeros((n,), dtype)
@@ -578,7 +595,12 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
         def cv_bound(d):
             if not (is_cv and cfg.test_fraction > 0):
                 return 0
-            mean = d * cfg.test_fraction
+            # the traced holdout draws with probability 1/int(1/f), which
+            # EXCEEDS f when 1/f is not an integer (rng.holdout_mask) —
+            # bounding with the raw fraction would truncate _excl_indices
+            # and leave held-out entries in the training Gram
+            p = 1.0 / int(1.0 / cfg.test_fraction)
+            mean = d * p
             return int(_math.ceil(mean + 8.0 * _math.sqrt(max(mean, 1.0))))
 
         um_col_max = um_row_max = 0

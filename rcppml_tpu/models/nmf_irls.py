@@ -120,6 +120,10 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
             theta = jnp.zeros((m, bc), dtype)
 
         nz = A_blk != 0
+        # loop-invariant: slice the extra-weight panel ONCE per block —
+        # XLA does not reliably hoist dynamic slices out of while loops
+        w_extra = (lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
+                   if W_pad is not None else None)
 
         def irls_iter(carry):
             X, active, itr = carry
@@ -127,9 +131,7 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
             w = losses.compute_irls_weight(A_blk, mu, wcfg, theta)
             if sparse_zeros:
                 w = jnp.where(nz, w, 1.0)
-            if W_pad is not None:
-                w_extra = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc,
-                                                   axis=1)
+            if w_extra is not None:
                 w = w * w_extra
             # per-column weighted Gram + RHS (bf16-in/f32-accum on TPU)
             Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk)
@@ -244,25 +246,29 @@ def phi_update(A, S, cfg: NMFConfig, axis: int):
     return phi
 
 
-def zi_em_step(A, S, cfg: NMFConfig, disp_row, pi_row, pi_col, valid=None):
+def zi_em_step(A, S, cfg: NMFConfig, disp_row, pi_row, pi_col, valid=None,
+               disp_col=None):
     """ZI E/M-step + soft imputation (fit_cpu.hpp:1285-1552).
 
     Returns (pi_row, pi_col, A_imputed).  zero entries of A get imputed with
     z_ij * mu_ij; real structure stays.  ``valid``: optional (m, n) bool —
-    mesh-padding entries excluded from zero counts and pi denominators
-    (used by the CV path, which runs on the padded matrix directly).
-    """
+    mesh-padding / unobserved entries excluded from zero counts and pi
+    denominators (used by the CV path, which runs on the padded matrix
+    directly).  ``disp_col``: pass the fitted per-column dispersion when
+    dispersion='per_col' — otherwise the dropout prior p0 would be
+    computed from the never-updated row-dispersion init."""
     m, n = A.shape
     is_zero = A == 0
     if valid is not None:
         is_zero = is_zero & valid
     s = jnp.maximum(S, 1e-10)
+    disp = (disp_col[None, :] if disp_col is not None
+            else disp_row[:, None])
     if cfg.loss == Loss.NB:
-        r = jnp.maximum(disp_row, 1e-10)[:, None]
+        r = jnp.maximum(disp, 1e-10)
         p0 = (r / (r + s)) ** r
     else:  # GP
-        th = disp_row[:, None]
-        p0 = jnp.exp(-s / (1.0 + th))
+        p0 = jnp.exp(-s / (1.0 + disp))
 
     if cfg.zi == ZI.ROW:
         pi = pi_row[:, None]
@@ -309,19 +315,30 @@ def _init_dispersion(cfg: NMFConfig, m: int, n: int, dtype):
     return row, col
 
 
-def _zi_pi_init(A, cfg: NMFConfig):
+def _zi_pi_init(A, cfg: NMFConfig, valid=None):
     """Data-driven pi init: min(zero_rate * 0.5, 0.3) (fit_cpu.hpp:355-400).
 
     jnp ops so a device-resident A stays on device (pulling it to host
-    costs ~1.5 s on the tunnel); numpy inputs work identically."""
+    costs ~1.5 s on the tunnel); numpy inputs work identically.
+    ``valid``: optional (m, n) bool — mesh-padding / unobserved entries
+    leave the zero-rate numerator AND denominator (a padded matrix would
+    otherwise overstate every real row/column's zero rate)."""
     m, n = A.shape
     pi_row = jnp.zeros((m,), jnp.float32)
     pi_col = jnp.zeros((n,), jnp.float32)
+    nzm = (jnp.asarray(A) != 0).astype(jnp.float32)
+    if valid is not None:
+        v = valid.astype(jnp.float32)
+        nzm = nzm * v
     if cfg.zi == ZI.ROW:
-        zr = 1.0 - jnp.mean((jnp.asarray(A) != 0).astype(jnp.float32), axis=1)
+        denom = (jnp.maximum(jnp.sum(v, axis=1), 1.0) if valid is not None
+                 else float(n))
+        zr = 1.0 - jnp.sum(nzm, axis=1) / denom
         pi_row = jnp.minimum(zr * 0.5, 0.3).astype(jnp.float32)
     elif cfg.zi == ZI.COL:
-        zr = 1.0 - jnp.mean((jnp.asarray(A) != 0).astype(jnp.float32), axis=0)
+        denom = (jnp.maximum(jnp.sum(v, axis=0), 1.0) if valid is not None
+                 else float(m))
+        zr = 1.0 - jnp.sum(nzm, axis=0) / denom
         pi_col = jnp.minimum(zr * 0.5, 0.3).astype(jnp.float32)
     return pi_row, pi_col
 
@@ -435,13 +452,15 @@ def _fit_irls_jit(cfg: NMFConfig, A, aux, W_T0, H0, d0, disp_row0, disp_col0,
         if is_zi:
             pr, pc = pi_row[:vm], pi_col[:vn]
             for _ in range(max(1, cfg.zi_em_iters)):   # static unroll
-                pr, pc, A_imp_t = zi_em_step(A_t, S_t, cfg, disp_row[:vm],
-                                             pr, pc)
+                pr, pc, A_imp_t = zi_em_step(
+                    A_t, S_t, cfg, disp_row[:vm], pr, pc,
+                    disp_col=disp_col[:vn] if per_col else None)
             pi_row, pi_col = _pad_row(pr), _pad_col(pc)
             A_imp = (jnp.pad(A_imp_t, ((0, m - vm), (0, n - vn)))
                      if padded else A_imp_t)
             if cfg.theta_min > 0 and is_gp:
                 disp_row = jnp.maximum(disp_row, cfg.theta_min)
+                disp_col = jnp.maximum(disp_col, cfg.theta_min)
 
         # --- explicit loss on original A (fit_cpu.hpp:1690-1709) ---
         theta_for_loss_row = disp_col if per_col else disp_row
@@ -490,7 +509,12 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
     m, n = A_dev.shape
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
     if cfg.has_zi():
-        pi_row0, pi_col0 = _zi_pi_init(A_dev, cfg)
+        vmask = None
+        if valid_dims is not None:
+            vm0, vn0 = valid_dims
+            vmask = (jnp.arange(m)[:, None] < vm0) & \
+                    (jnp.arange(n)[None, :] < vn0)
+        pi_row0, pi_col0 = _zi_pi_init(A_dev, cfg, valid=vmask)
     else:
         pi_row0 = np.zeros((m,), np.float32)
         pi_col0 = np.zeros((n,), np.float32)

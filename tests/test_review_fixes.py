@@ -137,3 +137,76 @@ def test_score_test_int_model_shim(lowrank):
     assert "best" in out or "recommendation" in out or len(out) > 0
     out2 = rt.score_test_distribution(counts, maxit=10)
     assert out2 is not None
+
+
+# ---------------------------------------------------------------------------
+# core CV/IRLS review fixes (round-2 second pass)
+# ---------------------------------------------------------------------------
+
+def _zi_counts(seed=3, m=60, n=50, dropout=0.4):
+    rs = np.random.RandomState(seed)
+    mu = np.abs(rs.rand(m, 4)) @ np.abs(rs.rand(4, n)) * 5
+    A = rs.poisson(mu).astype(np.float32)
+    drop = rs.rand(m, n) < dropout
+    A[drop] = 0.0
+    return A
+
+
+def test_zi_col_per_col_dispersion_uses_fitted_values():
+    """NB + zi='col' + dispersion='per_col': the ZI dropout prior must be
+    computed from the FITTED per-column dispersion, not the init."""
+    A = _zi_counts()
+    res = rt.nmf(A, 4, loss="nb", zi="col", dispersion="per_col",
+                 maxit=15, seed=1)
+    assert res.pi_col is not None
+    pi = np.asarray(res.pi_col)
+    assert pi.shape == (A.shape[1],)
+    assert np.isfinite(pi).all() and (pi > 0).all() and (pi < 1).all()
+    # the fitted NB size (theta field) must actually vary per column for
+    # the EM to have consumed real values
+    assert np.asarray(res.theta).std() > 0
+
+
+def test_cv_zi_matches_plain_when_mask_empty():
+    """A masked ZI fit with an all-False mask runs the CV/masked engine;
+    its EM accounting must track the plain engine closely (the
+    sparse-trick / theta-floor mismatches made them diverge)."""
+    A = _zi_counts(seed=5)
+    plain = rt.nmf(A, 3, loss="nb", zi="row", maxit=10, seed=2)
+    masked = rt.nmf(A, 3, loss="nb", zi="row", maxit=10, seed=2,
+                    mask=np.zeros(A.shape, dtype=bool))
+    pr_p = np.asarray(plain.pi_row)
+    pr_m = np.asarray(masked.pi_row)
+    assert np.abs(pr_p - pr_m).max() < 0.1
+
+
+def test_downdate_path_noninteger_fraction_parity():
+    """use_downdate with test_fraction=0.3 (1/f non-integer): the bound
+    must cover the real holdout probability 1/3, keeping the downdate
+    path equal to the weighted path."""
+    from rcppml_tpu.models.nmf_cv import fit_cv_or_masked
+    rs = np.random.RandomState(0)
+    A = np.abs(rs.rand(300, 40)).astype(np.float32)
+    cfg = rt.build_config(4, maxit=8, tol=0.0, seed=7, test_fraction=0.3,
+                          cv_seed=11, solver="cholesky", sort_model=False)
+    a = fit_cv_or_masked(A, cfg, use_downdate=True)
+    b = fit_cv_or_masked(A, cfg, use_downdate=False)
+    np.testing.assert_allclose(np.asarray(a.W), np.asarray(b.W),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(a.test_loss), float(b.test_loss),
+                               rtol=1e-3)
+
+
+def test_cv_l1_cd_ratio_threshold_semantics():
+    """CD-mode L1 inside the CV engine uses the per-coordinate ratio
+    threshold, matching the plain engine: an empty-mask L1 CD fit equals
+    the unmasked fit's sparsity behavior."""
+    rs = np.random.RandomState(1)
+    A = np.abs(rs.rand(50, 40)).astype(np.float32)
+    plain = rt.nmf(A, 3, L1=(0.0, 0.2), solver="cd", maxit=12, seed=3,
+                   norm="none")
+    masked = rt.nmf(A, 3, L1=(0.0, 0.2), solver="cd", maxit=12, seed=3,
+                    norm="none", mask=np.zeros(A.shape, dtype=bool))
+    sp_p = (np.asarray(plain.H) == 0).mean()
+    sp_m = (np.asarray(masked.H) == 0).mean()
+    assert abs(sp_p - sp_m) < 0.1
