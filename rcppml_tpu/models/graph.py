@@ -241,6 +241,7 @@ class GraphResult:
     total_loss: float = float("nan")
     converged: bool = False
     logger: Optional[object] = None      # training_logger passed to fit()
+    chain_topology: bool = True          # layer i feeds exactly layer i+1
 
     def __getitem__(self, name):
         return self.layers[name]
@@ -252,10 +253,18 @@ class GraphResult:
         Single layer: returns H_new (k, n_new).  Multi-layer: chains —
         each layer's H_new (transposed) feeds the next — and returns
         {layer_name: H_new}.  Multi-modal first layers need the
-        modalities row-concatenated in training order.
+        modalities row-concatenated in training order.  Branched DAGs
+        (Add/Concat/multi-input) have no single forward path for new
+        samples, so projecting through them is refused rather than
+        silently chaining embeddings through the wrong layers.
         """
         from .project import nnls
         items = list(self.layers.items())
+        if len(items) > 1 and not self.chain_topology:
+            raise ValueError(
+                "predict() supports linear-chain graphs only (each layer "
+                "feeding the next); this net has Add/Concat/branched "
+                "inputs — project through the individual layers manually")
 
         def _project(lr, X):
             W = np.asarray(lr.W) * np.asarray(lr.d)[None, :]
@@ -344,6 +353,20 @@ class FactorNet:
             zs.append(node.Z)
             node = node.input
         return node, zs
+
+    def _is_chain(self) -> bool:
+        """True iff every layer i > 0 consumes exactly layer i-1's output
+        (the only topology GraphResult.predict can forward new samples
+        through)."""
+        for i, layer in enumerate(self._layers):
+            node, zs = self._resolve_source(layer.input)
+            if i == 0:
+                if not isinstance(node, (Input, Shared)):
+                    return False
+            else:
+                if zs or node is not self._layers[i - 1]:
+                    return False
+        return True
 
     def _input_matrix(self, node: Node):
         """Materialize the dense data for an INPUT / SHARED source node.
@@ -618,10 +641,6 @@ class FactorNet:
         cfgs_auxs = self._deep_cfgs()
         if cfgs_auxs is None:
             return None
-        for layer in self._layers:
-            node, _ = self._resolve_source(layer.input)
-            if isinstance(node, Input) and isinstance(node.data, str):
-                return None
         import jax
         import jax.numpy as jnp
 
@@ -658,7 +677,8 @@ class FactorNet:
             self._fused_fn(datas, zs, auxs, tuple(states)))
 
         out = GraphResult(total_iterations=int(it), total_loss=float(loss),
-                          converged=bool(conv))
+                          converged=bool(conv),
+                          chain_topology=self._is_chain())
         if logger is not None:
             names = [l.name for l in self._layers]
             for t in range(int(it)):
@@ -697,10 +717,13 @@ class FactorNet:
 
         if self.n_layers == 1:
             layer = self._layers[0]
-            node, _ = self._resolve_source(layer.input)
+            node, zs = self._resolve_source(layer.input)
             data, blocks = data_map[id(node)]
-            data = self._effective_input(0, [], data_map) \
-                if not isinstance(node, (Input, Shared)) else data
+            # Condition covariates (zs) are appended by _effective_input —
+            # the raw matrix would silently drop them (graph/fit.hpp:95-185
+            # applies conditioning on the single-layer path too)
+            if zs or not isinstance(node, (Input, Shared)):
+                data = self._effective_input(0, [], data_map)
             res = self._fit_layer(layer, data, maxit=self.maxit, tol=self.tol,
                                   sort_model=True)
             lr = LayerResult(W=res.W, d=res.d, H=res.H,
@@ -782,7 +805,7 @@ class FactorNet:
 
         out = GraphResult(total_iterations=total_iter,
                           total_loss=float(prev_loss), converged=converged,
-                          logger=logger)
+                          logger=logger, chain_topology=self._is_chain())
         for i, layer in enumerate(self._layers):
             s = states[i]
             s.iterations = total_iter

@@ -458,6 +458,137 @@ def _kspr_half(F_other, B, L1, L2, nonneg, upper_bound, cv_corr=1.0,
     return X / jnp.maximum(d, 1e-30)[None, :], d
 
 
+def _huber_weights(resid, delta):
+    """MAD-scaled Huber IRLS weights (deflation.hpp:96-168).
+
+    scale = median(|r|) / 0.6745 (upper median: nth_element at len/2),
+    falling back to 1 when the residuals are ~all zero; then
+    w = 1 for |r/scale| <= delta, else delta/|r/scale| in (0, 1]."""
+    ar = jnp.abs(resid)
+    mad = jnp.sort(ar)[ar.shape[0] // 2]
+    scale = mad / 0.6745
+    scale = jnp.where(scale < np.float32(np.finfo(np.float32).eps * 100),
+                      1.0, scale)
+    z = ar / scale
+    return jnp.where(z <= delta, 1.0, delta / jnp.maximum(z, 1e-30))
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "max_iter", "do_robust", "has_gu", "has_gv"))
+def _rank1_solve(Ad, At, u0, Uk, dk, Vk, tol_k, gu, gv, cv_corr, *,
+                 cfg: SVDConfig, max_iter: int, do_robust: bool,
+                 has_gu: bool, has_gv: bool):
+    """Full rank-1 ALS on the deflated operator, on-device.
+
+    One lax.while_loop replaces the reference's host iteration loop
+    (deflation.hpp:678-795) so there is no per-step host sync.  With
+    cfg.robust_delta > 0 this runs the reference's Huber IRLS
+    (deflation.hpp:689-766): from iteration 1 on, row weights come from
+    the rank-1 residual r_i = (Av)_i - sigma*u_i and column weights from
+    r_j = (A'u)_j - sigma*v_j, each MAD-scaled, and the v/u updates use
+    the weighted normal equations v = A' diag(w) u_hat / (u_hat' W u_hat).
+    Momentum is disabled under IRLS (deflation.hpp:683-686).
+
+    Module-level + data as jit ARGUMENTS: a per-fit closure would bake
+    the (m, n) matrix and its transpose into the HLO as constants
+    (oversized remote-compile payloads) and recompile on every call.
+    Static keys: (shapes, cfg, loop params) — one executable per fit
+    configuration, shared across deflation ranks and repeated fits."""
+    n = Ad.shape[1]
+
+    def defl_t(x):                 # A^T x - V d U^T x
+        return jnp.dot(At, x, precision=PREC) - jnp.dot(
+            Vk * dk[None, :], jnp.dot(Uk.T, x, precision=PREC),
+            precision=PREC)
+
+    def defl_f(x):                 # A x - U d V^T x
+        return jnp.dot(Ad, x, precision=PREC) - jnp.dot(
+            Uk * dk[None, :], jnp.dot(Vk.T, x, precision=PREC),
+            precision=PREC)
+
+    def cond(carry):
+        _u, _v, _u_prev, _sigma, it, cd = carry
+        return (it < max_iter) & (cd >= tol_k)
+
+    def body(carry):
+        u, v, u_prev, sigma, it, _cd = carry
+        itf = it.astype(jnp.float32)
+        beta = jnp.where(itf > 1, (itf - 1.0) / (itf + 2.0), 0.0)
+        if do_robust:
+            beta = jnp.zeros_like(beta)
+        u_hat = u + beta * (u - u_prev)
+
+        if do_robust:
+            live = itf > 0         # weights need a sigma estimate
+            rw = jnp.where(live, _huber_weights(
+                defl_f(v) - sigma * u, cfg.robust_delta), 1.0)
+            cw = jnp.where(live, _huber_weights(
+                defl_t(u) - sigma * v, cfg.robust_delta), 1.0)
+            wu = u_hat * rw
+            w = defl_t(wu)
+            u_sq_w = jnp.sum(wu * u_hat) * cv_corr
+        else:
+            w = defl_t(u_hat)
+            u_sq_w = jnp.sum(u_hat * u_hat) * cv_corr
+        v_new = w / jnp.maximum(u_sq_w, 1e-30)
+        # regularization always uses the unweighted norm (deflation.hpp:735-741)
+        u_sq = jnp.sum(u_hat * u_hat) * cv_corr
+        v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
+                               cfg.v.upper_bound, u_sq, cfg.v.L21)
+        # angular vs prior factors + graph smoothness
+        # (deflation.hpp:256-292, applied at :740-741)
+        u_sq_safe = jnp.maximum(u_sq, 1e-30)
+        if cfg.v.angular > 0:
+            v_new = v_new - (cfg.v.angular / u_sq_safe) * jnp.dot(
+                Vk, jnp.dot(Vk.T, v_new, precision=PREC), precision=PREC)
+        if has_gv:
+            v_new = v_new - (cfg.v.graph_lambda / u_sq_safe) * jnp.dot(
+                gv, v_new, precision=PREC)
+        sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
+        v_new = v_new / jnp.maximum(sigma_v, 1e-30)
+
+        if do_robust:
+            wv = v_new * cw
+            w2 = defl_f(wv)
+            v_sq_w = jnp.sum(wv * v_new) * cv_corr
+        else:
+            w2 = defl_f(v_new)
+            v_sq_w = jnp.sum(v_new * v_new) * cv_corr
+        u_new = w2 / jnp.maximum(v_sq_w, 1e-30)
+        v_sq = jnp.sum(v_new * v_new) * cv_corr
+        u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
+                               cfg.u.upper_bound, v_sq, cfg.u.L21)
+        v_sq_safe = jnp.maximum(v_sq, 1e-30)
+        if cfg.u.angular > 0:   # deflation.hpp:785-787
+            u_new = u_new - (cfg.u.angular / v_sq_safe) * jnp.dot(
+                Uk, jnp.dot(Uk.T, u_new, precision=PREC), precision=PREC)
+        if has_gu:
+            u_new = u_new - (cfg.u.graph_lambda / v_sq_safe) * jnp.dot(
+                gu, u_new, precision=PREC)
+        sigma_new = jnp.sqrt(jnp.sum(u_new * u_new))
+        u_new = u_new / jnp.maximum(sigma_new, 1e-30)
+        cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
+        # convergence modes (deflation.hpp:796-814): FACTOR = cosine
+        # distance of consecutive u; LOSS = relative sigma change
+        # (valid from iteration 1); BOTH = either
+        if cfg.convergence == "factor":
+            cd = cos_dist
+        else:
+            d_sigma = jnp.abs(sigma_new - sigma) / jnp.maximum(
+                sigma, np.float32(np.finfo(np.float32).eps))
+            d_sigma = jnp.where(it > 0, d_sigma, jnp.float32(jnp.inf))
+            cd = (d_sigma if cfg.convergence == "loss"
+                  else jnp.minimum(cos_dist, d_sigma))
+        # a zero factor means the reference breaks out (deflation.hpp:745,783)
+        cd = jnp.where((sigma_new > 0) & (sigma_v > 0), cd, -1.0)
+        return (u_new, v_new, u, sigma_new, it + 1, cd)
+
+    init = (u0, jnp.zeros((n,), jnp.float32), u0,
+            jnp.float32(0.0), jnp.int32(0), jnp.float32(jnp.inf))
+    u, v, _u_prev, sigma, it, _cd = jax.lax.while_loop(cond, body, init)
+    return u, v, sigma, it
+
+
 def _apply_reg_vec(x, L1, L2, nonneg, upper_bound, norm_sq, L21):
     """Per-vector constraint projection (deflation.hpp:192-239).
 
@@ -576,20 +707,6 @@ def deflation_svd(A, cfg: SVDConfig, *, obs_mask=None,
         rng_state["offset"] += m
         return u.astype(np.float32)
 
-    def _huber_weights(resid, delta):
-        """MAD-scaled Huber IRLS weights (deflation.hpp:96-168).
-
-        scale = median(|r|) / 0.6745 (upper median: nth_element at len/2),
-        falling back to 1 when the residuals are ~all zero; then
-        w = 1 for |r/scale| <= delta, else delta/|r/scale| in (0, 1]."""
-        ar = jnp.abs(resid)
-        mad = jnp.sort(ar)[ar.shape[0] // 2]
-        scale = mad / 0.6745
-        scale = jnp.where(scale < np.float32(np.finfo(np.float32).eps * 100),
-                          1.0, scale)
-        z = ar / scale
-        return jnp.where(z <= delta, 1.0, delta / jnp.maximum(z, 1e-30))
-
     aux = aux or {}
     has_gu = aux.get("graph_U") is not None and cfg.u.graph_lambda > 0
     has_gv = aux.get("graph_V") is not None and cfg.v.graph_lambda > 0
@@ -597,112 +714,13 @@ def deflation_svd(A, cfg: SVDConfig, *, obs_mask=None,
     gu_dev = jnp.asarray(aux["graph_U"], jnp.float32) if has_gu else _gdummy
     gv_dev = jnp.asarray(aux["graph_V"], jnp.float32) if has_gv else _gdummy
 
-    @partial(jax.jit, static_argnames=())
-    def rank1_solve(u0, Uk, dk, Vk, tol_k, gu, gv):
-        """Full rank-1 ALS on the deflated operator, on-device.
 
-        One lax.while_loop replaces the reference's host iteration loop
-        (deflation.hpp:678-795) so there is no per-step host sync.  With
-        cfg.robust_delta > 0 this runs the reference's Huber IRLS
-        (deflation.hpp:689-766): from iteration 1 on, row weights come from
-        the rank-1 residual r_i = (Av)_i - sigma*u_i and column weights from
-        r_j = (A'u)_j - sigma*v_j, each MAD-scaled, and the v/u updates use
-        the weighted normal equations v = A' diag(w) u_hat / (u_hat' W u_hat).
-        Momentum is disabled under IRLS (deflation.hpp:683-686)."""
-        def defl_t(x):                 # A^T x - V d U^T x
-            return jnp.dot(At, x, precision=PREC) - jnp.dot(
-                Vk * dk[None, :], jnp.dot(Uk.T, x, precision=PREC),
-                precision=PREC)
-
-        def defl_f(x):                 # A x - U d V^T x
-            return jnp.dot(Ad, x, precision=PREC) - jnp.dot(
-                Uk * dk[None, :], jnp.dot(Vk.T, x, precision=PREC),
-                precision=PREC)
-
-        def cond(carry):
-            _u, _v, _u_prev, _sigma, it, cd = carry
-            return (it < max_iter) & (cd >= tol_k)
-
-        def body(carry):
-            u, v, u_prev, sigma, it, _cd = carry
-            itf = it.astype(jnp.float32)
-            beta = jnp.where(itf > 1, (itf - 1.0) / (itf + 2.0), 0.0)
-            if do_robust:
-                beta = jnp.zeros_like(beta)
-            u_hat = u + beta * (u - u_prev)
-
-            if do_robust:
-                live = itf > 0         # weights need a sigma estimate
-                rw = jnp.where(live, _huber_weights(
-                    defl_f(v) - sigma * u, cfg.robust_delta), 1.0)
-                cw = jnp.where(live, _huber_weights(
-                    defl_t(u) - sigma * v, cfg.robust_delta), 1.0)
-                wu = u_hat * rw
-                w = defl_t(wu)
-                u_sq_w = jnp.sum(wu * u_hat) * cv_corr
-            else:
-                w = defl_t(u_hat)
-                u_sq_w = jnp.sum(u_hat * u_hat) * cv_corr
-            v_new = w / jnp.maximum(u_sq_w, 1e-30)
-            # regularization always uses the unweighted norm (deflation.hpp:735-741)
-            u_sq = jnp.sum(u_hat * u_hat) * cv_corr
-            v_new = _apply_reg_vec(v_new, cfg.v.L1, cfg.v.L2, cfg.v.nonneg,
-                                   cfg.v.upper_bound, u_sq, cfg.v.L21)
-            # angular vs prior factors + graph smoothness
-            # (deflation.hpp:256-292, applied at :740-741)
-            u_sq_safe = jnp.maximum(u_sq, 1e-30)
-            if cfg.v.angular > 0:
-                v_new = v_new - (cfg.v.angular / u_sq_safe) * jnp.dot(
-                    Vk, jnp.dot(Vk.T, v_new, precision=PREC), precision=PREC)
-            if has_gv:
-                v_new = v_new - (cfg.v.graph_lambda / u_sq_safe) * jnp.dot(
-                    gv, v_new, precision=PREC)
-            sigma_v = jnp.sqrt(jnp.sum(v_new * v_new))
-            v_new = v_new / jnp.maximum(sigma_v, 1e-30)
-
-            if do_robust:
-                wv = v_new * cw
-                w2 = defl_f(wv)
-                v_sq_w = jnp.sum(wv * v_new) * cv_corr
-            else:
-                w2 = defl_f(v_new)
-                v_sq_w = jnp.sum(v_new * v_new) * cv_corr
-            u_new = w2 / jnp.maximum(v_sq_w, 1e-30)
-            v_sq = jnp.sum(v_new * v_new) * cv_corr
-            u_new = _apply_reg_vec(u_new, cfg.u.L1, cfg.u.L2, cfg.u.nonneg,
-                                   cfg.u.upper_bound, v_sq, cfg.u.L21)
-            v_sq_safe = jnp.maximum(v_sq, 1e-30)
-            if cfg.u.angular > 0:   # deflation.hpp:785-787
-                u_new = u_new - (cfg.u.angular / v_sq_safe) * jnp.dot(
-                    Uk, jnp.dot(Uk.T, u_new, precision=PREC), precision=PREC)
-            if has_gu:
-                u_new = u_new - (cfg.u.graph_lambda / v_sq_safe) * jnp.dot(
-                    gu, u_new, precision=PREC)
-            sigma_new = jnp.sqrt(jnp.sum(u_new * u_new))
-            u_new = u_new / jnp.maximum(sigma_new, 1e-30)
-            cos_dist = 1.0 - jnp.abs(jnp.sum(u_new * u))
-            # convergence modes (deflation.hpp:796-814): FACTOR = cosine
-            # distance of consecutive u; LOSS = relative sigma change
-            # (valid from iteration 1); BOTH = either
-            if cfg.convergence == "factor":
-                cd = cos_dist
-            else:
-                d_sigma = jnp.abs(sigma_new - sigma) / jnp.maximum(
-                    sigma, np.float32(np.finfo(np.float32).eps))
-                d_sigma = jnp.where(it > 0, d_sigma, jnp.float32(jnp.inf))
-                cd = (d_sigma if cfg.convergence == "loss"
-                      else jnp.minimum(cos_dist, d_sigma))
-            # a zero factor means the reference breaks out (deflation.hpp:745,783)
-            cd = jnp.where((sigma_new > 0) & (sigma_v > 0), cd, -1.0)
-            return (u_new, v_new, u, sigma_new, it + 1, cd)
-
-        init = (u0, jnp.zeros((n,), jnp.float32), u0,
-                jnp.float32(0.0), jnp.int32(0), jnp.float32(jnp.inf))
-        u, v, _u_prev, sigma, it, _cd = jax.lax.while_loop(cond, body, init)
-        return u, v, sigma, it
-
+    # any elementwise projection (nonneg / soft-threshold / bound clip)
+    # would be undone by Gram-Schmidt re-mixing — skip GS for all of them
     constrained = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
-                   cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0)
+                   cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
+                   cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                   cfg.u.upper_bound > 0 or cfg.v.upper_bound > 0)
 
     for kk in range(k_max):
         Uk = jnp.asarray(U_all)
@@ -724,8 +742,10 @@ def deflation_svd(A, cfg: SVDConfig, *, obs_mask=None,
         if kk > 0 and d_all[0] > 0 and d_all[kk - 1] > 0:
             tol_k = min(tol_k * d_all[0] / d_all[kk - 1], tol_k * 100)
 
-        u, v, _sig, it = rank1_solve(u, Uk, dk, Vk, jnp.float32(tol_k),
-                                     gu_dev, gv_dev)
+        u, v, _sig, it = _rank1_solve(
+            Ad, At, u, Uk, dk, Vk, jnp.float32(tol_k), gu_dev, gv_dev,
+            jnp.float32(cv_corr), cfg=cfg, max_iter=max_iter,
+            do_robust=do_robust, has_gu=has_gu, has_gv=has_gv)
         it = int(it)
 
         # two-pass Gram-Schmidt against stored factors (deflation.hpp:824-850)
@@ -827,6 +847,7 @@ def krylov_svd(A, cfg: SVDConfig, aux=None) -> SVDResult:
     has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
                       cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
                       cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                      cfg.u.upper_bound > 0 or cfg.v.upper_bound > 0 or
                       cfg.u.angular > 0 or cfg.v.angular > 0 or
                       bool(aux and (aux.get("graph_U") is not None or
                                     aux.get("graph_V") is not None)))
@@ -964,7 +985,9 @@ def krylov_svd(A, cfg: SVDConfig, aux=None) -> SVDResult:
 
 def _auto_select_method(cfg: SVDConfig, k: int) -> str:
     has_constraints = (cfg.u.nonneg or cfg.v.nonneg or cfg.u.L1 > 0 or
-                      cfg.v.L1 > 0 or cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                      cfg.v.L1 > 0 or cfg.u.L2 > 0 or cfg.v.L2 > 0 or
+                      cfg.u.L21 > 0 or cfg.v.L21 > 0 or
+                      cfg.u.upper_bound > 0 or cfg.v.upper_bound > 0 or
                       cfg.u.angular > 0 or cfg.v.angular > 0 or
                       cfg.u.graph_lambda > 0 or cfg.v.graph_lambda > 0)
     if cfg.robust_delta > 0:
@@ -1165,16 +1188,32 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
 
     has_tier2 = (angu > 0 or angv > 0 or
                  aux["graph_U"] is not None or aux["graph_V"] is not None)
+    has_elementwise = (bool(nnu) or bool(nnv) or l1u > 0 or l1v > 0 or
+                       l2u > 0 or l2v > 0 or l21u > 0 or l21v > 0 or
+                       ubu > 0 or ubv > 0)
     if method == "deflation":
         res = fn(data, cfg, aux=aux, obs_mask=obs_mask)
     elif method == "krylov":
+        if cfg.robust_delta > 0:
+            import warnings
+            warnings.warn("method 'krylov' does not support robust= "
+                          "(Huber IRLS); use 'deflation' or method='auto'")
         res = fn(data, cfg, aux=aux)
     else:
-        if has_tier2:
+        # match the streaming gateway: never drop a constraint silently
+        if has_tier2 or has_elementwise or cfg.robust_delta > 0:
             import warnings
-            warnings.warn(f"method {method!r} does not support angular/"
-                          "graph regularization; use 'deflation' or "
-                          "'krylov'")
+            dropped = []
+            if has_elementwise:
+                dropped.append("elementwise constraints "
+                               "(nonneg/L1/L2/L21/upper_bound)")
+            if has_tier2:
+                dropped.append("angular/graph regularization")
+            if cfg.robust_delta > 0:
+                dropped.append("robust=")
+            warnings.warn(f"method {method!r} does not support "
+                          f"{'; '.join(dropped)} — ignored (use "
+                          "'deflation' or 'krylov')")
         res = fn(data, cfg)
     res.misc["method"] = method
     # total-variance denominator for variance_explained()
@@ -1210,7 +1249,10 @@ def pca(data, k=10, *, center: bool = True, scale: bool = False, **kw) -> SVDRes
     (R/svd.R:596 pca wrapper)."""
     res = svd(data, k, center=center, scale=scale, **kw)
     d = np.asarray(res.d)
-    n = np.asarray(data).shape[1]
+    # np.asarray(scipy.sparse) yields a 0-d object array; use the native
+    # .shape (works for ndarray/sparse/jax), or V for .spz path inputs
+    n = (np.asarray(res.V).shape[0] if isinstance(data, str)
+         else data.shape[1])
     res.misc["sdev"] = d / math.sqrt(max(n - 1, 1))
     return res
 
@@ -1554,7 +1596,8 @@ def _stream_deflation(op, k_max, *, seed, tol, maxit, nonneg, L1, L2,
         iters_total += it
 
         constrained = (nonneg[0] or nonneg[1] or L1[0] > 0 or L1[1] > 0 or
-                       L2[0] > 0 or L2[1] > 0)
+                       L2[0] > 0 or L2[1] > 0 or
+                       upper_bound[0] > 0 or upper_bound[1] > 0)
         if kk > 0 and not constrained:
             for _ in range(2):
                 u = u - jnp.dot(U_all, jnp.dot(U_all.T, u, precision=PREC),

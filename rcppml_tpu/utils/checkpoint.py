@@ -162,6 +162,12 @@ def load_fit_state(path: str, cfg: NMFConfig):
             hist = np.concatenate([
                 hist, np.full((current_mi - hist.shape[0],), np.nan,
                               np.float32)])
+        elif current_mi < hist.shape[0]:
+            # shrinking maxit (still >= it, checked above): the packed
+            # state layout is sized by the CURRENT max_iter — a longer
+            # stored history would shift every scalar read in
+            # _unpack_state; entries beyond current_mi are unreached NaNs
+            hist = hist[:current_mi]
         sc = z["scalars"]
         return FitState(
             W_T=np.asarray(z["W_T"], np.float32),

@@ -210,3 +210,152 @@ def test_cv_l1_cd_ratio_threshold_semantics():
     sp_p = (np.asarray(plain.H) == 0).mean()
     sp_m = (np.asarray(masked.H) == 0).mean()
     assert abs(sp_p - sp_m) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# round-2 session-4 review fixes (SVD gateway / deflation / graph / checkpoint)
+# ---------------------------------------------------------------------------
+
+def _lowrank(m=40, n=30, k=3, seed=0):
+    rs = np.random.RandomState(seed)
+    return (np.abs(rs.rand(m, k)) @ np.abs(rs.rand(k, n))).astype(np.float32)
+
+
+def test_svd_upper_bound_only_routes_to_constrained_solver():
+    """upper_bound alone must count as a constraint: auto-select routes to a
+    constraint-honoring method and the bound holds in the result."""
+    import rcppml_tpu as rt
+    A = _lowrank()
+    res = rt.svd(A, 10, upper_bound=(0.05, 0.05))
+    assert res.misc["method"] in ("krylov", "deflation")
+    assert np.all(np.asarray(res.U) <= 0.05 + 1e-6)
+    assert np.all(np.asarray(res.V) <= 0.05 + 1e-6)
+
+
+def test_svd_explicit_method_warns_on_dropped_constraints():
+    """Explicit lanczos/irlba/randomized with elementwise constraints must
+    warn (streaming gateway parity), not silently drop them."""
+    import warnings
+    import rcppml_tpu as rt
+    A = _lowrank()
+    for meth in ("lanczos", "irlba", "randomized"):
+        with pytest.warns(UserWarning, match="does not support"):
+            rt.svd(A, 4, nonneg=(True, True), method=meth)
+    with pytest.warns(UserWarning, match="robust"):
+        rt.svd(A, 4, method="krylov", robust=True)
+
+
+def test_svd_deflation_upper_bound_survives_gram_schmidt():
+    """A bound-only deflation fit must skip the post-ALS Gram-Schmidt:
+    re-mixing against prior factors would undo the clip projection applied
+    every ALS iteration.  (The bound itself acts on the pre-normalization
+    update, reference deflation.hpp:236-237,738 — unit-norm factors may
+    legitimately exceed it after scaling.)
+
+    Observable: the clip flattens factors, so consecutive factors stay
+    strongly correlated; GS would force them orthogonal to ~1e-8."""
+    import rcppml_tpu as rt
+    A = _lowrank(60, 50, 4, seed=3)
+    res = rt.svd(A, 4, method="deflation", upper_bound=(0.08, 0.08))
+    U = np.asarray(res.U)
+    UU = U.T @ U
+    offdiag = np.max(np.abs(UU - np.diag(np.diag(UU))))
+    assert offdiag > 0.01, "bound-constrained factors were orthogonalized"
+    # unconstrained factors from the same data ARE orthogonalized
+    res2 = rt.svd(A, 4, method="deflation")
+    U2 = np.asarray(res2.U)
+    UU2 = U2.T @ U2
+    assert np.max(np.abs(UU2 - np.diag(np.diag(UU2)))) < 1e-5
+
+
+def test_pca_sparse_and_result_sdev():
+    """pca() accepts scipy.sparse (np.asarray(sparse) is 0-d; must use the
+    native shape) and sdev uses n-1."""
+    import scipy.sparse as sp
+    import rcppml_tpu as rt
+    A = _lowrank(50, 40, 4, seed=1)
+    As = sp.csr_matrix(A)
+    res = rt.pca(As, 3)
+    assert res.misc["sdev"].shape == (3,)
+    dense = rt.pca(A, 3)
+    np.testing.assert_allclose(res.misc["sdev"], dense.misc["sdev"],
+                               rtol=1e-4)
+
+
+def test_single_layer_condition_covariates_used():
+    """Single-layer factor_net with a Condition input must append the Z
+    covariates (multi-layer and single-layer paths agree on shapes)."""
+    from rcppml_tpu.models.graph import (Condition, Input, NMFLayer,
+                                         factor_net, fit)
+    A = _lowrank(30, 25, 3, seed=5)
+    Z = np.abs(np.random.RandomState(7).rand(30, 4)).astype(np.float32)
+    inp = Input(A, "x")
+    net = factor_net(inp, NMFLayer(Condition(inp, Z), 3, name="L1"),
+                     maxit=10, seed=1)
+    res = fit(net)
+    # Z appends 4 covariate columns -> H spans n + 4 samples
+    assert res["L1"].H.shape == (3, 25 + 4)
+
+
+def test_branched_graph_predict_refuses():
+    """predict() on an Add/branched net raises instead of silently chaining
+    embeddings through the wrong layers."""
+    from rcppml_tpu.models.graph import (Add, Input, NMFLayer, factor_net,
+                                         fit)
+    A1 = _lowrank(30, 25, 3, seed=8)
+    A2 = _lowrank(20, 25, 3, seed=9)
+    i1, i2 = Input(A1, "a"), Input(A2, "b")
+    l1 = NMFLayer(i1, 3, name="L1")
+    l2 = NMFLayer(i2, 3, name="L2")
+    top = NMFLayer(Add(l1, l2), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=6, seed=1)
+    res = fit(net)
+    assert not res.chain_topology
+    with pytest.raises(ValueError, match="chain"):
+        res.predict(A1)
+
+
+def test_chain_graph_predict_still_works():
+    from rcppml_tpu.models.graph import (Input, NMFLayer, factor_net, fit)
+    A = _lowrank(30, 25, 3, seed=11)
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 4, name="L1")
+    l2 = NMFLayer(l1, 2, name="L2")
+    net = factor_net(inp, l2, maxit=6, seed=1)
+    res = fit(net)
+    assert res.chain_topology
+    out = res.predict(A)
+    assert out["L1"].shape[0] == 4 and out["L2"].shape[0] == 2
+
+
+def test_checkpoint_resume_with_smaller_maxit(tmp_path):
+    """Resuming with a smaller (but still >= it) maxit must reparse the
+    packed state correctly instead of reading scalars out of the middle of
+    the stored loss history."""
+    import os
+    from rcppml_tpu.api import build_config
+    from rcppml_tpu.utils.checkpoint import fit_checkpointed, load_fit_state
+    rs = np.random.RandomState(13)
+    # noise floor so the rel-tol convergence rule actually fires
+    A = (np.abs(rs.rand(40, 3)) @ np.abs(rs.rand(3, 30))
+         + 0.3 * rs.rand(40, 30)).astype(np.float32)
+    path = str(tmp_path / "ck.npz")
+    cfg100 = build_config(3, maxit=100, tol=5e-3, seed=4)
+    res100 = fit_checkpointed(A, cfg100, path, every=5)
+    assert os.path.exists(path)
+    it_stored = res100.iterations
+    assert it_stored < 60          # converged well before the horizon
+    # smaller maxit (>= stored it): hist must be truncated to the new
+    # horizon so the packed-state layout parses correctly
+    cfg60 = build_config(3, maxit=60, tol=5e-3, seed=4)
+    st = load_fit_state(path, cfg60)
+    assert st.loss_hist.shape == (60,)
+    assert int(st.it) == it_stored
+    res60 = fit_checkpointed(A, cfg60, path, every=7)
+    np.testing.assert_array_equal(np.asarray(res60.W),
+                                  np.asarray(res100.W))
+    # shrinking below the stored iteration count is still rejected
+    cfg_small = build_config(3, maxit=max(1, it_stored - 1),
+                             tol=5e-3, seed=4)
+    with pytest.raises(ValueError, match="maxit"):
+        load_fit_state(path, cfg_small)
