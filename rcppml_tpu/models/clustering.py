@@ -19,6 +19,7 @@ TPU equivalents of ``inst/include/FactorNet/clustering/`` and
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -64,39 +65,39 @@ def _nnls2_batch(a00, a01, a11, b0, b1, nonneg):
     return x0, x1
 
 
-def _rank2_body(A_sub, w):
+def _rank2_body(A_sub, w, nonneg=True):
     """One rank-2 ALS sweep over all selected columns (bipartition.hpp:342-371).
 
     A_sub (m, ns); w (2, m).  Returns (w_new, h, d)."""
     a = jnp.dot(w, w.T, precision=PREC)
     B = jnp.dot(w, A_sub, precision=PREC)          # (2, ns)
-    h0, h1 = _nnls2_batch(a[0, 0], a[0, 1], a[1, 1], B[0], B[1], True)
+    h0, h1 = _nnls2_batch(a[0, 0], a[0, 1], a[1, 1], B[0], B[1], nonneg)
     h = jnp.stack([h0, h1])
     d = jnp.sum(jnp.abs(h), axis=1) + 1e-15
     h = h / d[:, None]
 
     a2 = jnp.dot(h, h.T, precision=PREC)
     Bw = jnp.dot(h, A_sub.T, precision=PREC)       # (2, m)
-    w0, w1 = _nnls2_batch(a2[0, 0], a2[0, 1], a2[1, 1], Bw[0], Bw[1], True)
+    w0, w1 = _nnls2_batch(a2[0, 0], a2[0, 1], a2[1, 1], Bw[0], Bw[1], nonneg)
     w_new = jnp.stack([w0, w1])
     dw = jnp.sum(jnp.abs(w_new), axis=1) + 1e-15
     w_new = w_new / dw[:, None]
     return w_new, h, dw
 
 
-@jax.jit
-def _rank2_als_step(A_sub, w):
-    return _rank2_body(A_sub, w)
+@partial(jax.jit, static_argnames=("nonneg",))
+def _rank2_als_step(A_sub, w, nonneg=True):
+    return _rank2_body(A_sub, w, nonneg)
 
 
-def _rank2_block_body(A_sub, w, h, d):
+def _rank2_block_body(A_sub, w, h, d, nonneg=True):
     """Ten ALS sweeps plus the correlation-distance convergence metric
     between the first and last w (cor() tol)."""
     w_start = w
 
     def body(i, carry):
         w, h, d = carry
-        return _rank2_body(A_sub, w)
+        return _rank2_body(A_sub, w, nonneg)
 
     w, h, d = jax.lax.fori_loop(0, 10, body, (w, h, d))
     a = w.ravel()
@@ -114,8 +115,8 @@ def _rank2_als_block(A_sub, w, h, d):
     return _rank2_block_body(A_sub, w, h, d)
 
 
-@jax.jit
-def _rank2_als_full(A_sub, w, h, d, tol, max_blocks):
+@partial(jax.jit, static_argnames=("nonneg",))
+def _rank2_als_full(A_sub, w, h, d, tol, max_blocks, nonneg=True):
     """The whole bipartition ALS — all 10-sweep blocks AND the
     convergence test — in one lax.while_loop: a single device dispatch
     replaces the per-block host sync (measured 3.1-10.8 s of tunnel
@@ -126,7 +127,7 @@ def _rank2_als_full(A_sub, w, h, d, tol, max_blocks):
 
     def body(carry):
         w, h, d, _, blk = carry
-        w, h, d, cd = _rank2_block_body(A_sub, w, h, d)
+        w, h, d, cd = _rank2_block_body(A_sub, w, h, d, nonneg)
         return (w, h, d, cd, blk + 1)
 
     w, h, d, cd, _ = jax.lax.while_loop(
@@ -201,9 +202,10 @@ def bipartition(data, *, tol: float = 1e-5, maxit: int = 100,
         m, n = A_sub.shape
         samples = np.arange(n)
     else:
-        A = np.asarray(data, dtype=np.float32)
-        if hasattr(data, "todense"):
-            A = np.asarray(data.todense(), dtype=np.float32)
+        # todense BEFORE asarray: np.asarray(sparse, dtype=...) raises
+        A = (np.asarray(data.todense(), dtype=np.float32)
+             if hasattr(data, "todense")
+             else np.asarray(data, dtype=np.float32))
         m, n = A.shape
         if samples is None:
             samples = np.arange(n)
@@ -219,7 +221,8 @@ def bipartition(data, *, tol: float = 1e-5, maxit: int = 100,
     d = jnp.ones((2,), jnp.float32)
     # whole ALS (blocks of 10 sweeps + convergence) in ONE device call
     w, h, d = _rank2_als_full(A_sub, w, h, d, jnp.float32(tol),
-                              jnp.int32(max(1, maxit // 10)))
+                              jnp.int32(max(1, maxit // 10)),
+                              nonneg=bool(nonneg))
 
     h_np, d_np = jax.device_get((h, d))
     h_np = np.asarray(h_np)
@@ -258,9 +261,9 @@ def dclust(data, *, min_samples: int = 10, min_dist: float = 0.0,
     """Recursive divisive clustering (clustering/dclust.hpp:72+).
 
     Cluster ids are binary path strings ("0", "01", "011", ...)."""
-    A = np.asarray(data, dtype=np.float32)
-    if hasattr(data, "todense"):
-        A = np.asarray(data.todense(), dtype=np.float32)
+    A = (np.asarray(data.todense(), dtype=np.float32)
+         if hasattr(data, "todense")
+         else np.asarray(data, dtype=np.float32))
     n = A.shape[1]
 
     result: List[Cluster] = []

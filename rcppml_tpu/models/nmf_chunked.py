@@ -85,18 +85,23 @@ def _panel_train_w(seed_pair, row0, col0, rows, cols, inv_prob: int,
 @partial(jax.jit, static_argnames=("cfg", "side", "inv_prob", "mask_zeros",
                                    "transposed"))
 def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
-                    seed_pair, col0, user_m=None, *, inv_prob: int,
-                    mask_zeros: bool, transposed: bool):
+                    seed_pair, col0, user_m=None, G_add=None, *,
+                    inv_prob: int, mask_zeros: bool, transposed: bool):
     """Masked panel solve: per-column Gram over train entries only (the
     streaming analog of nmf_cv.masked_mse_solve_batch; reference
-    fit_streaming_spz.hpp:267-286)."""
+    fit_streaming_spz.hpp:267-286).  ``G_add``: shared tier-2 k x k term
+    (L21), same algebra as the in-memory path (nmf_cv.py G_add)."""
     from .nmf_cv import masked_mse_solve_batch
     fc = cfg.H if side == "H" else cfg.W
     m, nc = A_panel.shape
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
                              mask_zeros, A_panel, transposed, user_m)
     Xw = X_warm * warm.astype(A_panel.dtype)
-    return masked_mse_solve_batch(A_panel, F, train_w, cfg, fc, Xw)
+    X = masked_mse_solve_batch(A_panel, F, train_w, cfg, fc, Xw,
+                               G_add=G_add)
+    if fc.upper_bound > 0:
+        X = feat.apply_upper_bound(X, fc.upper_bound)
+    return X
 
 
 @partial(jax.jit, static_argnames=("cfg", "inv_prob", "mask_zeros",
@@ -115,6 +120,13 @@ def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
                              mask_zeros, A_panel, False, user_m)
     test_w = 1.0 - train_w
+    if user_m is not None and inv_prob > 0:
+        # CV + user mask: user-masked entries leave BOTH statistics — the
+        # test statistic stays a pure speckled-holdout quantity, matching
+        # the in-memory accounting (nmf_cv.py; fit_cv.hpp:1391-1393).
+        # (For a pure masked fit, inv_prob == 0, the masked entries
+        # themselves ARE the reported held-out set.)
+        test_w = test_w * (1.0 - user_m.astype(test_w.dtype))
     if sparse_zeros:
         nz = (A_panel != 0).astype(sq.dtype)
         train_w = train_w * nz
@@ -125,8 +137,8 @@ def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
 @partial(jax.jit, static_argnames=("cfg", "side", "active_loss",
                                    "inv_prob", "mask_zeros", "transposed"))
 def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
-                      th_row, th_col, seed_pair, col0, user_m=None, *,
-                      active_loss: Loss, inv_prob: int = 0,
+                      th_row, th_col, seed_pair, col0, user_m=None,
+                      G_add=None, *, active_loss: Loss, inv_prob: int = 0,
                       mask_zeros: bool = False, transposed: bool = False):
     """IRLS panel solve with fixed dispersion — the reference's chunked
     engine never re-estimates nb_size/theta in streaming mode
@@ -141,8 +153,12 @@ def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
         extra_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
                                  mask_zeros, A_panel, transposed, user_m)
     Xw = X_warm * warm.astype(A_panel.dtype)
-    return irls_solve_batch(A_panel, F, cfg, active_loss, th_row, th_col,
-                            fc, False, extra_w=extra_w, X_warm=Xw)
+    X = irls_solve_batch(A_panel, F, cfg, active_loss, th_row, th_col,
+                         fc, False, extra_w=extra_w, X_warm=Xw,
+                         G_add=G_add)
+    if fc.upper_bound > 0:
+        X = feat.apply_upper_bound(X, fc.upper_bound)
+    return X
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -277,11 +293,18 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         warm = jnp.bool_(it > 0)
 
         # ---- H-update over forward panels ----
+        G_add_H = G_add_W = None
         if not use_masked and not use_irls:
             G = linalg.gram(W_T)
             G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
             G = feat.apply_l21(G, H, cfg.H.L21)
             G = feat.apply_graph_reg(G, graph_H, H, cfg.H.graph_lambda)
+        else:
+            # L21 rides the per-column Grams as the shared tier-2 k x k
+            # term, exactly like the in-memory masked/IRLS paths (graph
+            # reg is rejected above on these paths)
+            G_add_H = feat.tier2_gram_addition(H, cfg.H)
+            G_add_W = feat.tier2_gram_addition(W_T, cfg.W)
         H_parts = {}
         pf = Prefetcher(loader, transpose=False)
         for ch in pf:
@@ -309,6 +332,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     cfgs, "H", W_T, A_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, False),
+                    G_add_H,
                     active_loss=active_loss, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=False)
             elif use_masked:
@@ -316,7 +340,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     cfgs, "H", W_T, A_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, False),
-                    inv_prob=inv_prob,
+                    G_add_H, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=False)
             else:
                 H_parts[ch.col_start] = _panel_solve(cfg, "H", G, W_T,
@@ -348,6 +372,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     cfgs, "W", H, At_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, True),
+                    G_add_W,
                     active_loss=active_loss, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=True)
             elif use_masked:
@@ -355,7 +380,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     cfgs, "W", H, At_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, True),
-                    inv_prob=inv_prob,
+                    G_add_W, inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, transposed=True)
             else:
                 W_parts[ch.col_start] = _panel_solve(cfg, "W", G2, H,
@@ -422,8 +447,13 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     patience += 1
             rel = abs(prev_loss - conv_loss) / (abs(prev_loss) + 1e-15)
             prev_loss = conv_loss
-            if it > 0 and rel < cfg.tol and not is_cv:
-                patience += 1
+            if not is_cv:
+                # consecutive sub-tol iterations only (same reset rule as
+                # the other two loss branches)
+                if it > 0 and rel < cfg.tol:
+                    patience += 1
+                else:
+                    patience = 0
             if (is_cv and (patience >= cfg.cv_patience
                            or (it > 0 and rel < cfg.tol))) or \
                (not is_cv and patience >= cfg.patience):

@@ -26,7 +26,7 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
          solver: str = "auto", cd_maxit: int = 100, cd_tol: float = 1e-8,
          irls_max_iter: int = 5, irls_tol: float = 1e-4,
          warm_start=None, target_H=None, target_lambda: float = 0.0,
-         **fit_kwargs) -> np.ndarray:
+         theta=None, **fit_kwargs) -> np.ndarray:
     """Solve the projection problem min ||A - w X|| (or min ||A - X h||)
     subject to constraints (R/solve.R:84-357).
 
@@ -46,7 +46,9 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
         # R/nmf_validation.R penalty validators (test_predict.R:62-80)
         raise ValueError("L1/L2/L21 penalties must be >= 0")
     if (target_H is not None and np.any(np.atleast_1d(target_lambda) != 0)) \
-            or fit_kwargs:
+            or fit_kwargs or L21 > 0:
+        # L21's adaptive ridge needs a factor iterate; the one-iteration
+        # NMF delegation applies it exactly like the R API (R/solve.R)
         from ..api import nmf as nmf_api
         k_t = (np.shape(w)[1] if w is not None else np.shape(h)[0])
         model = nmf_api(A, int(k_t), maxit=1, loss=loss,
@@ -85,7 +87,23 @@ def nnls(A, w=None, h=None, *, L1: float = 0.0, L2: float = 0.0,
         fc = cfg.H.__class__(L1=L1, L2=L2, L21=L21, nonneg=nonneg,
                              upper_bound=upper_bound)
         active = Loss.KL if loss_e == Loss.GP else loss_e
-        X = irls_solve_batch(data, F, cfg, active, None, None, fc, False)
+        # dispersion for NB/GP weights: theta= may be a scalar or a vector
+        # matching either axis of the solve; without it the weights
+        # degenerate to the r->0 limit, inconsistent with a fitted model
+        th_row = th_col = None
+        if theta is not None and loss_e in (Loss.NB, Loss.GP):
+            tv = np.atleast_1d(np.asarray(theta, dtype=np.float32))
+            if tv.size == 1:
+                th_row = jnp.full((data.shape[0],), float(tv[0]), jnp.float32)
+            elif tv.size == data.shape[0]:
+                th_row = jnp.asarray(tv)
+            elif tv.size == data.shape[1]:
+                th_col = jnp.asarray(tv)
+            else:
+                raise ValueError(
+                    f"theta length {tv.size} matches neither axis of the "
+                    f"solve {tuple(data.shape)}")
+        X = irls_solve_batch(data, F, cfg, active, th_row, th_col, fc, False)
     else:
         G = linalg.gram(F)
         B = linalg.rhs(F, data)
@@ -135,21 +153,36 @@ def nnls_streaming(path_or_loader, w, *, chunk_cols=None, **kwargs) -> np.ndarra
     return np.concatenate([p for _, p in parts], axis=1)
 
 
-def predict(model: NMFResult, newdata, *, L1: float = 0.0, L2: float = 0.0,
-            upper_bound: float = 0.0, loss: str = "mse") -> np.ndarray:
+def predict(model: NMFResult, newdata, *, L1: Optional[float] = None,
+            L2: Optional[float] = None,
+            upper_bound: Optional[float] = None,
+            loss: Optional[str] = None) -> np.ndarray:
     """Project new columns onto a fitted model's W (R/predict_nmf.R:48).
 
     Reuses the model's stored penalty configuration when available via
-    ``model.misc['config']``.  Returns H_new (k, n_new)."""
+    ``model.misc['config']``; an EXPLICIT argument always wins — including
+    explicit zeros / 'mse' (None, not falsiness, marks "not given").
+    Returns H_new (k, n_new)."""
     cfg = model.misc.get("config")
     if cfg is not None and isinstance(cfg, NMFConfig):
-        L1 = L1 or cfg.H.L1
-        L2 = L2 or cfg.H.L2
-        upper_bound = upper_bound or cfg.H.upper_bound
-        loss = loss if loss != "mse" else cfg.loss.value
+        L1 = cfg.H.L1 if L1 is None else L1
+        L2 = cfg.H.L2 if L2 is None else L2
+        upper_bound = cfg.H.upper_bound if upper_bound is None else upper_bound
+        loss = cfg.loss.value if loss is None else loss
+    L1 = 0.0 if L1 is None else L1
+    L2 = 0.0 if L2 is None else L2
+    upper_bound = 0.0 if upper_bound is None else upper_bound
+    loss = "mse" if loss is None else loss
     W = np.asarray(model.W) * np.asarray(model.d)[None, :]
+    # fitted dispersion travels with the projection; per-row theta (length
+    # m) transfers to new columns, per-column theta cannot (new samples) —
+    # fall back to its mean as a global size
+    theta = None
+    if model.theta is not None and loss in ("nb", "gp"):
+        tv = np.asarray(model.theta, dtype=np.float32)
+        theta = tv if tv.size == W.shape[0] else float(tv.mean())
     return nnls(newdata, w=W, L1=L1, L2=L2, upper_bound=upper_bound,
-                loss=loss)
+                loss=loss, theta=theta)
 
 
 def evaluate(model: NMFResult, A, *, mask=None, loss: str = "mse",
@@ -166,8 +199,19 @@ def evaluate(model: NMFResult, A, *, mask=None, loss: str = "mse",
     rec = model.reconstruct()
     from ..api import build_config
     cfg = build_config(model.k, loss=loss, solver="cd" if loss != "mse" else "auto")
+    # NB/GP losses need the FITTED dispersion — zeros would score the
+    # model at the r->0 limit (garbage lgamma terms), not its likelihood
+    theta_mn = jnp.zeros(A.shape)
+    if model.theta is not None and loss in ("nb", "gp"):
+        tv = np.asarray(model.theta, dtype=np.float32)
+        if tv.size == A.shape[0]:
+            theta_mn = jnp.broadcast_to(jnp.asarray(tv)[:, None], A.shape)
+        elif tv.size == A.shape[1]:
+            theta_mn = jnp.broadcast_to(jnp.asarray(tv)[None, :], A.shape)
+        else:
+            theta_mn = jnp.full(A.shape, float(tv.mean()))
     contrib = np.asarray(losses.compute_loss_elements(
-        jnp.asarray(A), jnp.asarray(rec), cfg, jnp.zeros_like(jnp.asarray(A))))
+        jnp.asarray(A), jnp.asarray(rec), cfg, theta_mn))
     sel = np.ones(A.shape, dtype=bool)
     if mask is not None:
         M = np.asarray(mask).astype(bool)

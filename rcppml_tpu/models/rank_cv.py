@@ -20,12 +20,15 @@ from .nmf_cv import fit_cv_or_masked
 _PHI = (1.0 + math.sqrt(5.0)) / 2.0
 
 
-def _evaluate_rank(A, k, base_cfg_kwargs, cache):
+def _evaluate_rank(A, k, base_cfg_kwargs, cache, mask=None):
     if k in cache:
         return cache[k]
     from ..api import build_config
     cfg = build_config(int(k), **base_cfg_kwargs)
-    res = fit_cv_or_masked(A, cfg)
+    # the user mask must hold out of EVERY rank-search fit, not just the
+    # final refit — corrupt/missing entries would otherwise drive the
+    # train/test losses and the k decision
+    res = fit_cv_or_masked(A, cfg, mask=mask)
     ev = {"rank": int(k), "train": res.train_loss, "test": res.test_loss,
           "best_test": res.misc["best_test_loss"], "best_iter": res.best_iter}
     cache[k] = ev
@@ -52,7 +55,7 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
     k_current = k_init
     prev = None
     while k_current <= max_k:
-        cur = _evaluate_rank(A, k_current, base, cache)
+        cur = _evaluate_rank(A, k_current, base, cache, mask=mask)
         evals.append(cur)
         if prev is not None:
             train_rel = abs(cur["train"] - prev["train"]) / (prev["train"] + 1e-15)
@@ -74,8 +77,8 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
             k2 = int(lo + (hi - lo) / _PHI + 0.5)
             if k1 <= lo or k2 >= hi or k1 >= k2:
                 break
-            e1 = _evaluate_rank(A, k1, base, cache)
-            e2 = _evaluate_rank(A, k2, base, cache)
+            e1 = _evaluate_rank(A, k1, base, cache, mask=mask)
+            e2 = _evaluate_rank(A, k2, base, cache, mask=mask)
             evals.extend([e1, e2])
             if e1["test"] < e2["test"]:
                 hi = k2

@@ -359,3 +359,128 @@ def test_checkpoint_resume_with_smaller_maxit(tmp_path):
                              tol=5e-3, seed=4)
     with pytest.raises(ValueError, match="maxit"):
         load_fit_state(path, cfg_small)
+
+
+# ---------------------------------------------------------------------------
+# round-2 session-4 review fixes, batch 2 (chunked / rank_cv / clustering /
+# project)
+# ---------------------------------------------------------------------------
+
+def test_streaming_cv_user_mask_test_loss_pure_holdout():
+    """Streaming CV + user mask: the test statistic must exclude
+    user-masked entries (in-memory parity; fit_cv.hpp:1391-1393)."""
+    rs = np.random.RandomState(2)
+    A = (np.abs(rs.rand(60, 3)) @ np.abs(rs.rand(3, 50))).astype(np.float32)
+    M = rs.rand(*A.shape) < 0.25
+    A_bad = A.copy()
+    A_bad[M] = 50.0                 # garbage behind the mask
+    mem = rt.nmf(A_bad, 3, test_fraction=0.1, cv_seed=5, mask=M,
+                 maxit=8, seed=3, tol=0)
+    stream = rt.nmf(A_bad, 3, test_fraction=0.1, cv_seed=5, mask=M,
+                    maxit=8, seed=3, tol=0, streaming=True, chunk_cols=16)
+    # garbage entries are ~2500x the data scale: any leak into the test
+    # statistic dominates it
+    assert float(stream.test_loss) < 5.0
+    assert abs(float(stream.test_loss) - float(mem.test_loss)) \
+        / max(float(mem.test_loss), 1e-9) < 0.05
+
+
+def test_streaming_masked_upper_bound_enforced():
+    rs = np.random.RandomState(4)
+    A = (np.abs(rs.rand(40, 3)) @ np.abs(rs.rand(3, 30))).astype(np.float32)
+    M = rs.rand(*A.shape) < 0.2
+    res = rt.nmf(A, 3, mask=M, upper_bound=(0.5, 0.5), maxit=6, seed=1,
+                 streaming=True, chunk_cols=8)
+    assert np.all(np.asarray(res.W) <= 0.5 + 1e-6)
+    assert np.all(np.asarray(res.H) <= 0.5 + 1e-6)
+
+
+def test_streaming_irls_upper_bound_enforced():
+    rs = np.random.RandomState(6)
+    A = np.round(np.abs(rs.rand(40, 3)) @ np.abs(rs.rand(3, 30)) * 4
+                 ).astype(np.float32)
+    res = rt.nmf(A, 3, loss="kl", upper_bound=(0.5, 0.5), maxit=5, seed=1,
+                 streaming=True, chunk_cols=8)
+    assert np.all(np.asarray(res.W) <= 0.5 + 1e-6)
+    assert np.all(np.asarray(res.H) <= 0.5 + 1e-6)
+
+
+def test_streaming_masked_l21_has_effect():
+    rs = np.random.RandomState(8)
+    A = (np.abs(rs.rand(50, 6)) @ np.abs(rs.rand(6, 40))).astype(np.float32)
+    M = rs.rand(*A.shape) < 0.15
+    base = rt.nmf(A, 6, mask=M, maxit=8, seed=2, streaming=True,
+                  chunk_cols=10)
+    reg = rt.nmf(A, 6, mask=M, L21=(3.0, 3.0), maxit=8, seed=2,
+                 streaming=True, chunk_cols=10)
+    assert not np.allclose(np.asarray(base.H), np.asarray(reg.H))
+
+
+def test_rank_search_mask_excludes_corrupt_entries():
+    """find_optimal_rank(mask=M) must hold M out of every rank-search fit,
+    not only the final refit."""
+    from rcppml_tpu.models.rank_cv import find_optimal_rank
+    rs = np.random.RandomState(10)
+    A = (np.abs(rs.rand(60, 4)) @ np.abs(rs.rand(4, 50))
+         + 0.05 * rs.rand(60, 50)).astype(np.float32)
+    M = rs.rand(*A.shape) < 0.2
+    A_bad = A.copy()
+    A_bad[M] = 100.0
+    search = find_optimal_rank(A_bad, k_init=2, max_k=8, mask=M,
+                               test_fraction=0.1, cv_seed=3, refit=False,
+                               maxit=10, seed=1)
+    for ev in search["evaluations"]:
+        # with the mask honored, train losses live at the data scale;
+        # a leak of the 100.0 entries puts them ~3 orders higher
+        assert ev["train"] < 5.0
+
+
+def test_evaluate_nb_uses_fitted_theta():
+    A = _zi_counts(seed=21, dropout=0.1)
+    model = rt.nmf(A, 4, loss="nb", maxit=12, seed=3)
+    from rcppml_tpu.models.project import evaluate
+    val = evaluate(model, A, loss="nb")
+    assert np.isfinite(val)
+    # with theta=0 (the old bug) lgamma(1e-10) ~ +23 pushes the mean NLL
+    # above 20 regardless of fit quality
+    assert val < 20.0
+
+
+def test_bipartition_dclust_accept_sparse():
+    rs = np.random.RandomState(12)
+    A = np.abs(rs.rand(30, 80)).astype(np.float32)
+    A[:15, :40] += 2.0               # two blobs
+    S = sp.csr_matrix(A)
+    bp = rt.bipartition(S, seed=1)
+    assert bp.size1 + bp.size2 == 80
+    cl = rt.dclust(S, min_samples=30, seed=1)
+    assert len(cl) >= 1
+
+
+def test_bipartition_nonneg_false_unconstrained():
+    rs = np.random.RandomState(14)
+    A = rs.randn(20, 40).astype(np.float32)      # signed data
+    b1 = rt.bipartition(A, nonneg=True, seed=2)
+    b2 = rt.bipartition(A, nonneg=False, seed=2)
+    # the solves genuinely differ on signed data
+    assert not np.allclose(b1.v, b2.v)
+
+
+def test_predict_explicit_zero_overrides_stored_penalty():
+    rs = np.random.RandomState(16)
+    A = (np.abs(rs.rand(40, 3)) @ np.abs(rs.rand(3, 30))).astype(np.float32)
+    model = rt.nmf(A, 3, L1=(0.0, 0.4), maxit=10, seed=2)
+    from rcppml_tpu.models.project import predict
+    h_pen = predict(model, A)                    # stored L1=0.4 applies
+    h_free = predict(model, A, L1=0.0)           # explicit zero wins
+    assert not np.allclose(h_pen, h_free)
+    assert float(np.abs(h_free).sum()) >= float(np.abs(h_pen).sum())
+
+
+def test_nnls_l21_applied():
+    rs = np.random.RandomState(18)
+    W = np.abs(rs.rand(40, 6)).astype(np.float32)
+    A = (W @ np.abs(rs.rand(6, 30))).astype(np.float32)
+    h0 = rt.nnls(A, w=W)
+    h1 = rt.nnls(A, w=W, L21=5.0)
+    assert not np.allclose(h0, h1)
