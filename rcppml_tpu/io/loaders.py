@@ -151,8 +151,12 @@ class SpzLoader(DataLoader):
             return self.reader.num_chunks(transpose)
         import ctypes
         out = ctypes.c_uint32()
-        self._lib.spz3_num_chunks(self._buf, len(self._data), int(transpose),
-                                  ctypes.byref(out))
+        if self._lib.spz3_num_chunks(self._buf, len(self._data),
+                                     int(transpose), ctypes.byref(out)):
+            from . import spz as spz_mod
+            # an unchecked failure here yields 0 chunks -> a silently
+            # empty fit downstream
+            raise ValueError(spz_mod._err(self._lib))
         return out.value
 
     def chunk(self, idx: int, transpose: bool = False) -> Chunk:
@@ -170,10 +174,14 @@ class SpzLoader(DataLoader):
             raise ValueError(spz_mod._err(self._lib))
         nrows = self.shape[1] if transpose else self.shape[0]
         out = np.zeros(nrows * nc.value, dtype=np.float32)
-        self._lib.spz3_decode_chunk(
-            self._buf, len(self._data), int(transpose), idx, ctypes.byref(cs),
-            ctypes.byref(nc),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if self._lib.spz3_decode_chunk(
+                self._buf, len(self._data), int(transpose), idx,
+                ctypes.byref(cs), ctypes.byref(nc),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+            from . import spz as spz_mod
+            # the size query above can succeed while the decode fails
+            # (truncated payload); proceeding would factorize zeros
+            raise ValueError(spz_mod._err(self._lib))
         return Chunk(cs.value, out.reshape((nc.value, nrows)).T)
 
 

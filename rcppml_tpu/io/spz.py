@@ -62,7 +62,12 @@ def _err(lib):
 
 
 def _as_buf(data: bytes):
-    return (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    """Zero-copy uint8* view of a read-only bytes buffer.  The native
+    calls only READ through this pointer; from_buffer_copy would double
+    resident memory for the lifetime of every open file (streaming
+    readers hold it open for the whole fit).  Callers must keep ``data``
+    alive across the call — every call site does (local or attribute)."""
+    return ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
 
 
 def spz_info_bytes(data: bytes) -> dict:
@@ -241,6 +246,7 @@ class SpzChunkReader:
 # ---------------------------------------------------------------------------
 
 DENSE_CODECS = {"raw": 0, "raw_fp32": 0, "none": 0, "fp16": 1}
+DENSE_CODEC_NAMES = {0: "raw", 1: "fp16"}
 
 
 def spz_version_bytes(data: bytes) -> int:
@@ -321,18 +327,40 @@ def st_read_auto(path: str):
 
 
 def st_add_transpose(path: str) -> None:
-    """Rewrite a .spz with an embedded transpose stream (st_add_transpose)."""
+    """Rewrite a .spz with an embedded transpose stream (st_add_transpose).
+
+    The original encoding parameters survive the rewrite: v2 keeps its
+    value_type and chunk geometry, v3 its codec — re-encoding with
+    defaults would silently change the file's size/precision contract."""
     with open(path, "rb") as f:
         data = f.read()
     ver = spz_version_bytes(data)
     if ver == 2:
+        info = spz_info_bytes(data)
+        r = SpzChunkReader(data)
+        chunk_cols = 2048
+        if r.num_chunks():
+            _, nc0, _ = r.chunk_info(0)
+            chunk_cols = int(nc0)
         mat = decompress_spz_bytes(data)
+        vt = info["value_type"]
         with open(path, "wb") as f:
-            f.write(compress_to_spz_bytes(mat, with_transpose=True))
+            f.write(compress_to_spz_bytes(
+                mat, value_type=vt if isinstance(vt, str) else "auto",
+                chunk_cols=chunk_cols, with_transpose=True))
     elif ver == 3:
+        lib = _load_lib()
+        m_ = ctypes.c_uint32(); n_ = ctypes.c_uint32()
+        ht_ = ctypes.c_uint8(); cd_ = ctypes.c_uint8()
+        buf = _as_buf(data)
+        if lib.spz3_info(buf, len(data), ctypes.byref(m_), ctypes.byref(n_),
+                         ctypes.byref(ht_), ctypes.byref(cd_)):
+            raise ValueError(f"spz3_info: {_err(lib)}")
+        codec = DENSE_CODEC_NAMES.get(cd_.value, "raw")
         dense = decompress_dense_spz_bytes(data)
         with open(path, "wb") as f:
-            f.write(compress_dense_to_spz_bytes(dense, with_transpose=True))
+            f.write(compress_dense_to_spz_bytes(dense, codec=codec,
+                                                with_transpose=True))
     else:
         raise ValueError(f"unsupported spz version {ver}")
 
@@ -611,5 +639,7 @@ def st_read_device(path, *, transpose: bool = False, device=None):
     sp = st_read_auto(path)
     if transpose:
         sp = sp.T
-    dense = np_.asarray(sp.todense(), dtype=np_.float32)
+    # v2 returns scipy CSC (todense); v3 returns a dense ndarray already
+    dense = np_.asarray(sp.todense() if hasattr(sp, "todense") else sp,
+                        dtype=np_.float32)
     return jax.device_put(dense, device)

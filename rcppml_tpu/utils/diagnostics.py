@@ -59,7 +59,13 @@ def auto_nmf_distribution(data, k: int, *,
     except ImportError:
         is_sparse = False
     m, n = data.shape
-    N = data.nnz if is_sparse else m * n
+    # N must match the entries the fitted losses actually span: the fit
+    # densifies sparse input and sums over all m*n entries unless
+    # mask_zeros restricts it to the stored nonzeros — N = nnz for a
+    # default sparse fit would inflate the Gaussian NLL ~1/density-fold
+    # and understate the BIC penalty
+    N = (data.nnz if (is_sparse and kwargs.get("mask_zeros"))
+         else m * n)
 
     rows = []
     models = {}

@@ -85,6 +85,12 @@ def refine(x, labels, *, data=None, batch=None, lambda_: float = 0.8,
         raise ValueError("lambda must be in [0, 1]")
     if cycles > 0 and data is None:
         raise ValueError("data is required when cycles > 0")
+    if batch is not None and cycles <= 0:
+        # stage-2 is where PROJ_ADV batch removal runs; accepting batch=
+        # without cycles would silently skip the requested correction
+        raise ValueError("batch-effect removal runs in the refit cycles; "
+                         "set cycles >= 1 (R/refine.R applies the "
+                         "negative-lambda target inside the W/H refits)")
 
     def corrected(Hm):
         t = compute_target(Hm, labels, whiten=whiten).astype(np.float64)
@@ -99,7 +105,11 @@ def refine(x, labels, *, data=None, batch=None, lambda_: float = 0.8,
 
     H_corr = corrected(H)
 
-    if cycles > 0 and is_model:
+    if cycles > 0:
+        # matrix input works too: the refit derives W from (data, H_corr)
+        # each cycle, so no prior W is needed — only a unit scale vector
+        if d is None:
+            d = np.ones(k)
         A = np.asarray(data.todense() if hasattr(data, "todense") else data,
                        dtype=np.float64)
         batch_target = (compute_target(H, batch, whiten=False)
@@ -131,8 +141,6 @@ def refine(x, labels, *, data=None, batch=None, lambda_: float = 0.8,
                 d_new = np.maximum(d_new, 1e-10)
                 H_new = H_new / d_new[:, None]
                 W_new = W_new * d_new[None, :]
-                d_new = np.ones(k)  # scale folded into W, matching R path
-                # extract combined d for model consistency
                 d_new = np.sqrt((W_new ** 2).sum(axis=0))
                 d_new = np.maximum(d_new, 1e-10)
                 W_new = W_new / d_new[None, :]

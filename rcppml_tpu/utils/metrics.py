@@ -62,17 +62,27 @@ def normalized_mutual_info(a, b) -> float:
     return mi / denom if denom > 0 else 0.0
 
 
+def _sq_dists(A, B):
+    """Pairwise squared distances via |a|^2 + |b|^2 - 2 a.b — an (n1, n2)
+    matmul instead of the (n1, n2, d) broadcast tensor (which is ~d x the
+    memory and puts moderate single-cell embeddings out of reach)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    d2 = (A * A).sum(1)[:, None] + (B * B).sum(1)[None, :] - 2.0 * (A @ B.T)
+    return np.maximum(d2, 0.0)
+
+
 def kmeans(X: np.ndarray, k: int, *, seed: int = 0, iters: int = 50):
     """Small k-means (Lloyd) with k-means++ style seeding."""
     rs = np.random.RandomState(seed)
     n = X.shape[0]
     centers = X[rs.choice(n, 1)]
     for _ in range(k - 1):
-        d2 = np.min(((X[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
+        d2 = np.min(_sq_dists(X, centers), axis=1)
         p = d2 / max(d2.sum(), 1e-12)
         centers = np.vstack([centers, X[rs.choice(n, p=p)]])
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centers[None]) ** 2).sum(-1)
+        d2 = _sq_dists(X, centers)
         lab = d2.argmin(axis=1)
         new_centers = np.vstack([
             X[lab == c].mean(axis=0) if (lab == c).any() else centers[c]
@@ -95,7 +105,7 @@ def approx_silhouette(X: np.ndarray, labels, *, max_per_class: int = 200,
         idx = np.where(li == c)[0]
         if len(idx) > max_per_class:
             idx = rs.choice(idx, max_per_class, replace=False)
-        d = np.sqrt(((X[idx][:, None, :] - centers[None]) ** 2).sum(-1))
+        d = np.sqrt(_sq_dists(X[idx], centers))
         a = d[:, c]
         other = np.delete(d, c, axis=1)
         b = other.min(axis=1)
@@ -109,7 +119,7 @@ def approx_silhouette(X: np.ndarray, labels, *, max_per_class: int = 200,
 # ---------------------------------------------------------------------------
 
 def knn_classify(X_train, y_train, X_test, k: int = 15):
-    d2 = ((X_test[:, None, :] - X_train[None]) ** 2).sum(-1)
+    d2 = _sq_dists(X_test, X_train)
     nn = np.argsort(d2, axis=1)[:, :k]
     votes = y_train[nn]
     out = np.empty(len(X_test), dtype=y_train.dtype)
@@ -253,7 +263,7 @@ def batch_mixing_entropy(X, batch, *, k: int = 50, seed: int = 42,
     rs = np.random.RandomState(seed)
     n = len(bi)
     idx = rs.choice(n, min(n_samples, n), replace=False)
-    d2 = ((X[idx][:, None, :] - X[None]) ** 2).sum(-1)
+    d2 = _sq_dists(X[idx], X)
     nn = np.argsort(d2, axis=1)[:, 1:k + 1]
     ents = []
     for row in nn:
@@ -301,7 +311,15 @@ def assess(x, labels, *, batch=None, metrics="all", n_folds: int = 5,
     if metrics == "all":
         todo = [m for m in all_metrics if m != "batch_mixing" or batch is not None]
     else:
-        todo = list(metrics)
+        # a bare string must stay one metric name — list("ari") would
+        # split it into characters and silently compute nothing
+        todo = [metrics] if isinstance(metrics, str) else list(metrics)
+        unknown = sorted(set(todo) - set(all_metrics))
+        if unknown:
+            raise ValueError(f"unknown metrics {unknown}; valid: "
+                             f"{all_metrics} or 'all'")
+        if "batch_mixing" in todo and batch is None:
+            raise ValueError("metrics='batch_mixing' requires batch=")
 
     out: dict = {"n_samples": int(X.shape[0]),
                  "n_classes": int(len(np.unique(labels)))}

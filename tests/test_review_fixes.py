@@ -484,3 +484,104 @@ def test_nnls_l21_applied():
     h0 = rt.nnls(A, w=W)
     h1 = rt.nnls(A, w=W, L21=5.0)
     assert not np.allclose(h0, h1)
+
+
+# ---------------------------------------------------------------------------
+# round-2 session-4 review fixes, batch 3 (io / metrics / guided /
+# diagnostics)
+# ---------------------------------------------------------------------------
+
+def test_st_read_device_v3_dense(tmp_path):
+    """st_read_device must handle v3 files (st_read_auto returns a dense
+    ndarray there, not scipy)."""
+    from rcppml_tpu.io.spz import st_write_dense, st_read_device
+    rs = np.random.RandomState(1)
+    A = rs.rand(20, 15).astype(np.float32)
+    path = str(tmp_path / "a.spz")
+    st_write_dense(A, path)
+    dev = st_read_device(path)
+    np.testing.assert_allclose(np.asarray(dev), A, rtol=1e-6)
+    devT = st_read_device(path, transpose=True)
+    np.testing.assert_allclose(np.asarray(devT), A.T, rtol=1e-6)
+
+
+def test_st_add_transpose_preserves_encoding(tmp_path):
+    """Re-encoding for the transpose stream must keep the original
+    value_type (v2) / codec (v3), not silently revert to defaults."""
+    from rcppml_tpu.io import spz as spz_mod
+    rs = np.random.RandomState(2)
+    A = sp.random(40, 30, density=0.2, random_state=3, format="csc",
+                  dtype=np.float64)
+    A.data = np.round(A.data * 100)
+    path = str(tmp_path / "v2.spz")
+    spz_mod.st_write(A, path, value_type="uint16", with_transpose=False)
+    spz_mod.st_add_transpose(path)
+    info = spz_mod.st_info(path)
+    assert info["value_type"] == "uint16"
+    assert info["has_transpose"]
+    # v3: fp16 codec survives
+    D = rs.rand(20, 25).astype(np.float32)
+    p3 = str(tmp_path / "v3.spz")
+    spz_mod.st_write_dense(D, p3, codec="fp16", with_transpose=False)
+    size_before = __import__("os").path.getsize(p3)
+    spz_mod.st_add_transpose(p3)
+    size_after = __import__("os").path.getsize(p3)
+    # raw re-encode would be ~2x fp16 (plus the transpose stream doubles
+    # payload); with the codec kept, size stays within ~2.6x
+    assert size_after < 2.6 * size_before
+    out = spz_mod.st_read_dense(p3, transpose=True)
+    np.testing.assert_allclose(out, D.T, rtol=2e-3, atol=2e-3)
+
+
+def test_assess_single_metric_string():
+    from rcppml_tpu.utils.metrics import assess
+    rs = np.random.RandomState(4)
+    X = np.vstack([rs.randn(40, 5), rs.randn(40, 5) + 3.0])
+    y = np.repeat([0, 1], 40)
+    out = assess(X, y, metrics="ari")
+    assert "ari" in out
+    with pytest.raises(ValueError, match="unknown metrics"):
+        assess(X, y, metrics=["silhouete"])
+    with pytest.raises(ValueError, match="batch"):
+        assess(X, y, metrics="batch_mixing")
+
+
+def test_refine_matrix_input_runs_cycles():
+    """refine(H_matrix, labels, data=A, cycles=2) must run the refit
+    cycles (they were silently skipped for non-model inputs)."""
+    from rcppml_tpu.utils.guided import refine
+    rs = np.random.RandomState(6)
+    W = np.abs(rs.rand(30, 4)); Ht = np.abs(rs.rand(4, 50))
+    A = (W @ Ht).astype(np.float32)
+    y = rs.randint(0, 3, 50)
+    h_only = refine(Ht.astype(np.float32), y, cycles=0)
+    h_cyc = refine(Ht.astype(np.float32), y, data=A, cycles=2)
+    assert h_cyc.shape == Ht.shape
+    assert not np.allclose(h_only, h_cyc)
+
+
+def test_refine_batch_without_cycles_errors():
+    from rcppml_tpu.utils.guided import refine
+    rs = np.random.RandomState(8)
+    Ht = np.abs(rs.rand(3, 40)).astype(np.float32)
+    y = rs.randint(0, 2, 40)
+    b = rs.randint(0, 2, 40)
+    with pytest.raises(ValueError, match="cycles"):
+        refine(Ht, y, batch=b)
+
+
+def test_auto_distribution_sparse_uses_dense_entry_count():
+    """Default sparse fits densify and the SSE spans m*n entries; the
+    Gaussian-NLL conversion must use m*n, not nnz."""
+    from rcppml_tpu.utils.diagnostics import auto_nmf_distribution
+    rs = np.random.RandomState(10)
+    dense = (np.abs(rs.rand(40, 3)) @ np.abs(rs.rand(3, 30))).astype(np.float32)
+    dense[dense < np.percentile(dense, 60)] = 0.0
+    S = sp.csc_matrix(dense)
+    out_sp = auto_nmf_distribution(S, 3, distributions=("mse",), maxit=10,
+                                   seed=1)
+    out_de = auto_nmf_distribution(dense, 3, distributions=("mse",),
+                                   maxit=10, seed=1)
+    nll_sp = out_sp["comparison"][0]["nll"]
+    nll_de = out_de["comparison"][0]["nll"]
+    assert abs(nll_sp - nll_de) / max(abs(nll_de), 1e-9) < 1e-6
