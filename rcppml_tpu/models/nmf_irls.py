@@ -343,9 +343,46 @@ def _zi_pi_init(A, cfg: NMFConfig, valid=None):
     return pi_row, pi_col
 
 
+def _init_irls_state(A_dev, cfg: NMFConfig, W_T0, H0, d0,
+                     valid_dims=None) -> IRLSState:
+    """Build the initial device-resident IRLSState (dispersion + ZI priors).
+
+    Shared by the whole-fit driver and the segmented (checkpointing)
+    driver so both start from identical state."""
+    m, n = A_dev.shape
+    disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
+    if cfg.has_zi():
+        vmask = None
+        if valid_dims is not None:
+            vm0, vn0 = valid_dims
+            vmask = (jnp.arange(m)[:, None] < vm0) & \
+                    (jnp.arange(n)[None, :] < vn0)
+        pi_row0, pi_col0 = _zi_pi_init(A_dev, cfg, valid=vmask)
+    else:
+        pi_row0 = np.zeros((m,), np.float32)
+        pi_col0 = np.zeros((n,), np.float32)
+    dtype = A_dev.dtype
+    return IRLSState(
+        W_T=jnp.asarray(W_T0), H=jnp.asarray(H0), d=jnp.asarray(d0),
+        disp_row=jnp.asarray(disp_row0), disp_col=jnp.asarray(disp_col0),
+        pi_row=jnp.asarray(pi_row0), pi_col=jnp.asarray(pi_col0),
+        A_imp=A_dev,
+        it=jnp.int32(0),
+        prev_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        patience_ctr=jnp.int32(0),
+        converged=jnp.bool_(False),
+        final_tol=jnp.asarray(jnp.nan, dtype),
+        loss_hist=jnp.full((cfg.max_iter,), jnp.nan, dtype),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "sparse_zeros", "valid_dims"))
-def _fit_irls_jit(cfg: NMFConfig, A, aux, W_T0, H0, d0, disp_row0, disp_col0,
-                  pi_row0, pi_col0, sparse_zeros: bool, valid_dims=None):
+def _fit_irls_jit(cfg: NMFConfig, A, aux, init: IRLSState,
+                  sparse_zeros: bool, valid_dims=None, seg_end=None):
+    """Run the fused IRLS while-loop from ``init`` up to
+    ``min(seg_end, cfg.max_iter)`` iterations.  ``seg_end`` is a TRACED
+    bound (None -> max_iter), so the checkpointing driver reuses one
+    compiled executable across segments (same design as nmf._fit_mse_seg)."""
     dtype = A.dtype
     m, n = A.shape
     # mesh-padding support: accounting (loss, dispersion, ZI) runs on the
@@ -482,21 +519,12 @@ def _fit_irls_jit(cfg: NMFConfig, A, aux, W_T0, H0, d0, disp_row0, disp_col0,
                          A_imp, it + 1, loss, patience_ctr, converged,
                          final_tol, loss_hist)
 
-    def cond(state: IRLSState):
-        return (state.it < max_iter) & jnp.logical_not(state.converged)
+    bound = (jnp.int32(max_iter) if seg_end is None
+             else jnp.minimum(jnp.int32(seg_end), jnp.int32(max_iter)))
 
-    init = IRLSState(
-        W_T=W_T0, H=H0, d=d0,
-        disp_row=disp_row0, disp_col=disp_col0,
-        pi_row=pi_row0, pi_col=pi_col0,
-        A_imp=A,
-        it=jnp.int32(0),
-        prev_loss=jnp.asarray(jnp.finfo(dtype).max, dtype),
-        patience_ctr=jnp.int32(0),
-        converged=jnp.bool_(False),
-        final_tol=jnp.asarray(jnp.nan, dtype),
-        loss_hist=jnp.full((max_iter,), jnp.nan, dtype),
-    )
+    def cond(state: IRLSState):
+        return (state.it < bound) & jnp.logical_not(state.converged)
+
     return lax.while_loop(cond, body, init)
 
 
@@ -506,28 +534,19 @@ def fit_irls(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux,
 
     ``valid_dims``: true (m, n) when A arrives zero-padded for a device
     mesh — accounting is restricted to the valid region."""
-    m, n = A_dev.shape
-    disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
-    if cfg.has_zi():
-        vmask = None
-        if valid_dims is not None:
-            vm0, vn0 = valid_dims
-            vmask = (jnp.arange(m)[:, None] < vm0) & \
-                    (jnp.arange(n)[None, :] < vn0)
-        pi_row0, pi_col0 = _zi_pi_init(A_dev, cfg, valid=vmask)
-    else:
-        pi_row0 = np.zeros((m,), np.float32)
-        pi_col0 = np.zeros((n,), np.float32)
-
     aux_dev = {key: jnp.asarray(val, jnp.float32)
                for key, val in (aux or {}).items()
                if val is not None and not key.endswith("_gram")}
-    state = _fit_irls_jit(cfg.device_static(), A_dev, aux_dev,
-                          jnp.asarray(W_T0), jnp.asarray(H0),
-                          jnp.asarray(d0), jnp.asarray(disp_row0),
-                          jnp.asarray(disp_col0), jnp.asarray(pi_row0),
-                          jnp.asarray(pi_col0), sparse_zeros,
-                          valid_dims=valid_dims)
+    init = _init_irls_state(A_dev, cfg, W_T0, H0, d0, valid_dims=valid_dims)
+    state = _fit_irls_jit(cfg.device_static(), A_dev, aux_dev, init,
+                          sparse_zeros, valid_dims=valid_dims)
+    return finalize_irls_result(cfg, state)
+
+
+def finalize_irls_result(cfg: NMFConfig, state: IRLSState) -> NMFResult:
+    """Transfer the final IRLSState (minus A_imp) and package an NMFResult.
+
+    Shared by ``fit_irls`` and the segmented checkpointing driver."""
     # selective transfer: everything EXCEPT A_imp — the (m, n) imputed
     # matrix is a loop-internal buffer and pulling it costs ~1.5 s/145 MB
     # on the ~100 MB/s tunnel (measured: the entire fixed cost gap between

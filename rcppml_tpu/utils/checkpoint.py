@@ -179,10 +179,14 @@ def load_fit_state(path: str, cfg: NMFConfig):
 
 
 def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
-                     w_init=None, h_init=None, aux=None) -> NMFResult:
+                     w_init=None, h_init=None, aux=None,
+                     sparse_zeros: bool = False) -> NMFResult:
     """Preemption-safe fused fit: run the on-device while_loop in segments
     of ``every`` iterations, atomically checkpointing the full fit state
     after each segment, and resume from ``path`` if it exists.
+    Covers both the fused MSE path and the fused IRLS path (KL/NB/GP/
+    gamma/…, including zero-inflated fits, whose imputed matrix is
+    checkpointed as genuine loop state).
 
     Every segment reuses ONE compiled executable (the segment bound is a
     traced scalar), so the fused-loop performance is preserved — the only
@@ -195,11 +199,12 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
     from ..models import nmf as nmf_mod
 
     cfg.validate()
-    if cfg.requires_irls():
-        raise ValueError("checkpointed fits cover the fused MSE path; "
-                         "IRLS losses are not yet segmented")
     if every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    if cfg.requires_irls():
+        return _fit_irls_checkpointed(A, cfg, path, every=every,
+                                      w_init=w_init, h_init=h_init, aux=aux,
+                                      sparse_zeros=sparse_zeros)
 
     if isinstance(A, jax.Array):
         A_dev = A.astype(jnp.float32)
@@ -238,6 +243,137 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
         save_fit_state(host_state, cfg, path)
 
     return nmf_mod.finalize_result(cfg, state)
+
+
+# ---------------------------------------------------------------------------
+# Segmented IRLS checkpointing (closes round-1 "IRLS not yet segmented")
+# ---------------------------------------------------------------------------
+
+_IRLS_VECS = ("W_T", "H", "d", "disp_row", "disp_col", "pi_row", "pi_col",
+              "loss_hist")
+
+
+def save_irls_state(state, cfg: NMFConfig, path: str) -> None:
+    """Atomically persist a host IRLSState + config.
+
+    ``A_imp`` (the ZI soft-imputed matrix) is included only for ZI fits —
+    it is genuine loop state there (the next iteration's solves read it),
+    and the only way to make resume bit-exact.  Non-ZI IRLS carries
+    ``A_imp == A`` unchanged, so it is reconstructed from the data on load."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    os.close(fd)
+    arrays = {name: np.asarray(getattr(state, name)) for name in _IRLS_VECS}
+    if cfg.has_zi():
+        arrays["A_imp"] = np.asarray(state.A_imp)
+    try:
+        np.savez_compressed(
+            tmp,
+            scalars=np.asarray([float(state.it), float(state.prev_loss),
+                                float(state.patience_ctr),
+                                float(state.converged),
+                                float(state.final_tol)], np.float64),
+            config=np.asarray(_cfg_to_json(cfg)),
+            **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def load_irls_state(path: str, cfg: NMFConfig, A_dev):
+    """Load an IRLSState checkpoint, validating config compatibility the
+    same way as :func:`load_fit_state` (only ``max_iter`` may grow)."""
+    from ..models.nmf_irls import IRLSState
+    import jax.numpy as jnp
+    with np.load(path, allow_pickle=False) as z:
+        stored = json.loads(str(z["config"]))
+        current = json.loads(_cfg_to_json(cfg))
+        stored_mi, current_mi = stored.pop("max_iter"), current.pop("max_iter")
+        if stored != current:
+            diff = {k for k in current if stored.get(k) != current.get(k)}
+            raise ValueError(
+                f"checkpoint config mismatch on fields {sorted(diff)}; "
+                "resume with the same configuration (only maxit may grow)")
+        sc = z["scalars"]
+        it = int(sc[0])
+        if current_mi < it:
+            raise ValueError(f"checkpoint already has {it} iterations but "
+                             f"maxit = {current_mi}")
+        vecs = {name: jnp.asarray(np.asarray(z[name], np.float32))
+                for name in _IRLS_VECS if name != "loss_hist"}
+        hist = np.asarray(z["loss_hist"], np.float32)
+        if current_mi > hist.shape[0]:
+            hist = np.concatenate([
+                hist, np.full((current_mi - hist.shape[0],), np.nan,
+                              np.float32)])
+        elif current_mi < hist.shape[0]:
+            hist = hist[:current_mi]
+        A_imp = (jnp.asarray(np.asarray(z["A_imp"], np.float32))
+                 if "A_imp" in z.files else A_dev)
+        return IRLSState(
+            A_imp=A_imp, it=jnp.int32(it),
+            prev_loss=jnp.float32(sc[1]), patience_ctr=jnp.int32(sc[2]),
+            converged=jnp.bool_(sc[3] > 0.5), final_tol=jnp.float32(sc[4]),
+            loss_hist=jnp.asarray(hist), **vecs)
+
+
+def _fit_irls_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
+                           w_init=None, h_init=None, aux=None,
+                           sparse_zeros: bool = False) -> NMFResult:
+    """Segmented fused IRLS fit with atomic periodic checkpoints.
+
+    Same contract as the MSE path: every segment reuses ONE compiled
+    executable (`seg_end` is a traced bound on nmf_irls._fit_irls_jit), the
+    iteration sequence is identical to the unsegmented fit, and resume
+    from ``path`` is bit-exact (ZI fits persist the imputed matrix, the
+    only large loop-state buffer)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import nmf as nmf_mod
+    from ..models import nmf_irls as irls_mod
+
+    if isinstance(A, jax.Array):
+        A_dev = A.astype(jnp.float32)
+    else:
+        A_dev = jnp.asarray(np.asarray(A, dtype=np.float32))
+    m, n = A_dev.shape
+    k = cfg.rank
+    aux_dev = {key: jnp.asarray(val, jnp.float32)
+               for key, val in (aux or {}).items()
+               if val is not None and not key.endswith("_gram")}
+
+    if os.path.exists(path):
+        state = load_irls_state(path, cfg, A_dev)
+        if state.W_T.shape != (k, m) or state.H.shape != (k, n):
+            raise ValueError("checkpoint factor shapes do not match the data")
+        it = int(state.it)
+        converged = bool(state.converged)
+    else:
+        W_T0, H0, d0 = nmf_mod.init_factors(
+            cfg, m, n, A=A_dev if cfg.init_mode in (1, 2) else None,
+            w_init=w_init, h_init=h_init)
+        state = irls_mod._init_irls_state(A_dev, cfg, W_T0, H0, d0)
+        it = 0
+        converged = False
+
+    scfg = cfg.device_static()
+    while it < cfg.max_iter and not converged:
+        seg_end = min(it + every, cfg.max_iter)
+        state = irls_mod._fit_irls_jit(scfg, A_dev, aux_dev, state,
+                                       sparse_zeros,
+                                       seg_end=jnp.int32(seg_end))
+        # one batched transfer of the small fields for the npz write;
+        # state itself stays on device for the next segment
+        small = jax.device_get(state._replace(
+            A_imp=jnp.zeros((), jnp.float32)))
+        host = small._replace(A_imp=(np.asarray(jax.device_get(state.A_imp))
+                                     if cfg.has_zi() else None))
+        it = int(host.it)
+        converged = bool(host.converged)
+        save_irls_state(host, cfg, path)
+
+    return irls_mod.finalize_irls_result(cfg, state)
 
 
 def resume_kwargs(path: str) -> dict:

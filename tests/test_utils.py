@@ -1,5 +1,7 @@
 """Aux subsystem tests: datasets, metrics, guided NMF, diagnostics, logging."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -189,6 +191,67 @@ def test_checkpoint_roundtrip(small_factors, tmp_path):
     # resume: warm-started fit improves on the checkpoint
     res2 = rt.nmf(A, 4, maxit=10, **resume_kwargs(p))
     assert res2.train_loss <= res.train_loss * 1.01
+
+
+def test_irls_checkpoint_bitwise_identical(tmp_path):
+    """Segmenting the fused IRLS while-loop (KL / GP-none) must reproduce
+    the unsegmented fit exactly — factors, theta-free loss history, and
+    iteration count (round-1 VERDICT: 'IRLS losses are not yet segmented')."""
+    rs = np.random.RandomState(7)
+    A = rs.poisson(np.abs(rs.rand(30, 3) @ rs.rand(3, 25)) * 4.0)
+    A = A.astype(np.float32)
+    plain = rt.nmf(A, 3, loss="gp", dispersion="none", seed=3, maxit=12,
+                   tol=0.0)
+    p = str(tmp_path / "irls_ck.npz")
+    seg = rt.nmf(A, 3, loss="gp", dispersion="none", seed=3, maxit=12,
+                 tol=0.0, checkpoint_path=p, checkpoint_every=5)
+    np.testing.assert_array_equal(np.asarray(seg.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(seg.H), np.asarray(plain.H))
+    np.testing.assert_array_equal(np.asarray(seg.loss_history),
+                                  np.asarray(plain.loss_history))
+    assert seg.iterations == plain.iterations
+    assert os.path.exists(p)
+
+
+def test_irls_zi_checkpoint_resume_exact(tmp_path):
+    """ZI fits carry the soft-imputed matrix as loop state; the checkpoint
+    persists it, so a preempted NB+zi fit resumes bit-exactly."""
+    rs = np.random.RandomState(11)
+    mu = np.abs(rs.rand(28, 3) @ rs.rand(3, 22)) * 5.0
+    A = rs.poisson(mu) * (rs.rand(28, 22) > 0.3)   # planted dropout
+    A = A.astype(np.float32)
+    kw = dict(loss="nb", dispersion="per_row", zi="row", seed=5, tol=0.0)
+    full = rt.nmf(A, 3, maxit=9, **kw)
+    # preemption: run only 4 iterations, leaving a mid-fit checkpoint
+    p = str(tmp_path / "zi_ck.npz")
+    rt.nmf(A, 3, maxit=4, checkpoint_path=p, checkpoint_every=2, **kw)
+    from rcppml_tpu.utils.checkpoint import load_irls_state
+    cfg9 = rt.build_config(3, maxit=9, **kw)
+    st = load_irls_state(p, cfg9, None)
+    assert int(st.it) == 4
+    assert st.A_imp is not None and st.A_imp.shape == A.shape
+    # resume to the full horizon: identical to the never-preempted fit
+    res = rt.nmf(A, 3, maxit=9, checkpoint_path=p, checkpoint_every=3, **kw)
+    np.testing.assert_array_equal(np.asarray(res.W), np.asarray(full.W))
+    np.testing.assert_array_equal(np.asarray(res.H), np.asarray(full.H))
+    np.testing.assert_array_equal(np.asarray(res.theta),
+                                  np.asarray(full.theta))
+    np.testing.assert_array_equal(np.asarray(res.loss_history),
+                                  np.asarray(full.loss_history))
+
+
+def test_irls_checkpoint_config_mismatch_rejected(tmp_path):
+    from rcppml_tpu.utils.checkpoint import load_irls_state
+    rs = np.random.RandomState(2)
+    A = rs.poisson(np.abs(rs.rand(20, 2) @ rs.rand(2, 18)) * 3.0)
+    A = A.astype(np.float32)
+    p = str(tmp_path / "ck.npz")
+    rt.nmf(A, 2, loss="gp", dispersion="none", seed=1, maxit=4, tol=0.0,
+           checkpoint_path=p, checkpoint_every=2)
+    bad = rt.build_config(2, loss="gp", dispersion="none", seed=2, maxit=4,
+                          tol=0.0)
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_irls_state(p, bad, None)
 
 
 def test_resources_info():
