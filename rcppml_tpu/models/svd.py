@@ -1028,6 +1028,23 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
     A ``.spz`` path dispatches to the streaming gateway
     (svd/gateway.hpp:173-187)."""
     from ..config import FactorConfig as FC
+
+    # advanced dot-parameters: the reference REJECTS unknown names
+    # (R/parse_dots.R:124-131) — never swallow a typo silently.
+    _dot_defaults = {"patience": 3, "k_max": 50, "verbose": False,
+                     "threads": 0, "resource": "auto"}
+    unknown = set(kw) - set(_dot_defaults)
+    if unknown:
+        raise ValueError(
+            f"unknown parameter(s) passed to svd(): "
+            f"{', '.join(sorted(repr(u) for u in unknown))}; valid "
+            f"advanced parameters: {sorted(_dot_defaults)} "
+            "(R/parse_dots.R:106-131)")
+    patience = int(kw.get("patience", _dot_defaults["patience"]))
+    k_max = int(kw.get("k_max", _dot_defaults["k_max"]))
+    verbose = kw.get("verbose", _dot_defaults["verbose"])
+    # threads / resource are accepted for R-surface compatibility; the
+    # single JAX path has no thread pool or backend switch to steer.
     from ..api import _extract_dimnames
 
     row_names = col_names = None
@@ -1131,7 +1148,8 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
 
     auto_k = isinstance(k, str) and k == "auto"
     cfg = SVDConfig(
-        k=(min(*data.shape) if auto_k else int(k)),
+        # auto-rank caps the search at k_max (R/svd.R:181 ``k <- k_max``)
+        k=(min(k_max, *data.shape) if auto_k else int(k)),
         tol=tol, max_iter=maxit, center=center, scale=scale, seed=seed,
         oversample=oversample, power_iters=power_iters,
         robust_delta=robust_delta, convergence=convergence,
@@ -1141,7 +1159,7 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
              angular=angv, graph_lambda=glv),
         test_fraction=(test_fraction if test_fraction > 0 else
                        (0.05 if auto_k else 0.0)),
-        cv_seed=cv_seed, mask_zeros=mask_zeros)
+        cv_seed=cv_seed, mask_zeros=mask_zeros, patience=patience)
 
     if auto_k:
         method = "deflation"          # built-in auto-rank
@@ -1241,6 +1259,12 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
                 fro2 -= n_ * float((mu ** 2).sum())
         res.misc["frobenius_norm_sq"] = fro2
     res.row_names, res.col_names = row_names, col_names
+    if verbose:
+        from ..utils import logging as logmod
+        logmod.log_summary(
+            "[svd] method=%s k=%d iterations=%s converged=%s", method,
+            res.k_selected or cfg.k, res.iterations, res.converged,
+            verbose=verbose)
     return res
 
 

@@ -217,3 +217,21 @@ def test_scale_multiple_methods(lowrank):
             ref = np.asarray(r.d)
         else:
             np.testing.assert_allclose(np.asarray(r.d), ref, rtol=5e-2)
+
+
+def test_unknown_dot_parameter_rejected(lowrank):
+    """The reference rejects unknown svd() dot-args (R/parse_dots.R:124-131);
+    a typo like power_iterations= must never be swallowed silently."""
+    with pytest.raises(ValueError, match="unknown parameter"):
+        rt.svd(lowrank, 3, power_iterations=8)
+    with pytest.raises(ValueError, match="unknown parameter"):
+        rt.svd(lowrank, 3, bogus=True)
+
+
+def test_auto_rank_k_max_cap(lowrank):
+    """k='auto' searches up to k_max (R/svd.R:181 ``k <- k_max``)."""
+    res = rt.svd(lowrank, "auto", k_max=2, patience=1)
+    assert np.asarray(res.d).shape[0] <= 2
+    # threads/resource accepted for R compatibility (single JAX path)
+    res2 = rt.svd(lowrank, 3, threads=4, resource="auto")
+    assert np.isfinite(np.asarray(res2.d)).all()
