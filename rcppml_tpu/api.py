@@ -440,13 +440,15 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         # auto-activate streaming when the dense fp32 matrix cannot fit
         # in device HBM with headroom (gpu/loader.hpp streaming mode,
         # test_gpu_oom.R:9) — panels stream through the chunked engine
-        # instead of OOMing the accelerator.  ZI and symmetric need the
-        # full matrix resident, so they stay on the in-memory path.
+        # instead of OOMing the accelerator.  NB+ZI streams too (panel-
+        # local E-step); GP-family ZI and symmetric need the full matrix
+        # resident, so they stay on the in-memory path.
         from .utils.memory import check_dense_alloc
         chk = check_dense_alloc(data.shape[0], data.shape[1],
                                 where="device")
-        if not chk.fits and kwargs.get("zi", "none") == "none" \
-                and not kwargs.get("symmetric"):
+        zi_ok = (kwargs.get("zi", "none") in (None, "none")
+                 or kwargs.get("loss") == "nb")
+        if not chk.fits and zi_ok and not kwargs.get("symmetric"):
             from .utils import logging as logmod
             logmod.log_summary(
                 "[nmf] %d x %d exceeds device memory (%s); streaming in "

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import rng as rng_mod
-from ..config import Dispersion, Loss, NMFConfig, Solver
+from ..config import ZI, Dispersion, Loss, NMFConfig, Solver
 from ..io.loaders import DataLoader, InMemoryLoader, Prefetcher, SpzLoader
 from ..ops import features as feat
 from ..ops import linalg, solvers
@@ -173,6 +173,41 @@ def _panel_irls_loss(cfg: NMFConfig, W_T, d, H_panel, A_panel,
 
 
 @jax.jit
+def _panel_zi_impute(F, d, X_warm, A_panel, pi_b, r_b):
+    """NB soft imputation of one panel's zeros (the streaming analog of
+    nmf_irls.zi_em_step's M-side output; fit_cpu.hpp:1285-1552).
+
+    ``F`` (k, rows) and ``X_warm`` (k, pc) reconstruct the panel as
+    S = (F d)^T X_warm; ``pi_b`` / ``r_b`` arrive broadcast-shaped
+    ((rows, 1) or (1, pc)).  Zero entries become z * S where
+    z = pi / (pi + (1-pi) p0) and p0 = (r/(r+S))^r — exactly the
+    in-memory E-step, computed panel-locally so the imputed matrix
+    never materializes."""
+    S = jnp.maximum(jnp.dot((F * d[:, None]).T, X_warm, precision=PREC),
+                    1e-10)
+    p0 = (r_b / (r_b + S)) ** r_b
+    z = pi_b / (pi_b + (1.0 - pi_b) * p0 + 1e-30)
+    is_zero = A_panel == 0
+    return jnp.where(is_zero, z * S, A_panel)
+
+
+@jax.jit
+def _panel_zi_estep_stats(W_T, d, H_panel, A_panel, pi_b, r_b):
+    """E-step statistics of one forward panel with the CURRENT model:
+    per-row and per-column sums of the dropout responsibility z over zero
+    entries, plus zero counts — accumulated across panels to run the pi
+    EM update once per sweep (zi_em_step's pi-update algebra)."""
+    S = jnp.maximum(jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC),
+                    1e-10)
+    p0 = (r_b / (r_b + S)) ** r_b
+    z = pi_b / (pi_b + (1.0 - pi_b) * p0 + 1e-30)
+    is_zero = A_panel == 0
+    z = jnp.where(is_zero, z, 0.0)
+    return (jnp.sum(z, axis=1), jnp.sum(z, axis=0),
+            jnp.sum(is_zero, axis=1), jnp.sum(is_zero, axis=0))
+
+
+@jax.jit
 def _panel_cross_term(W_T, d, H_panel, A_panel):
     """Panel contribution to the loss cross term: sum d_i <W_T A_panel, H>."""
     B = jnp.dot(W_T, A_panel, precision=PREC)          # (k, pc)
@@ -214,11 +249,16 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         raise NotImplementedError(
             "streaming graph regularization requires the shared-Gram MSE "
             "path (no CV/mask/IRLS), like the reference chunked engine")
-    if use_irls and cfg.has_zi():
+    if use_irls and cfg.has_zi() and (cfg.loss != Loss.NB or cfg.is_cv()
+                                      or mask is not None):
+        # NB+ZI streams (panel-local E-step, below); GP-family ZI needs the
+        # per-iteration theta the chunked engine deliberately freezes, and
+        # ZI+CV/mask accounting needs the full matrix — in-memory only
+        # (the reference chunked engine has NO ZI branch at all,
+        # fit_chunked.hpp)
         raise NotImplementedError(
-            "streaming zero-inflation needs the imputed dense matrix; "
-            "use the in-memory path (the reference chunked engine has the "
-            "same limit — no ZI branch in fit_chunked.hpp)")
+            "streaming zero-inflation supports loss='nb' without CV/mask; "
+            "use the in-memory path for GP/KL ZI or ZI with CV/mask")
     active_loss = Loss.KL if cfg.loss == Loss.GP else cfg.loss
     per_col = cfg.dispersion == Dispersion.PER_COL
     is_nb = cfg.loss == Loss.NB
@@ -226,6 +266,39 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     # (fit_chunked.hpp:165-172): per-row (or per-col) NB size at its init
     nb_vec = (jnp.full((n if per_col else m,), cfg.nb_size_init,
                        jnp.float32) if is_nb else None)
+
+    # ---- streaming NB zero-inflation (beyond the reference, which has no
+    # chunked ZI): panel-local E-step imputation + one pi EM update per
+    # sweep.  pi init = min(zero_rate * 0.5, 0.3) exactly like the
+    # in-memory _zi_pi_init (fit_cpu.hpp:355-400), streamed in a pre-pass.
+    is_zi = use_irls and cfg.has_zi()
+    zi_row = cfg.zi == ZI.ROW
+    pi_vec = None
+    if is_zi:
+        zc_row = np.zeros((m,), np.float64)
+        zc_col = np.zeros((n,), np.float64)
+        for ch in loader.iter_chunks(transpose=False):
+            zp = np.asarray(ch.data) == 0
+            zc_row += zp.sum(axis=1)
+            zc_col[ch.col_start:ch.col_start + ch.num_cols] += zp.sum(axis=0)
+        rate = (zc_row / n) if zi_row else (zc_col / m)
+        pi_vec = jnp.asarray(np.minimum(rate * 0.5, 0.3).astype(np.float32))
+
+    def _zi_bcast(cs, nc, transposed):
+        """(pi_b, r_b) broadcast terms for one panel ((rows, 1) / (1, pc));
+        forward panels hold columns of A, transpose panels columns of A^T
+        (= rows of A), so the row/col roles swap."""
+        if transposed:
+            pi_b = (pi_vec[cs:cs + nc][None, :] if zi_row
+                    else pi_vec[:, None])
+            r_b = (nb_vec[:, None] if per_col
+                   else nb_vec[cs:cs + nc][None, :])
+        else:
+            pi_b = (pi_vec[:, None] if zi_row
+                    else pi_vec[cs:cs + nc][None, :])
+            r_b = (nb_vec[cs:cs + nc][None, :] if per_col
+                   else nb_vec[:, None])
+        return pi_b, r_b
 
     if cfg.init_mode in (1, 2) and w_init is None:
         # SVD init out of core: the reference decompresses the FULL matrix
@@ -328,6 +401,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 th_col = (jax.lax.dynamic_slice_in_dim(
                     nb_vec, ch.col_start, ch.num_cols)
                     if (is_nb and per_col) else None)
+                if is_zi and it > 0:
+                    # solves see the soft-imputed panel (in-memory: the
+                    # iter>=1 solves read state.A_imp)
+                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
+                    A_panel = _panel_zi_impute(W_T, d, X_warm, A_panel,
+                                               pi_b, r_b)
                 H_parts[ch.col_start] = _panel_solve_irls(
                     cfgs, "H", W_T, A_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
@@ -368,6 +447,10 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 th_col = (jax.lax.dynamic_slice_in_dim(
                     nb_vec, ch.col_start, ch.num_cols)
                     if (is_nb and not per_col) else None)
+                if is_zi and it > 0:
+                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, True)
+                    At_panel = _panel_zi_impute(H, d, X_warm, At_panel,
+                                                pi_b, r_b)
                 W_parts[ch.col_start] = _panel_solve_irls(
                     cfgs, "W", H, At_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
@@ -394,14 +477,39 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         # ---- loss ----
         if use_irls and not is_cv and not has_mask:
             tot = 0.0
+            if is_zi:
+                zs_row = np.zeros((m,), np.float64)
+                zs_col = np.zeros((n,), np.float64)
+                zn_row = np.zeros((m,), np.float64)
+                zn_col = np.zeros((n,), np.float64)
             for ch in loader.iter_chunks(transpose=False):
                 th_row = nb_vec if (is_nb and not per_col) else None
                 th_col = (nb_vec[ch.col_start:ch.col_start + ch.num_cols]
                           if (is_nb and per_col) else None)
+                A_panel = jnp.asarray(ch.data)
+                H_panel = H[:, ch.col_start:ch.col_start + ch.num_cols]
                 tot += float(_panel_irls_loss(
-                    cfgs, W_T, d,
-                    H[:, ch.col_start:ch.col_start + ch.num_cols],
-                    jnp.asarray(ch.data), th_row, th_col))
+                    cfgs, W_T, d, H_panel, A_panel, th_row, th_col))
+                if is_zi:
+                    # E-step stats with the post-update model — the same
+                    # placement as the in-memory EM (after the W/H solves)
+                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
+                    sr, sc, cr, cc = _panel_zi_estep_stats(
+                        W_T, d, H_panel, A_panel, pi_b, r_b)
+                    cs, nc = ch.col_start, ch.num_cols
+                    zs_row += np.asarray(sr); zn_row += np.asarray(cr)
+                    zs_col[cs:cs + nc] += np.asarray(sc)
+                    zn_col[cs:cs + nc] += np.asarray(cc)
+            if is_zi:
+                # pi M-step (zi_em_step's update rule, once per sweep)
+                if zi_row:
+                    new_pi = np.clip(zs_row / n, 0.001, 0.999)
+                    keep = zn_row > 0
+                else:
+                    new_pi = np.clip(zs_col / m, 0.001, 0.999)
+                    keep = zn_col > 0
+                pi_vec = jnp.asarray(np.where(
+                    keep, new_pi, np.asarray(pi_vec)).astype(np.float32))
             loss = tot
             hist.append(loss)
             rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
@@ -501,6 +609,11 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     if is_nb:
         # fixed at init in streaming mode, like the reference chunked engine
         res.theta = np.asarray(nb_vec)
+    if is_zi:
+        if zi_row:
+            res.pi_row = np.asarray(pi_vec)
+        else:
+            res.pi_col = np.asarray(pi_vec)
     if cfg.sort_model:
         res.sort()
     return res

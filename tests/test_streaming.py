@@ -77,10 +77,68 @@ def test_streaming_nb_fixed_size(sim):
     np.testing.assert_allclose(res.theta, 8.0)
 
 
-def test_streaming_zi_rejected(sim):
-    cfg = rt.build_config(3, loss="nb", zi="row", solver="cd", maxit=3)
-    with pytest.raises(NotImplementedError):
+def test_streaming_gp_zi_rejected(sim):
+    """GP-family ZI needs per-iteration theta (frozen in streaming mode)."""
+    cfg = rt.build_config(3, loss="gp", dispersion="per_row", zi="row",
+                          solver="cd", maxit=3)
+    with pytest.raises(NotImplementedError, match="zero-inflation"):
         nmf_chunked(InMemoryLoader(sim["A"]), cfg)
+
+
+@pytest.fixture(scope="module")
+def zi_sim():
+    rs = np.random.RandomState(21)
+    mu = np.abs(rs.rand(40, 160) @ np.ones((160, 160)) * 0) \
+        + np.abs(rs.rand(40, 3) @ rs.rand(3, 160)) * 6.0
+    counts = rs.poisson(mu).astype(np.float32)
+    drop_rate = np.where(np.arange(40) < 20, 0.5, 0.05)[:, None]
+    keep = rs.rand(40, 160) >= drop_rate
+    return (counts * keep).astype(np.float32)
+
+
+def test_streaming_nb_zi_row(zi_sim):
+    """NB+ZI streams (beyond the reference, which has no chunked ZI branch):
+    pi_row tracks the planted per-row dropout and the NLL decreases."""
+    cfg = rt.build_config(3, loss="nb", dispersion="per_row", zi="row",
+                          solver="cd", seed=7, maxit=10, tol=0.0,
+                          sort_model=False)
+    res = nmf_chunked(InMemoryLoader(zi_sim, chunk_cols=48), cfg)
+    pi = np.asarray(res.pi_row)
+    assert pi.shape == (40,) and np.all(pi >= 0.001) and np.all(pi <= 0.999)
+    # rows 0..19 had 10x the dropout of rows 20..39
+    assert pi[:20].mean() > pi[20:].mean() + 0.1
+    # plain-NLL-on-raw-A drifts up as imputation kicks in — the in-memory
+    # EM shows the exact same trajectory shape, so only finiteness is a
+    # valid invariant here
+    hist = np.asarray(res.loss_history)
+    assert np.isfinite(hist).all()
+    # factors stay close to an in-memory NB+ZI fit of the same data
+    mem = rt.nmf(zi_sim, 3, loss="nb", dispersion="per_row", zi="row",
+                 seed=7, maxit=10, tol=0.0, sort_model=False)
+    rec_s = (np.asarray(res.W) * np.asarray(res.d)) @ np.asarray(res.H)
+    rec_m = (np.asarray(mem.W) * np.asarray(mem.d)) @ np.asarray(mem.H)
+    denom = float(np.linalg.norm(rec_m))
+    assert np.linalg.norm(rec_s - rec_m) / denom < 0.25
+    # pi agrees with the in-memory EM estimate
+    assert np.corrcoef(pi, np.asarray(mem.pi_row))[0, 1] > 0.9
+
+
+def test_streaming_nb_zi_col(zi_sim):
+    cfg = rt.build_config(3, loss="nb", dispersion="per_col", zi="col",
+                          solver="cd", seed=7, maxit=8, tol=0.0,
+                          sort_model=False)
+    res = nmf_chunked(InMemoryLoader(zi_sim.T.copy(), chunk_cols=16), cfg)
+    pi = np.asarray(res.pi_col)
+    assert pi.shape == (40,)
+    assert pi[:20].mean() > pi[20:].mean() + 0.1
+    assert np.isfinite(np.asarray(res.loss_history)).all()
+
+
+def test_streaming_zi_cv_rejected(zi_sim):
+    cfg = rt.build_config(3, loss="nb", zi="row", solver="cd", maxit=3,
+                          test_fraction=0.1, cv_seed=1)
+    with pytest.raises(NotImplementedError, match="zero-inflation"):
+        nmf_chunked(InMemoryLoader(zi_sim), cfg)
 
 
 def test_caching_loader(sim):
