@@ -447,7 +447,10 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         chk = check_dense_alloc(data.shape[0], data.shape[1],
                                 where="device")
         zi_ok = (kwargs.get("zi", "none") in (None, "none")
-                 or kwargs.get("loss") == "nb")
+                 or (kwargs.get("loss") == "nb"
+                     and not kwargs.get("test_fraction")
+                     and mask is None
+                     and not kwargs.get("mask_zeros")))
         if not chk.fits and zi_ok and not kwargs.get("symmetric"):
             from .utils import logging as logmod
             logmod.log_summary(
@@ -456,6 +459,13 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                 verbose=kwargs.get("verbose") or None)
             streaming = True
     if is_spz or streaming:
+        if checkpoint_path is not None or on_iteration is not None:
+            # the streaming loop is host-driven per panel — neither the
+            # segmented-while-loop checkpointer nor per-iteration
+            # callbacks apply; refuse rather than silently ignore
+            raise ValueError(
+                "streaming NMF does not support checkpoint_path= or "
+                "on_iteration=; fit in-memory for those")
         if isinstance(mask, str):
             # mask="zeros" was normalized to mask_zeros above; "NA" needs
             # the full matrix in memory (R/nmf_thin.R:463-465)
@@ -594,7 +604,8 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         from .utils.checkpoint import fit_checkpointed
         res = fit_checkpointed(A, cfg, checkpoint_path,
                                every=int(checkpoint_every),
-                               w_init=w_init, h_init=h_init, aux=aux)
+                               w_init=w_init, h_init=h_init, aux=aux,
+                               sparse_zeros=sparse_input)
         res.misc["config"] = cfg
         return _named(res)
 

@@ -191,19 +191,25 @@ def _panel_zi_impute(F, d, X_warm, A_panel, pi_b, r_b):
     return jnp.where(is_zero, z * S, A_panel)
 
 
-@jax.jit
-def _panel_zi_estep_stats(W_T, d, H_panel, A_panel, pi_b, r_b):
-    """E-step statistics of one forward panel with the CURRENT model:
-    per-row and per-column sums of the dropout responsibility z over zero
-    entries, plus zero counts — accumulated across panels to run the pi
-    EM update once per sweep (zi_em_step's pi-update algebra)."""
-    S = jnp.maximum(jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC),
-                    1e-10)
+@partial(jax.jit, static_argnames=("cfg",))
+def _panel_irls_loss_zi(cfg: NMFConfig, W_T, d, H_panel, A_panel,
+                        theta_row, theta_col, pi_b, r_b):
+    """Fused loss + ZI E-step statistics of one forward panel — ONE
+    reconstruction GEMM serves both (the dominant FLOPs of the loss
+    sweep).  Returns (loss, z row-sums, z col-sums, zero row-counts,
+    zero col-counts); the z statistics are accumulated across panels to
+    run the pi EM update once per sweep (zi_em_step's pi-update algebra,
+    with the post-update model like the in-memory EM placement)."""
+    from ..ops import losses
+    rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
+    theta = losses._expand_theta(theta_row, theta_col, A_panel.shape)
+    loss = jnp.sum(losses.compute_loss_elements(A_panel, rec, cfg, theta))
+    S = jnp.maximum(rec, 1e-10)
     p0 = (r_b / (r_b + S)) ** r_b
     z = pi_b / (pi_b + (1.0 - pi_b) * p0 + 1e-30)
     is_zero = A_panel == 0
     z = jnp.where(is_zero, z, 0.0)
-    return (jnp.sum(z, axis=1), jnp.sum(z, axis=0),
+    return (loss, jnp.sum(z, axis=1), jnp.sum(z, axis=0),
             jnp.sum(is_zero, axis=1), jnp.sum(is_zero, axis=0))
 
 
@@ -250,15 +256,16 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             "streaming graph regularization requires the shared-Gram MSE "
             "path (no CV/mask/IRLS), like the reference chunked engine")
     if use_irls and cfg.has_zi() and (cfg.loss != Loss.NB or cfg.is_cv()
-                                      or mask is not None):
+                                      or mask is not None or cfg.mask_zeros):
         # NB+ZI streams (panel-local E-step, below); GP-family ZI needs the
         # per-iteration theta the chunked engine deliberately freezes, and
-        # ZI+CV/mask accounting needs the full matrix — in-memory only
-        # (the reference chunked engine has NO ZI branch at all,
-        # fit_chunked.hpp)
+        # ZI+CV/mask/mask_zeros accounting needs the full matrix — the
+        # imputation would also destroy the zeros mask_zeros keys on.
+        # In-memory only (the reference chunked engine has NO ZI branch
+        # at all, fit_chunked.hpp)
         raise NotImplementedError(
-            "streaming zero-inflation supports loss='nb' without CV/mask; "
-            "use the in-memory path for GP/KL ZI or ZI with CV/mask")
+            "streaming zero-inflation supports loss='nb' without "
+            "CV/mask/mask_zeros; use the in-memory path otherwise")
     active_loss = Loss.KL if cfg.loss == Loss.GP else cfg.loss
     per_col = cfg.dispersion == Dispersion.PER_COL
     is_nb = cfg.loss == Loss.NB
@@ -275,6 +282,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     zi_row = cfg.zi == ZI.ROW
     pi_vec = None
     if is_zi:
+        if cfg.zi_em_iters > 1:
+            import warnings
+            warnings.warn(
+                f"streaming ZI runs ONE pi EM update per sweep; "
+                f"zi_em_iters={cfg.zi_em_iters} applies to the in-memory "
+                "path only")
         zc_row = np.zeros((m,), np.float64)
         zc_col = np.zeros((n,), np.float64)
         for ch in loader.iter_chunks(transpose=False):
@@ -488,18 +501,19 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                           if (is_nb and per_col) else None)
                 A_panel = jnp.asarray(ch.data)
                 H_panel = H[:, ch.col_start:ch.col_start + ch.num_cols]
-                tot += float(_panel_irls_loss(
-                    cfgs, W_T, d, H_panel, A_panel, th_row, th_col))
                 if is_zi:
-                    # E-step stats with the post-update model — the same
-                    # placement as the in-memory EM (after the W/H solves)
                     pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
-                    sr, sc, cr, cc = _panel_zi_estep_stats(
-                        W_T, d, H_panel, A_panel, pi_b, r_b)
+                    pl, sr, sc, cr, cc = _panel_irls_loss_zi(
+                        cfgs, W_T, d, H_panel, A_panel, th_row, th_col,
+                        pi_b, r_b)
+                    tot += float(pl)
                     cs, nc = ch.col_start, ch.num_cols
                     zs_row += np.asarray(sr); zn_row += np.asarray(cr)
                     zs_col[cs:cs + nc] += np.asarray(sc)
                     zn_col[cs:cs + nc] += np.asarray(cc)
+                else:
+                    tot += float(_panel_irls_loss(
+                        cfgs, W_T, d, H_panel, A_panel, th_row, th_col))
             if is_zi:
                 # pi M-step (zi_em_step's update rule, once per sweep)
                 if zi_row:

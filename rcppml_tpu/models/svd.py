@@ -1083,12 +1083,19 @@ def svd(data, k=10, *, method: str = "auto", center: bool = False,
             robust_on = robust if isinstance(robust, bool) else robust > 0
             method = ("deflation" if robust_on else
                       "krylov" if has_con else "randomized")
-        return streaming_svd(
+        res = streaming_svd(
             data, int(k) if not isinstance(k, str) else 10,
             method=method, center=center, seed=seed, oversample=oversample,
             power_iters=power_iters, tol=tol, maxit=maxit,
             nonneg=nonneg, L1=L1, L2=L2, upper_bound=upper_bound,
             robust=robust)
+        if verbose:
+            from ..utils import logging as logmod
+            logmod.log_summary(
+                "[svd] streaming method=%s k=%d iterations=%s converged=%s",
+                method, res.k_selected or int(k), res.iterations,
+                res.converged, verbose=verbose)
+        return res
 
     def pair(x):
         return (x, x) if np.isscalar(x) else tuple(x)

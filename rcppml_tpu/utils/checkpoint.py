@@ -136,39 +136,46 @@ def save_fit_state(state, cfg: NMFConfig, path: str) -> None:
             os.remove(tmp)
 
 
-def load_fit_state(path: str, cfg: NMFConfig):
-    """Load a raw FitState checkpoint and validate it against ``cfg``.
+def _validate_and_resize(z, cfg: NMFConfig):
+    """Shared checkpoint-load validation (MSE + IRLS formats): the stored
+    config must equal ``cfg`` except ``max_iter``, which may GROW
+    (continue-training) — a resume can never silently change the
+    optimization problem.  Returns (scalars, loss_hist) with the history
+    padded/truncated to the CURRENT max_iter so packed-state layouts that
+    are sized by max_iter parse correctly."""
+    stored = json.loads(str(z["config"]))
+    current = json.loads(_cfg_to_json(cfg))
+    stored.pop("max_iter")
+    current_mi = current.pop("max_iter")
+    if stored != current:
+        diff = {k for k in current if stored.get(k) != current.get(k)}
+        raise ValueError(
+            f"checkpoint config mismatch on fields {sorted(diff)}; "
+            "resume with the same configuration (only maxit may grow)")
+    sc = z["scalars"]
+    it = int(sc[0])
+    if current_mi < it:
+        raise ValueError(f"checkpoint already has {it} iterations but "
+                         f"maxit = {current_mi}")
+    hist = np.asarray(z["loss_hist"], np.float32)
+    if current_mi > hist.shape[0]:
+        hist = np.concatenate([
+            hist, np.full((current_mi - hist.shape[0],), np.nan,
+                          np.float32)])
+    elif current_mi < hist.shape[0]:
+        # shrinking maxit (still >= it, checked above): entries beyond
+        # current_mi are unreached NaNs
+        hist = hist[:current_mi]
+    return sc, hist
 
-    ``max_iter`` may GROW relative to the stored config (continue-training);
-    every other field must match, so a resume can never silently change the
-    optimization problem."""
+
+def load_fit_state(path: str, cfg: NMFConfig):
+    """Load a raw FitState checkpoint (see :func:`_validate_and_resize`
+    for the config compatibility contract)."""
     from ..models.nmf import FitState
     with np.load(path, allow_pickle=False) as z:
-        stored = json.loads(str(z["config"]))
-        current = json.loads(_cfg_to_json(cfg))
-        stored_mi, current_mi = stored.pop("max_iter"), current.pop("max_iter")
-        if stored != current:
-            diff = {k for k in current
-                    if stored.get(k) != current.get(k)}
-            raise ValueError(
-                f"checkpoint config mismatch on fields {sorted(diff)}; "
-                "resume with the same configuration (only maxit may grow)")
-        it = int(z["scalars"][0])
-        if current_mi < it:
-            raise ValueError(f"checkpoint already has {it} iterations but "
-                             f"maxit = {current_mi}")
-        hist = np.asarray(z["loss_hist"], np.float32)
-        if current_mi > hist.shape[0]:
-            hist = np.concatenate([
-                hist, np.full((current_mi - hist.shape[0],), np.nan,
-                              np.float32)])
-        elif current_mi < hist.shape[0]:
-            # shrinking maxit (still >= it, checked above): the packed
-            # state layout is sized by the CURRENT max_iter — a longer
-            # stored history would shift every scalar read in
-            # _unpack_state; entries beyond current_mi are unreached NaNs
-            hist = hist[:current_mi]
-        sc = z["scalars"]
+        sc, hist = _validate_and_resize(z, cfg)
+        it = int(sc[0])
         return FitState(
             W_T=np.asarray(z["W_T"], np.float32),
             H=np.asarray(z["H"], np.float32),
@@ -287,32 +294,13 @@ def load_irls_state(path: str, cfg: NMFConfig, A_dev):
     from ..models.nmf_irls import IRLSState
     import jax.numpy as jnp
     with np.load(path, allow_pickle=False) as z:
-        stored = json.loads(str(z["config"]))
-        current = json.loads(_cfg_to_json(cfg))
-        stored_mi, current_mi = stored.pop("max_iter"), current.pop("max_iter")
-        if stored != current:
-            diff = {k for k in current if stored.get(k) != current.get(k)}
-            raise ValueError(
-                f"checkpoint config mismatch on fields {sorted(diff)}; "
-                "resume with the same configuration (only maxit may grow)")
-        sc = z["scalars"]
-        it = int(sc[0])
-        if current_mi < it:
-            raise ValueError(f"checkpoint already has {it} iterations but "
-                             f"maxit = {current_mi}")
+        sc, hist = _validate_and_resize(z, cfg)
         vecs = {name: jnp.asarray(np.asarray(z[name], np.float32))
                 for name in _IRLS_VECS if name != "loss_hist"}
-        hist = np.asarray(z["loss_hist"], np.float32)
-        if current_mi > hist.shape[0]:
-            hist = np.concatenate([
-                hist, np.full((current_mi - hist.shape[0],), np.nan,
-                              np.float32)])
-        elif current_mi < hist.shape[0]:
-            hist = hist[:current_mi]
         A_imp = (jnp.asarray(np.asarray(z["A_imp"], np.float32))
                  if "A_imp" in z.files else A_dev)
         return IRLSState(
-            A_imp=A_imp, it=jnp.int32(it),
+            A_imp=A_imp, it=jnp.int32(int(sc[0])),
             prev_loss=jnp.float32(sc[1]), patience_ctr=jnp.int32(sc[2]),
             converged=jnp.bool_(sc[3] > 0.5), final_tol=jnp.float32(sc[4]),
             loss_hist=jnp.asarray(hist), **vecs)

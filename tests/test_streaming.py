@@ -267,3 +267,26 @@ def test_streaming_symmetric_rejected(sim):
     S = sim["A"][:, :50] @ sim["A"][:, :50].T
     with pytest.raises(NotImplementedError):
         nmf_chunked(InMemoryLoader(S), cfg)
+
+
+def test_streaming_zi_mask_zeros_rejected(zi_sim):
+    """Imputation would destroy the zeros that mask_zeros keys on."""
+    cfg = rt.build_config(3, loss="nb", zi="row", solver="cd", maxit=3,
+                          mask_zeros=True)
+    with pytest.raises(NotImplementedError, match="zero-inflation"):
+        nmf_chunked(InMemoryLoader(zi_sim), cfg)
+
+
+def test_streaming_zi_em_iters_warns(zi_sim):
+    cfg = rt.build_config(3, loss="nb", zi="row", solver="cd", maxit=2,
+                          tol=0.0, zi_em_iters=4)
+    with pytest.warns(UserWarning, match="ONE pi EM update"):
+        nmf_chunked(InMemoryLoader(zi_sim, chunk_cols=48), cfg)
+
+
+def test_streaming_checkpoint_path_rejected(sim, tmp_path):
+    """checkpoint_path cannot apply to the host-driven streaming loop —
+    refuse instead of silently never writing a checkpoint."""
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        rt.nmf(sim["A"], 3, streaming=True, maxit=3,
+               checkpoint_path=str(tmp_path / "ck.npz"))

@@ -427,3 +427,19 @@ def test_fused_checkpoint_config_mismatch_rejected(small_factors, tmp_path):
                checkpoint_path=p)
     with pytest.raises(ValueError, match="checkpoint_path currently"):
         rt.nmf(A, 4, seed=42, test_fraction=0.1, checkpoint_path=p)
+
+
+def test_sparse_input_irls_checkpoint_matches_unsegmented(tmp_path):
+    """Checkpointed IRLS fits of sparse input must keep the nz-only loss
+    semantics (sparse_zeros) that the unsegmented dispatch applies."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(9)
+    A = rs.poisson(np.abs(rs.rand(30, 3) @ rs.rand(3, 25)) * 2.0)
+    A = sp.csc_matrix(A.astype(np.float32))
+    kw = dict(loss="gp", dispersion="none", seed=2, maxit=6, tol=0.0)
+    plain = rt.nmf(A, 3, **kw)
+    seg = rt.nmf(A, 3, checkpoint_path=str(tmp_path / "s.npz"),
+                 checkpoint_every=2, **kw)
+    np.testing.assert_array_equal(np.asarray(seg.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(seg.loss_history),
+                                  np.asarray(plain.loss_history))
