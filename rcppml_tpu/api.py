@@ -459,13 +459,6 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                 verbose=kwargs.get("verbose") or None)
             streaming = True
     if is_spz or streaming:
-        if checkpoint_path is not None or on_iteration is not None:
-            # the streaming loop is host-driven per panel — neither the
-            # segmented-while-loop checkpointer nor per-iteration
-            # callbacks apply; refuse rather than silently ignore
-            raise ValueError(
-                "streaming NMF does not support checkpoint_path= or "
-                "on_iteration=; fit in-memory for those")
         if isinstance(mask, str):
             # mask="zeros" was normalized to mask_zeros above; "NA" needs
             # the full matrix in memory (R/nmf_thin.R:463-465)
@@ -505,7 +498,10 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
         loader = (SpzLoader(data) if is_spz
                   else InMemoryLoader(data, chunk_cols=chunk_cols))
         return nmf_chunked(loader, cfg, w_init=w_init, h_init=h_init,
-                           mask=mask, graph_W=graph_W, graph_H=graph_H)
+                           mask=mask, graph_W=graph_W, graph_H=graph_H,
+                           mesh=mesh, on_iteration=on_iteration,
+                           checkpoint_path=checkpoint_path,
+                           checkpoint_every=checkpoint_every)
 
     # other file paths auto-load in-memory (R/nmf_validation.R:30-120)
     if isinstance(data, str):
@@ -597,15 +593,16 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
 
     if checkpoint_path is not None:
         # preemption-safe segmented fused fit (SURVEY §5); resumes from the
-        # checkpoint if one exists at the path
-        if cfg.is_cv() or mask is not None or mesh is not None:
+        # checkpoint if one exists at the path.  mesh= is supported (the
+        # pod-scale case): segments run under GSPMD, state gathers to host
+        if cfg.is_cv() or mask is not None:
             raise ValueError("checkpoint_path currently supports the "
-                             "standard dense fit (no CV/mask/mesh)")
+                             "standard dense fit (no CV/mask)")
         from .utils.checkpoint import fit_checkpointed
         res = fit_checkpointed(A, cfg, checkpoint_path,
                                every=int(checkpoint_every),
                                w_init=w_init, h_init=h_init, aux=aux,
-                               sparse_zeros=sparse_input)
+                               sparse_zeros=sparse_input, mesh=mesh)
         res.misc["config"] = cfg
         return _named(res)
 

@@ -104,11 +104,25 @@ def _panel_solve_cv(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
     return X
 
 
+def _panel_valid(shape, valid_rc):
+    """(rows, cols) -> bool validity mask for a mesh-padded panel; entries
+    beyond the true (vr, vc) extent are zero pads that must leave every
+    loss/statistic accumulation.  ``valid_rc=None`` means no padding."""
+    if valid_rc is None:
+        return None
+    vr, vc = valid_rc
+    if (vr, vc) == shape:
+        return None
+    return ((jnp.arange(shape[0]) < vr)[:, None]
+            & (jnp.arange(shape[1]) < vc)[None, :])
+
+
 @partial(jax.jit, static_argnames=("cfg", "inv_prob", "mask_zeros",
-                                   "sparse_zeros"))
+                                   "sparse_zeros", "valid_rc"))
 def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
                      col0, theta_row, theta_col, user_m=None, *,
-                     inv_prob: int, mask_zeros: bool, sparse_zeros: bool):
+                     inv_prob: int, mask_zeros: bool, sparse_zeros: bool,
+                     valid_rc=None):
     """(train_loss_sum, n_train, test_loss_sum, n_test) for one forward
     panel — distribution-aware per-entry losses, matching the in-memory CV
     accounting (nmf_cv._fit_masked_jit)."""
@@ -120,6 +134,11 @@ def _panel_cv_losses(cfg: NMFConfig, W_T, d, H_panel, A_panel, seed_pair,
     train_w = _panel_train_w(seed_pair, 0, col0, m, nc, inv_prob,
                              mask_zeros, A_panel, False, user_m)
     test_w = 1.0 - train_w
+    vmask = _panel_valid(A_panel.shape, valid_rc)
+    if vmask is not None:
+        v = vmask.astype(train_w.dtype)
+        train_w = train_w * v
+        test_w = test_w * v
     if user_m is not None and inv_prob > 0:
         # CV + user mask: user-masked entries leave BOTH statistics — the
         # test statistic stays a pure speckled-holdout quantity, matching
@@ -161,15 +180,19 @@ def _panel_solve_irls(cfg: NMFConfig, side: str, F, A_panel, X_warm, warm,
     return X
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "valid_rc"))
 def _panel_irls_loss(cfg: NMFConfig, W_T, d, H_panel, A_panel,
-                     theta_row, theta_col):
+                     theta_row, theta_col, *, valid_rc=None):
     """Explicit per-entry NLL/deviance of one forward panel
     (fit_chunked.hpp:335-390)."""
     from ..ops import losses
     rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
     theta = losses._expand_theta(theta_row, theta_col, A_panel.shape)
-    return jnp.sum(losses.compute_loss_elements(A_panel, rec, cfg, theta))
+    sq = losses.compute_loss_elements(A_panel, rec, cfg, theta)
+    vmask = _panel_valid(A_panel.shape, valid_rc)
+    if vmask is not None:
+        sq = sq * vmask.astype(sq.dtype)
+    return jnp.sum(sq)
 
 
 @jax.jit
@@ -191,9 +214,9 @@ def _panel_zi_impute(F, d, X_warm, A_panel, pi_b, r_b):
     return jnp.where(is_zero, z * S, A_panel)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "valid_rc"))
 def _panel_irls_loss_zi(cfg: NMFConfig, W_T, d, H_panel, A_panel,
-                        theta_row, theta_col, pi_b, r_b):
+                        theta_row, theta_col, pi_b, r_b, *, valid_rc=None):
     """Fused loss + ZI E-step statistics of one forward panel — ONE
     reconstruction GEMM serves both (the dominant FLOPs of the loss
     sweep).  Returns (loss, z row-sums, z col-sums, zero row-counts,
@@ -203,13 +226,19 @@ def _panel_irls_loss_zi(cfg: NMFConfig, W_T, d, H_panel, A_panel,
     from ..ops import losses
     rec = jnp.dot((W_T * d[:, None]).T, H_panel, precision=PREC)
     theta = losses._expand_theta(theta_row, theta_col, A_panel.shape)
-    loss = jnp.sum(losses.compute_loss_elements(A_panel, rec, cfg, theta))
+    sq = losses.compute_loss_elements(A_panel, rec, cfg, theta)
     S = jnp.maximum(rec, 1e-10)
     p0 = (r_b / (r_b + S)) ** r_b
     z = pi_b / (pi_b + (1.0 - pi_b) * p0 + 1e-30)
     is_zero = A_panel == 0
+    vmask = _panel_valid(A_panel.shape, valid_rc)
+    if vmask is not None:
+        # mesh pads are synthetic zeros: they must leave the loss AND the
+        # ZI dropout statistics (they would otherwise inflate pi)
+        sq = sq * vmask.astype(sq.dtype)
+        is_zero = is_zero & vmask
     z = jnp.where(is_zero, z, 0.0)
-    return (loss, jnp.sum(z, axis=1), jnp.sum(z, axis=0),
+    return (jnp.sum(sq), jnp.sum(z, axis=1), jnp.sum(z, axis=0),
             jnp.sum(is_zero, axis=1), jnp.sum(is_zero, axis=0))
 
 
@@ -222,7 +251,9 @@ def _panel_cross_term(W_T, d, H_panel, A_panel):
 
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 w_init=None, h_init=None, mask=None, graph_W=None,
-                graph_H=None) -> NMFResult:
+                graph_H=None, mesh=None, on_iteration=None,
+                checkpoint_path=None, checkpoint_every: int = 1
+                ) -> NMFResult:
     """Streaming ALS over a DataLoader (nmf/fit_chunked.hpp:71).
 
     ``mask``: optional (m, n) bool, True = held out of training (the
@@ -230,12 +261,102 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     accepts mask_sexp, R/RcppExports.R Rcpp_nmf_streaming_spz).
     ``graph_W``/``graph_H``: Laplacians for graph regularization — they
     modify only the k x k Gram, so streaming costs nothing extra
-    (reference streaming accepts graph_W_sexp/graph_H_sexp)."""
+    (reference streaming accepts graph_W_sexp/graph_H_sexp).
+
+    ``mesh``: optional jax.sharding.Mesh — SHARDED STREAMING INGEST, the
+    composition the reference cannot express (its chunked engine is
+    single-node OpenMP, fit_chunked.hpp:71; SURVEY §5 "chunk ingest ->
+    per-host sharded loading").  Each decoded panel is ``device_put``
+    with the canonical layout (forward panels P(rows, cols), transpose
+    panels P(cols, rows)); the factor tables (k-scaled, small) stay
+    replicated, so every panel GEMM/solve is GSPMD-distributed with the
+    k x k Gram psums riding ICI.  Panels are zero-padded to
+    mesh-divisible shapes; pad columns are sliced off every solve and
+    pad entries carry zero validity weight in every loss/ZI statistic,
+    so results match the single-device stream to fp32 tolerance.
+
+    ``on_iteration(sweep, train_loss, test_loss)``: per-sweep host
+    callback (the loop is host-driven per panel, so sweep callbacks are
+    natural — config.hpp:388-392 analog).  ``checkpoint_path``:
+    preemption-safe sweep-granular checkpointing — the loop state is
+    atomically saved every ``checkpoint_every`` sweeps and resumed
+    bit-exactly if the path exists."""
     if isinstance(loader, (str, bytes)):
         loader = SpzLoader(loader)
     m, n = loader.shape
     k = cfg.rank
     cfg.validate()
+
+    # ---- sharded ingest setup (mesh mode) ----
+    # Factor tables are replicated (k-scaled, tiny); every panel is the
+    # big operand and is block-sharded.  Panel pads never pollute real
+    # entries: B = F @ panel contracts zero F-columns against pad rows,
+    # pad-column solutions are sliced off, and the loss/ZI passes carry
+    # explicit validity masks (_panel_valid).
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh_rows = mesh.shape["rows"]
+        mesh_cols = mesh.shape["cols"]
+        s_fwd = NamedSharding(mesh, P("rows", "cols"))
+        s_trp = NamedSharding(mesh, P("cols", "rows"))
+        s_rep = NamedSharding(mesh, P())
+        m_pad = m + (-m) % mesh_rows      # forward-panel rows
+        n_pad = n + (-n) % mesh_cols      # transpose-panel rows
+    else:
+        mesh_rows = mesh_cols = 1
+        m_pad, n_pad = m, n
+        s_fwd = s_trp = s_rep = None
+
+    def _put_panel(block, transposed: bool):
+        """Pad a decoded host panel to mesh-divisible shape and place it
+        with the canonical sharding (no-op placement when mesh=None)."""
+        if mesh is None:
+            return jnp.asarray(block)
+        rows_pad = n_pad if transposed else m_pad
+        pc = block.shape[1]
+        pc_pad = pc + (-pc) % (mesh_rows if transposed else mesh_cols)
+        if block.shape[0] != rows_pad or pc_pad != pc:
+            blk = np.zeros((rows_pad, pc_pad), np.float32)
+            blk[:block.shape[0], :pc] = block
+        else:
+            blk = np.ascontiguousarray(block, dtype=np.float32)
+        return jax.device_put(blk, s_trp if transposed else s_fwd)
+
+    def _pad_cols(nc: int, transposed: bool) -> int:
+        if mesh is None:
+            return 0
+        return (-nc) % (mesh_rows if transposed else mesh_cols)
+
+    def _warm_slice(F, cs: int, nc: int, transposed: bool):
+        """X warm-start panel: slice of the factor being solved, zero-
+        padded to the panel's padded width."""
+        X = jax.lax.dynamic_slice_in_dim(F, cs, nc, axis=1)
+        pc = _pad_cols(nc, transposed)
+        return jnp.pad(X, ((0, 0), (0, pc))) if pc else X
+
+    def _pad_f(F, rows_pad: int):
+        """Replicated, row-padded copy of a factor table for panel ops."""
+        if mesh is None:
+            return F
+        if F.shape[1] != rows_pad:
+            F = jnp.pad(F, ((0, 0), (0, rows_pad - F.shape[1])))
+        return jax.device_put(F, s_rep)
+
+    def _unpad_x(X, nc: int):
+        """Slice a solved panel back to its true width, replicated."""
+        if mesh is None:
+            return X
+        if X.shape[1] != nc:
+            X = X[:, :nc]
+        return jax.device_put(X, s_rep)
+
+    def _pad1(v, target: int, fill: float = 1.0):
+        """Pad a per-row/col parameter vector to a padded panel dim (the
+        fill value is masked out of every statistic)."""
+        if v is None or v.shape[0] == target:
+            return v
+        return jnp.pad(v, (0, target - v.shape[0]), constant_values=fill)
+
     if cfg.bf16_data:
         raise ValueError("bf16_data is not supported on the streaming "
                          "path; use the in-memory fit")
@@ -274,6 +395,20 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     nb_vec = (jnp.full((n if per_col else m,), cfg.nb_size_init,
                        jnp.float32) if is_nb else None)
 
+    # ---- sweep-granular checkpoint resume ----
+    _resume = None
+    if checkpoint_path is not None:
+        if int(checkpoint_every) < 1:
+            raise ValueError("checkpoint_every must be >= 1")
+        import os as _os
+        from ..utils.checkpoint import load_stream_state
+        if _os.path.exists(checkpoint_path):
+            _resume = load_stream_state(checkpoint_path, cfg)
+            if _resume["W_T"].shape != (k, m) or \
+                    _resume["H"].shape != (k, n):
+                raise ValueError(
+                    "checkpoint factor shapes do not match the data")
+
     # ---- streaming NB zero-inflation (beyond the reference, which has no
     # chunked ZI): panel-local E-step imputation + one pi EM update per
     # sweep.  pi init = min(zero_rate * 0.5, 0.3) exactly like the
@@ -288,14 +423,19 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 f"streaming ZI runs ONE pi EM update per sweep; "
                 f"zi_em_iters={cfg.zi_em_iters} applies to the in-memory "
                 "path only")
-        zc_row = np.zeros((m,), np.float64)
-        zc_col = np.zeros((n,), np.float64)
-        for ch in loader.iter_chunks(transpose=False):
-            zp = np.asarray(ch.data) == 0
-            zc_row += zp.sum(axis=1)
-            zc_col[ch.col_start:ch.col_start + ch.num_cols] += zp.sum(axis=0)
-        rate = (zc_row / n) if zi_row else (zc_col / m)
-        pi_vec = jnp.asarray(np.minimum(rate * 0.5, 0.3).astype(np.float32))
+        if _resume is not None and _resume.get("pi_vec") is not None:
+            pi_vec = jnp.asarray(_resume["pi_vec"])
+        else:
+            zc_row = np.zeros((m,), np.float64)
+            zc_col = np.zeros((n,), np.float64)
+            for ch in loader.iter_chunks(transpose=False):
+                zp = np.asarray(ch.data) == 0
+                zc_row += zp.sum(axis=1)
+                zc_col[ch.col_start:ch.col_start + ch.num_cols] += \
+                    zp.sum(axis=0)
+            rate = (zc_row / n) if zi_row else (zc_col / m)
+            pi_vec = jnp.asarray(
+                np.minimum(rate * 0.5, 0.3).astype(np.float32))
 
     def _zi_bcast(cs, nc, transposed):
         """(pi_b, r_b) broadcast terms for one panel ((rows, 1) / (1, pc));
@@ -311,9 +451,27 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     else pi_vec[cs:cs + nc][None, :])
             r_b = (nb_vec[cs:cs + nc][None, :] if per_col
                    else nb_vec[:, None])
+        if mesh is not None:
+            rows_pad = n_pad if transposed else m_pad
+            nc_pad = nc + _pad_cols(nc, transposed)
+
+            def fix(x, fill):
+                pr = rows_pad - x.shape[0] if x.shape[0] != 1 else 0
+                pc = nc_pad - x.shape[1] if x.shape[1] != 1 else 0
+                if pr or pc:
+                    x = jnp.pad(x, ((0, pr), (0, pc)),
+                                constant_values=fill)
+                return x
+            # pad values are arbitrary (masked from every statistic);
+            # 0.5/1.0 keep the E-step algebra away from 0/0
+            pi_b, r_b = fix(pi_b, 0.5), fix(r_b, 1.0)
         return pi_b, r_b
 
-    if cfg.init_mode in (1, 2) and w_init is None:
+    if _resume is not None:
+        W_T0 = _resume["W_T"]
+        H0 = _resume["H"]
+        d0 = _resume["d"]
+    elif cfg.init_mode in (1, 2) and w_init is None:
         # SVD init out of core: the reference decompresses the FULL matrix
         # (with a RAM check + random fallback, fit_streaming_spz.hpp);
         # here the init SVD itself streams over the loader panels
@@ -363,20 +521,41 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             return None
         sl = (mask[cs:cs + nc, :].T if transposed
               else mask[:, cs:cs + nc])
+        if mesh is not None:
+            rows_pad = n_pad if transposed else m_pad
+            pc_pad = nc + _pad_cols(nc, transposed)
+            if sl.shape != (rows_pad, pc_pad):
+                out = np.zeros((rows_pad, pc_pad), bool)
+                out[:sl.shape[0], :nc] = sl
+                sl = out
         return jnp.asarray(np.ascontiguousarray(sl))
 
     trAtA = loader.trace_sq()
 
-    prev_loss = np.inf
-    best_test = np.inf
-    best_iter = -1
-    patience = 0
-    hist = []
-    test_hist = []
-    converged = False
-    it = 0
-    for it in range(cfg.max_iter):
+    if _resume is not None:
+        prev_loss = _resume["prev_loss"]
+        best_test = _resume["best_test"]
+        best_iter = _resume["best_iter"]
+        patience = _resume["patience"]
+        hist = list(_resume["hist"])
+        test_hist = list(_resume["test_hist"])
+        converged = _resume["converged"]
+        it_start = _resume["it"]
+    else:
+        prev_loss = np.inf
+        best_test = np.inf
+        best_iter = -1
+        patience = 0
+        hist = []
+        test_hist = []
+        converged = False
+        it_start = 0
+    done_sweeps = it_start
+    for it in range(it_start, cfg.max_iter):
+        if converged:
+            break
         warm = jnp.bool_(it > 0)
+        stop = False
 
         # ---- H-update over forward panels ----
         G_add_H = G_add_W = None
@@ -392,6 +571,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             G_add_H = feat.tier2_gram_addition(H, cfg.H)
             G_add_W = feat.tier2_gram_addition(W_T, cfg.W)
         H_parts = {}
+        W_T_f = _pad_f(W_T, m_pad)
         pf = Prefetcher(loader, transpose=False)
         for ch in pf:
             if it == 0 and not np.isfinite(ch.data).all():
@@ -403,40 +583,45 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     f"{ch.col_start}..{ch.col_start + ch.num_cols}; "
                     "streaming cannot auto-mask NaN/Inf — clean the data "
                     "or fit in-memory with mask=")
-            A_panel = jnp.asarray(ch.data)
-            X_warm = jax.lax.dynamic_slice_in_dim(H, ch.col_start,
-                                                  ch.num_cols, axis=1)
+            A_panel = _put_panel(ch.data, False)
+            X_warm = _warm_slice(H, ch.col_start, ch.num_cols, False)
             if cfg.projective:
-                H_parts[ch.col_start] = jnp.dot(
-                    W_T * d[:, None], A_panel, precision=PREC)
+                H_parts[ch.col_start] = _unpad_x(jnp.dot(
+                    W_T_f * d[:, None], A_panel, precision=PREC),
+                    ch.num_cols)
             elif use_irls:
-                th_row = nb_vec if (is_nb and not per_col) else None
-                th_col = (jax.lax.dynamic_slice_in_dim(
-                    nb_vec, ch.col_start, ch.num_cols)
+                th_row = (_pad1(nb_vec, m_pad)
+                          if (is_nb and not per_col) else None)
+                th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
+                    nb_vec, ch.col_start, ch.num_cols),
+                    ch.num_cols + _pad_cols(ch.num_cols, False))
                     if (is_nb and per_col) else None)
                 if is_zi and it > 0:
                     # solves see the soft-imputed panel (in-memory: the
                     # iter>=1 solves read state.A_imp)
                     pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
-                    A_panel = _panel_zi_impute(W_T, d, X_warm, A_panel,
+                    A_panel = _panel_zi_impute(W_T_f, d, X_warm, A_panel,
                                                pi_b, r_b)
-                H_parts[ch.col_start] = _panel_solve_irls(
-                    cfgs, "H", W_T, A_panel, X_warm, warm, th_row, th_col,
+                H_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
+                    cfgs, "H", W_T_f, A_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, False),
                     G_add_H,
                     active_loss=active_loss, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=False)
+                    mask_zeros=cfg.mask_zeros, transposed=False),
+                    ch.num_cols)
             elif use_masked:
-                H_parts[ch.col_start] = _panel_solve_cv(
-                    cfgs, "H", W_T, A_panel, X_warm, warm, seed_pair,
+                H_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
+                    cfgs, "H", W_T_f, A_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, False),
                     G_add_H, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=False)
+                    mask_zeros=cfg.mask_zeros, transposed=False),
+                    ch.num_cols)
             else:
-                H_parts[ch.col_start] = _panel_solve(cfg, "H", G, W_T,
-                                                     A_panel, X_warm, warm)
+                H_parts[ch.col_start] = _unpad_x(
+                    _panel_solve(cfg, "H", G, W_T_f, A_panel, X_warm, warm),
+                    ch.num_cols)
         pf.close()
         H = jnp.concatenate([H_parts[cs] for cs in sorted(H_parts)], axis=1)
         if cfg.H.angular > 0:
@@ -450,37 +635,42 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
             G2 = feat.apply_graph_reg(G2, graph_W, W_T, cfg.W.graph_lambda)
         W_parts = {}
+        H_f = _pad_f(H, n_pad)
         pt = Prefetcher(loader, transpose=True)
         for ch in pt:
-            At_panel = jnp.asarray(ch.data)              # (n, pc) cols of A^T
-            X_warm = jax.lax.dynamic_slice_in_dim(W_T, ch.col_start,
-                                                  ch.num_cols, axis=1)
+            At_panel = _put_panel(ch.data, True)         # (n, pc) cols of A^T
+            X_warm = _warm_slice(W_T, ch.col_start, ch.num_cols, True)
             if use_irls:
-                th_row = nb_vec if (is_nb and per_col) else None
-                th_col = (jax.lax.dynamic_slice_in_dim(
-                    nb_vec, ch.col_start, ch.num_cols)
+                th_row = (_pad1(nb_vec, n_pad)
+                          if (is_nb and per_col) else None)
+                th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
+                    nb_vec, ch.col_start, ch.num_cols),
+                    ch.num_cols + _pad_cols(ch.num_cols, True))
                     if (is_nb and not per_col) else None)
                 if is_zi and it > 0:
                     pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, True)
-                    At_panel = _panel_zi_impute(H, d, X_warm, At_panel,
+                    At_panel = _panel_zi_impute(H_f, d, X_warm, At_panel,
                                                 pi_b, r_b)
-                W_parts[ch.col_start] = _panel_solve_irls(
-                    cfgs, "W", H, At_panel, X_warm, warm, th_row, th_col,
+                W_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
+                    cfgs, "W", H_f, At_panel, X_warm, warm, th_row, th_col,
                     seed_pair, jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, True),
                     G_add_W,
                     active_loss=active_loss, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=True)
+                    mask_zeros=cfg.mask_zeros, transposed=True),
+                    ch.num_cols)
             elif use_masked:
-                W_parts[ch.col_start] = _panel_solve_cv(
-                    cfgs, "W", H, At_panel, X_warm, warm, seed_pair,
+                W_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
+                    cfgs, "W", H_f, At_panel, X_warm, warm, seed_pair,
                     jnp.uint32(ch.col_start),
                     _mask_panel(ch.col_start, ch.num_cols, True),
                     G_add_W, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=True)
+                    mask_zeros=cfg.mask_zeros, transposed=True),
+                    ch.num_cols)
             else:
-                W_parts[ch.col_start] = _panel_solve(cfg, "W", G2, H,
-                                                     At_panel, X_warm, warm)
+                W_parts[ch.col_start] = _unpad_x(
+                    _panel_solve(cfg, "W", G2, H_f, At_panel, X_warm, warm),
+                    ch.num_cols)
         pt.close()
         W_T = jnp.concatenate([W_parts[cs] for cs in sorted(W_parts)], axis=1)
         if cfg.W.angular > 0:
@@ -488,6 +678,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         W_T, d = linalg.extract_scaling(W_T, cfg.norm)
 
         # ---- loss ----
+        W_T_l = _pad_f(W_T, m_pad) if mesh is not None else W_T
+
+        def _vrc(nc):
+            # validity extent of a (possibly padded) forward loss panel
+            return (m, nc) if mesh is not None else None
+
         if use_irls and not is_cv and not has_mask:
             tot = 0.0
             if is_zi:
@@ -496,24 +692,28 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 zn_row = np.zeros((m,), np.float64)
                 zn_col = np.zeros((n,), np.float64)
             for ch in loader.iter_chunks(transpose=False):
-                th_row = nb_vec if (is_nb and not per_col) else None
-                th_col = (nb_vec[ch.col_start:ch.col_start + ch.num_cols]
+                cs, nc = ch.col_start, ch.num_cols
+                th_row = (_pad1(nb_vec, m_pad)
+                          if (is_nb and not per_col) else None)
+                th_col = (_pad1(nb_vec[cs:cs + nc],
+                                nc + _pad_cols(nc, False))
                           if (is_nb and per_col) else None)
-                A_panel = jnp.asarray(ch.data)
-                H_panel = H[:, ch.col_start:ch.col_start + ch.num_cols]
+                A_panel = _put_panel(ch.data, False)
+                H_panel = _warm_slice(H, cs, nc, False)
                 if is_zi:
-                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
+                    pi_b, r_b = _zi_bcast(cs, nc, False)
                     pl, sr, sc, cr, cc = _panel_irls_loss_zi(
-                        cfgs, W_T, d, H_panel, A_panel, th_row, th_col,
-                        pi_b, r_b)
+                        cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
+                        pi_b, r_b, valid_rc=_vrc(nc))
                     tot += float(pl)
-                    cs, nc = ch.col_start, ch.num_cols
-                    zs_row += np.asarray(sr); zn_row += np.asarray(cr)
-                    zs_col[cs:cs + nc] += np.asarray(sc)
-                    zn_col[cs:cs + nc] += np.asarray(cc)
+                    zs_row += np.asarray(sr)[:m]
+                    zn_row += np.asarray(cr)[:m]
+                    zs_col[cs:cs + nc] += np.asarray(sc)[:nc]
+                    zn_col[cs:cs + nc] += np.asarray(cc)[:nc]
                 else:
                     tot += float(_panel_irls_loss(
-                        cfgs, W_T, d, H_panel, A_panel, th_row, th_col))
+                        cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
+                        valid_rc=_vrc(nc)))
             if is_zi:
                 # pi M-step (zi_em_step's update rule, once per sweep)
                 if zi_row:
@@ -531,28 +731,29 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 patience += 1
                 if patience >= cfg.patience:
                     converged = True
-                    prev_loss = loss
-                    it += 1
-                    break
+                    stop = True
             else:
                 patience = 0
             prev_loss = loss
-            continue
 
-        if use_masked or use_irls:
+        elif use_masked or use_irls:
             tr_sse = tr_n = te_sse = te_n = 0.0
             for ch in loader.iter_chunks(transpose=False):
-                th_row = nb_vec if (is_nb and not per_col) else None
-                th_col = (nb_vec[ch.col_start:ch.col_start + ch.num_cols]
+                cs, nc = ch.col_start, ch.num_cols
+                th_row = (_pad1(nb_vec, m_pad)
+                          if (is_nb and not per_col) else None)
+                th_col = (_pad1(nb_vec[cs:cs + nc],
+                                nc + _pad_cols(nc, False))
                           if (is_nb and per_col) else None)
                 out = _panel_cv_losses(
-                    cfgs, W_T, d,
-                    H[:, ch.col_start:ch.col_start + ch.num_cols],
-                    jnp.asarray(ch.data), seed_pair,
-                    jnp.uint32(ch.col_start), th_row, th_col,
-                    _mask_panel(ch.col_start, ch.num_cols, False),
+                    cfgs, W_T_l, d,
+                    _warm_slice(H, cs, nc, False),
+                    _put_panel(ch.data, False), seed_pair,
+                    jnp.uint32(cs), th_row, th_col,
+                    _mask_panel(cs, nc, False),
                     inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, sparse_zeros=False)
+                    mask_zeros=cfg.mask_zeros, sparse_zeros=False,
+                    valid_rc=_vrc(nc))
                 tr_sse += float(out[0]); tr_n += float(out[1])
                 te_sse += float(out[2]); te_n += float(out[3])
             loss = tr_sse / max(tr_n, 1.0)
@@ -580,36 +781,53 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                            or (it > 0 and rel < cfg.tol))) or \
                (not is_cv and patience >= cfg.patience):
                 converged = True
-                it += 1
-                break
-            continue
+                stop = True
 
-        cross = 0.0
-        for ch in loader.iter_chunks(transpose=False):
-            cross += float(_panel_cross_term(W_T, d,
-                                             H[:, ch.col_start:ch.col_start +
-                                               ch.num_cols],
-                                             jnp.asarray(ch.data)))
-        G_wt = linalg.gram(W_T)
-        recon = float(jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w))
-        loss = trAtA - 2.0 * cross + recon
-        hist.append(loss)
-
-        rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
-        if it > 0 and rel < cfg.tol:
-            patience += 1
-            if patience >= cfg.patience:
-                converged = True
-                prev_loss = loss
-                it += 1
-                break
         else:
-            patience = 0
-        prev_loss = loss
+            cross = 0.0
+            for ch in loader.iter_chunks(transpose=False):
+                cross += float(_panel_cross_term(
+                    W_T_l, d,
+                    _warm_slice(H, ch.col_start, ch.num_cols, False),
+                    _put_panel(ch.data, False)))
+            G_wt = linalg.gram(W_T)
+            recon = float(jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w))
+            loss = trAtA - 2.0 * cross + recon
+            hist.append(loss)
+
+            rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
+            if it > 0 and rel < cfg.tol:
+                patience += 1
+                if patience >= cfg.patience:
+                    converged = True
+                    stop = True
+            else:
+                patience = 0
+            prev_loss = loss
+
+        # ---- per-sweep observability: the loop is host-driven, so sweep
+        # boundaries carry callbacks and preemption-safe checkpoints
+        # (round-2 review: streaming fits were observability-dark) ----
+        done_sweeps = it + 1
+        if on_iteration is not None:
+            on_iteration(it + 1, float(hist[-1]),
+                         float(test_hist[-1]) if test_hist
+                         else float("nan"))
+        if checkpoint_path is not None and (
+                (it + 1) % int(checkpoint_every) == 0 or stop
+                or it + 1 == cfg.max_iter):
+            from ..utils.checkpoint import save_stream_state
+            save_stream_state(
+                checkpoint_path, cfg, W_T=W_T, H=H, d=d, it=it + 1,
+                prev_loss=prev_loss, patience=patience,
+                best_test=best_test, best_iter=best_iter, hist=hist,
+                test_hist=test_hist, pi_vec=pi_vec, converged=converged)
+        if stop:
+            break
 
     res = NMFResult(
         W=np.asarray(W_T).T, d=np.asarray(d), H=np.asarray(H),
-        iterations=it if converged else it + 1,
+        iterations=done_sweeps,
         converged=converged,
         train_loss=float(hist[-1]) if hist else float("nan"),
         test_loss=float(test_hist[-1]) if test_hist else float("nan"),

@@ -95,6 +95,26 @@ def mesh_padding(mesh: Mesh, m: int, n: int):
     return (-m) % mr, (-n) % mc
 
 
+def check_pad_soundness(cfg: NMFConfig, pm: int, pn: int) -> None:
+    """Reject the one configuration where mesh zero-padding is unsound.
+
+    Pads solve to exact zeros except when ``nonneg=False`` combines with
+    ``L1 > 0``: the unconstrained solve of b = -L1 is off zero, so padded
+    rows/columns would leak nonzero factor mass into Grams and losses
+    (see :func:`pad_to_mesh`).  Raising here turns silent wrongness into
+    an actionable error (round-2 review: Weak #2)."""
+    if not (pm or pn):
+        return
+    bad = [side for side, fc in (("W", cfg.W), ("H", cfg.H))
+           if not fc.nonneg and fc.L1 > 0]
+    if bad:
+        raise ValueError(
+            f"semi-NMF (nonneg=False) with L1 > 0 on {'/'.join(bad)} is "
+            f"unsound with mesh zero-padding (pads would solve off zero); "
+            f"pad the data to mesh-divisible dimensions yourself or drop "
+            f"L1 on the unconstrained factor")
+
+
 def pad_to_mesh(mesh: Mesh, A, W_T, H):
     """Zero-pad A/W_T/H so every dimension divides the mesh.
 
@@ -142,6 +162,7 @@ def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
     if not device_in:
         A = np.asarray(A, dtype=np.float32)
     m, n = A.shape
+    check_pad_soundness(cfg, *mesh_padding(mesh, m, n))
     W_T0, H0, d0 = nmf_mod.init_factors(
         cfg, m, n, A=None if device_in else A,
         w_init=w_init, h_init=h_init)
@@ -168,7 +189,12 @@ def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
     else:
         state = nmf_mod._fit_mse(cfg, A_d, W_d, H_d, d_d, {})
         res = nmf_mod.finalize_result(cfg, state)
-    # slice any mesh padding back off (pads solve to exact zeros)
+    return unpad_result(res, cfg, m, n)
+
+
+def unpad_result(res, cfg: NMFConfig, m: int, n: int):
+    """Slice mesh zero-padding back off a fitted result (pads solve to
+    exact zeros); shared by the sharded and checkpointed-sharded drivers."""
     if res.W.shape[0] != m:
         res.W = res.W[:m]
     if res.H.shape[1] != n:

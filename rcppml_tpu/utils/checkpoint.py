@@ -115,8 +115,14 @@ class CheckpointCallback:
 # Preemption-safe checkpointing of the FUSED while-loop fit (SURVEY §5)
 # ---------------------------------------------------------------------------
 
-def save_fit_state(state, cfg: NMFConfig, path: str) -> None:
-    """Atomically persist a raw FitState (host leaves) + config."""
+def save_fit_state(state, cfg: NMFConfig, path: str,
+                   mesh_shape=None) -> None:
+    """Atomically persist a raw FitState (host leaves) + config.
+
+    ``mesh_shape``: (rows, cols) of the device mesh for sharded fits —
+    stored so a resume on a different mesh shape is rejected (padding and
+    reduction orders differ across mesh shapes, breaking the bitwise
+    resume contract)."""
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
@@ -129,11 +135,25 @@ def save_fit_state(state, cfg: NMFConfig, path: str) -> None:
                                 float(state.patience_ctr),
                                 float(state.converged),
                                 float(state.final_tol)], np.float64),
+            mesh_shape=np.asarray(mesh_shape or (0, 0), np.int64),
             config=np.asarray(_cfg_to_json(cfg)))
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def _check_mesh_shape(z, mesh_shape) -> None:
+    stored = tuple(np.asarray(z["mesh_shape"]).tolist()) \
+        if "mesh_shape" in z.files else (0, 0)
+    current = tuple(mesh_shape or (0, 0))
+    if stored != current:
+        def name(s):
+            return "no mesh" if s == (0, 0) else f"mesh {s[0]}x{s[1]}"
+        raise ValueError(
+            f"checkpoint was written under {name(stored)} but resume "
+            f"runs under {name(current)}; resume on the same mesh shape "
+            "(padding and reduction order differ otherwise)")
 
 
 def _validate_and_resize(z, cfg: NMFConfig):
@@ -169,11 +189,12 @@ def _validate_and_resize(z, cfg: NMFConfig):
     return sc, hist
 
 
-def load_fit_state(path: str, cfg: NMFConfig):
+def load_fit_state(path: str, cfg: NMFConfig, mesh_shape=None):
     """Load a raw FitState checkpoint (see :func:`_validate_and_resize`
     for the config compatibility contract)."""
     from ..models.nmf import FitState
     with np.load(path, allow_pickle=False) as z:
+        _check_mesh_shape(z, mesh_shape)
         sc, hist = _validate_and_resize(z, cfg)
         it = int(sc[0])
         return FitState(
@@ -185,15 +206,33 @@ def load_fit_state(path: str, cfg: NMFConfig):
             final_tol=np.float32(sc[4]), loss_hist=hist)
 
 
+def _mesh_state_shardings(mesh):
+    """Canonical NamedShardings for a FitState/IRLSState on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return {
+        "W_T": NamedSharding(mesh, P(None, "rows")),
+        "H": NamedSharding(mesh, P(None, "cols")),
+        "A": NamedSharding(mesh, P("rows", "cols")),
+        "rep": NamedSharding(mesh, P()),
+    }
+
+
 def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
                      w_init=None, h_init=None, aux=None,
-                     sparse_zeros: bool = False) -> NMFResult:
+                     sparse_zeros: bool = False, mesh=None) -> NMFResult:
     """Preemption-safe fused fit: run the on-device while_loop in segments
     of ``every`` iterations, atomically checkpointing the full fit state
     after each segment, and resume from ``path`` if it exists.
     Covers both the fused MSE path and the fused IRLS path (KL/NB/GP/
     gamma/…, including zero-inflated fits, whose imputed matrix is
     checkpointed as genuine loop state).
+
+    ``mesh``: optional jax.sharding.Mesh — the pod-scale case SURVEY §5
+    names ("needed at pod scale"): A is block-sharded and the identical
+    segment executable runs under GSPMD.  The factor state is k-scaled,
+    so the per-segment gather-to-host is cheap even sharded; checkpoints
+    record the mesh shape and resume rejects a mismatched mesh (padding
+    and reduction order differ across shapes, breaking bitwise resume).
 
     Every segment reuses ONE compiled executable (the segment bound is a
     traced scalar), so the fused-loop performance is preserved — the only
@@ -211,7 +250,7 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
     if cfg.requires_irls():
         return _fit_irls_checkpointed(A, cfg, path, every=every,
                                       w_init=w_init, h_init=h_init, aux=aux,
-                                      sparse_zeros=sparse_zeros)
+                                      sparse_zeros=sparse_zeros, mesh=mesh)
 
     if isinstance(A, jax.Array):
         A_dev = A.astype(jnp.float32)
@@ -222,21 +261,58 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
     aux_dev = {key: jnp.asarray(val, jnp.float32)
                for key, val in (aux or {}).items() if val is not None}
 
+    mesh_shape = None
+    if mesh is not None:
+        from ..parallel import mesh as mesh_mod
+        if aux_dev:
+            raise ValueError("checkpoint_path with mesh= does not support "
+                             "graph/target auxiliaries yet")
+        mesh_mod.check_pad_soundness(
+            cfg, *mesh_mod.mesh_padding(mesh, m, n))
+        mesh_shape = (mesh.shape["rows"], mesh.shape["cols"])
+        sh = _mesh_state_shardings(mesh)
+
+    def _shard_state(host_state):
+        leaves = [jnp.asarray(x) for x in host_state]
+        if mesh is None:
+            return nmf_mod.FitState(*leaves)
+        st = nmf_mod.FitState(*leaves)
+        return st._replace(
+            W_T=jax.device_put(st.W_T, sh["W_T"]),
+            H=jax.device_put(st.H, sh["H"]),
+            d=jax.device_put(st.d, sh["rep"]),
+            loss_hist=jax.device_put(st.loss_hist, sh["rep"]))
+
     if os.path.exists(path):
-        host_state = load_fit_state(path, cfg)
-        if host_state.W_T.shape != (k, m) or host_state.H.shape != (k, n):
+        host_state = load_fit_state(path, cfg, mesh_shape=mesh_shape)
+        # padded (device) dims must match: the checkpoint stores the
+        # padded state so resume is bitwise
+        mp, np_ = (m, n)
+        if mesh is not None:
+            pm, pn = mesh_mod.mesh_padding(mesh, m, n)
+            mp, np_ = m + pm, n + pn
+        if host_state.W_T.shape != (k, mp) or host_state.H.shape != (k, np_):
             raise ValueError("checkpoint factor shapes do not match the data")
-        state = nmf_mod.FitState(*[jnp.asarray(x) for x in host_state])
+        state = _shard_state(host_state)
         it = int(host_state.it)
         converged = bool(host_state.converged)
+        if mesh is not None:
+            A_dev, _, _, _ = mesh_mod.shard_arrays(
+                mesh, A_dev, jnp.zeros((k, m)), jnp.zeros((k, n)),
+                jnp.ones((k,)))
     else:
         W_T0, H0, d0 = nmf_mod.init_factors(
             cfg, m, n, A=A_dev if cfg.init_mode in (1, 2) else None,
             w_init=w_init, h_init=h_init)
+        if mesh is not None:
+            A_dev, W_T0, H0, d0 = mesh_mod.shard_arrays(
+                mesh, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
+                jnp.asarray(d0))
         state = nmf_mod._init_fit_state(cfg, jnp.asarray(W_T0),
                                         jnp.asarray(H0), jnp.asarray(d0))
         it = 0
         converged = False
+    mp, np_ = (state.W_T.shape[1], state.H.shape[1])
 
     scfg = cfg.device_static()
     while it < cfg.max_iter and not converged:
@@ -244,12 +320,16 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
         state = nmf_mod._fit_mse_seg(scfg, A_dev, state, aux_dev,
                                      jnp.int32(seg_end))
         buf = np.asarray(jax.device_get(nmf_mod._pack_state(state)))
-        host_state = nmf_mod._unpack_state(buf, k, m, n, cfg.max_iter)
+        host_state = nmf_mod._unpack_state(buf, k, mp, np_, cfg.max_iter)
         it = int(host_state.it)
         converged = bool(host_state.converged)
-        save_fit_state(host_state, cfg, path)
+        save_fit_state(host_state, cfg, path, mesh_shape=mesh_shape)
 
-    return nmf_mod.finalize_result(cfg, state)
+    res = nmf_mod.finalize_result(cfg, state)
+    if mesh is not None:
+        from ..parallel.mesh import unpad_result
+        res = unpad_result(res, cfg, m, n)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +340,8 @@ _IRLS_VECS = ("W_T", "H", "d", "disp_row", "disp_col", "pi_row", "pi_col",
               "loss_hist")
 
 
-def save_irls_state(state, cfg: NMFConfig, path: str) -> None:
+def save_irls_state(state, cfg: NMFConfig, path: str,
+                    mesh_shape=None) -> None:
     """Atomically persist a host IRLSState + config.
 
     ``A_imp`` (the ZI soft-imputed matrix) is included only for ZI fits —
@@ -280,6 +361,7 @@ def save_irls_state(state, cfg: NMFConfig, path: str) -> None:
                                 float(state.patience_ctr),
                                 float(state.converged),
                                 float(state.final_tol)], np.float64),
+            mesh_shape=np.asarray(mesh_shape or (0, 0), np.int64),
             config=np.asarray(_cfg_to_json(cfg)),
             **arrays)
         os.replace(tmp, path)
@@ -288,12 +370,13 @@ def save_irls_state(state, cfg: NMFConfig, path: str) -> None:
             os.remove(tmp)
 
 
-def load_irls_state(path: str, cfg: NMFConfig, A_dev):
+def load_irls_state(path: str, cfg: NMFConfig, A_dev, mesh_shape=None):
     """Load an IRLSState checkpoint, validating config compatibility the
     same way as :func:`load_fit_state` (only ``max_iter`` may grow)."""
     from ..models.nmf_irls import IRLSState
     import jax.numpy as jnp
     with np.load(path, allow_pickle=False) as z:
+        _check_mesh_shape(z, mesh_shape)
         sc, hist = _validate_and_resize(z, cfg)
         vecs = {name: jnp.asarray(np.asarray(z[name], np.float32))
                 for name in _IRLS_VECS if name != "loss_hist"}
@@ -308,14 +391,18 @@ def load_irls_state(path: str, cfg: NMFConfig, A_dev):
 
 def _fit_irls_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
                            w_init=None, h_init=None, aux=None,
-                           sparse_zeros: bool = False) -> NMFResult:
+                           sparse_zeros: bool = False,
+                           mesh=None) -> NMFResult:
     """Segmented fused IRLS fit with atomic periodic checkpoints.
 
     Same contract as the MSE path: every segment reuses ONE compiled
     executable (`seg_end` is a traced bound on nmf_irls._fit_irls_jit), the
     iteration sequence is identical to the unsegmented fit, and resume
     from ``path`` is bit-exact (ZI fits persist the imputed matrix, the
-    only large loop-state buffer)."""
+    only large loop-state buffer).  With ``mesh``, A/A_imp are
+    block-sharded and segments run under GSPMD with valid-region
+    accounting for any mesh padding (same design as
+    parallel.mesh.fit_sharded)."""
     import jax
     import jax.numpy as jnp
     from ..models import nmf as nmf_mod
@@ -331,17 +418,57 @@ def _fit_irls_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
                for key, val in (aux or {}).items()
                if val is not None and not key.endswith("_gram")}
 
+    mesh_shape = None
+    valid_dims = None
+    mp, np_ = m, n
+    if mesh is not None:
+        from ..parallel import mesh as mesh_mod
+        if aux_dev:
+            raise ValueError("checkpoint_path with mesh= does not support "
+                             "graph/target auxiliaries yet")
+        mesh_mod.check_pad_soundness(
+            cfg, *mesh_mod.mesh_padding(mesh, m, n))
+        mesh_shape = (mesh.shape["rows"], mesh.shape["cols"])
+        sh = _mesh_state_shardings(mesh)
+        pm, pn = mesh_mod.mesh_padding(mesh, m, n)
+        mp, np_ = m + pm, n + pn
+        if (pm, pn) != (0, 0):
+            valid_dims = (m, n)
+
+    def _shard_irls(state):
+        if mesh is None:
+            return state
+        rep = {f: jax.device_put(getattr(state, f), sh["rep"])
+               for f in ("d", "disp_row", "disp_col", "pi_row", "pi_col",
+                         "loss_hist")}
+        return state._replace(
+            A_imp=jax.device_put(state.A_imp, sh["A"]),
+            W_T=jax.device_put(state.W_T, sh["W_T"]),
+            H=jax.device_put(state.H, sh["H"]), **rep)
+
     if os.path.exists(path):
-        state = load_irls_state(path, cfg, A_dev)
-        if state.W_T.shape != (k, m) or state.H.shape != (k, n):
+        if mesh is not None:
+            # the stored A_imp (non-ZI fallback = A itself) must be the
+            # PADDED matrix for shapes to line up
+            A_dev, _, _, _ = mesh_mod.shard_arrays(
+                mesh, A_dev, jnp.zeros((k, m)), jnp.zeros((k, n)),
+                jnp.ones((k,)))
+        state = load_irls_state(path, cfg, A_dev, mesh_shape=mesh_shape)
+        if state.W_T.shape != (k, mp) or state.H.shape != (k, np_):
             raise ValueError("checkpoint factor shapes do not match the data")
+        state = _shard_irls(state)
         it = int(state.it)
         converged = bool(state.converged)
     else:
         W_T0, H0, d0 = nmf_mod.init_factors(
             cfg, m, n, A=A_dev if cfg.init_mode in (1, 2) else None,
             w_init=w_init, h_init=h_init)
-        state = irls_mod._init_irls_state(A_dev, cfg, W_T0, H0, d0)
+        if mesh is not None:
+            A_dev, W_T0, H0, d0 = mesh_mod.shard_arrays(
+                mesh, A_dev, jnp.asarray(W_T0), jnp.asarray(H0),
+                jnp.asarray(d0))
+        state = irls_mod._init_irls_state(A_dev, cfg, W_T0, H0, d0,
+                                          valid_dims=valid_dims)
         it = 0
         converged = False
 
@@ -349,7 +476,7 @@ def _fit_irls_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
     while it < cfg.max_iter and not converged:
         seg_end = min(it + every, cfg.max_iter)
         state = irls_mod._fit_irls_jit(scfg, A_dev, aux_dev, state,
-                                       sparse_zeros,
+                                       sparse_zeros, valid_dims=valid_dims,
                                        seg_end=jnp.int32(seg_end))
         # one batched transfer of the small fields for the npz write;
         # state itself stays on device for the next segment
@@ -359,9 +486,83 @@ def _fit_irls_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
                                      if cfg.has_zi() else None))
         it = int(host.it)
         converged = bool(host.converged)
-        save_irls_state(host, cfg, path)
+        save_irls_state(host, cfg, path, mesh_shape=mesh_shape)
 
-    return irls_mod.finalize_irls_result(cfg, state)
+    res = irls_mod.finalize_irls_result(cfg, state)
+    if mesh is not None:
+        from ..parallel.mesh import unpad_result
+        res = unpad_result(res, cfg, m, n)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Sweep-granular streaming checkpointing (round-2 review: streaming fits
+# were observability-dark — no checkpoint, no callback)
+# ---------------------------------------------------------------------------
+
+def save_stream_state(path: str, cfg: NMFConfig, *, W_T, H, d, it,
+                      prev_loss, patience, best_test, best_iter,
+                      hist, test_hist, pi_vec=None,
+                      converged: bool = False) -> None:
+    """Atomically persist the host-driven streaming loop's state after a
+    sweep.  The chunked loop is host-driven per panel, so sweep boundaries
+    are natural checkpoint points (the analog of the fused loop's segment
+    boundaries); resume is bit-exact because every piece of cross-sweep
+    state is captured (factors, convergence counters, ZI pi)."""
+    dirname = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp.npz")
+    os.close(fd)
+    arrays = dict(W_T=np.asarray(W_T), H=np.asarray(H), d=np.asarray(d),
+                  hist=np.asarray(hist, np.float64),
+                  test_hist=np.asarray(test_hist, np.float64))
+    if pi_vec is not None:
+        arrays["pi_vec"] = np.asarray(pi_vec)
+    try:
+        np.savez_compressed(
+            tmp,
+            scalars=np.asarray([float(it), float(prev_loss),
+                                float(patience), float(best_test),
+                                float(best_iter), float(converged)],
+                               np.float64),
+            config=np.asarray(_cfg_to_json(cfg)),
+            **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def load_stream_state(path: str, cfg: NMFConfig) -> dict:
+    """Load a streaming checkpoint; config must match except max_iter
+    (same contract as the fused-loop checkpoints)."""
+    with np.load(path, allow_pickle=False) as z:
+        stored = json.loads(str(z["config"]))
+        current = json.loads(_cfg_to_json(cfg))
+        stored.pop("max_iter")
+        current_mi = current.pop("max_iter")
+        if stored != current:
+            diff = {k for k in current if stored.get(k) != current.get(k)}
+            raise ValueError(
+                f"checkpoint config mismatch on fields {sorted(diff)}; "
+                "resume with the same configuration (only maxit may grow)")
+        sc = z["scalars"]
+        if current_mi < int(sc[0]):
+            raise ValueError(
+                f"checkpoint already has {int(sc[0])} sweeps but "
+                f"maxit = {current_mi}")
+        return {
+            "W_T": np.asarray(z["W_T"], np.float32),
+            "H": np.asarray(z["H"], np.float32),
+            "d": np.asarray(z["d"], np.float32),
+            "it": int(sc[0]), "prev_loss": float(sc[1]),
+            "patience": int(sc[2]), "best_test": float(sc[3]),
+            "best_iter": int(sc[4]),
+            "converged": bool(sc[5] > 0.5) if len(sc) > 5 else False,
+            "hist": list(np.asarray(z["hist"], np.float64)),
+            "test_hist": list(np.asarray(z["test_hist"], np.float64)),
+            "pi_vec": (np.asarray(z["pi_vec"], np.float32)
+                       if "pi_vec" in z.files else None),
+        }
 
 
 def resume_kwargs(path: str) -> dict:

@@ -284,9 +284,11 @@ def test_streaming_zi_em_iters_warns(zi_sim):
         nmf_chunked(InMemoryLoader(zi_sim, chunk_cols=48), cfg)
 
 
-def test_streaming_checkpoint_path_rejected(sim, tmp_path):
-    """checkpoint_path cannot apply to the host-driven streaming loop —
-    refuse instead of silently never writing a checkpoint."""
-    with pytest.raises(ValueError, match="checkpoint_path"):
-        rt.nmf(sim["A"], 3, streaming=True, maxit=3,
-               checkpoint_path=str(tmp_path / "ck.npz"))
+def test_streaming_checkpoint_path_writes(sim, tmp_path):
+    """The host-driven streaming loop checkpoints at sweep granularity
+    (round-3: was refused; bitwise-resume coverage lives in
+    tests/test_mesh_streaming.py)."""
+    import os
+    ck = str(tmp_path / "ck.npz")
+    rt.nmf(sim["A"], 3, streaming=True, maxit=3, checkpoint_path=ck)
+    assert os.path.exists(ck)
