@@ -87,10 +87,13 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
     (fit_cv.hpp:417,581).  ``target``: optional (k, nc) enrichment target
     (fc.target_lambda > 0): G.diag += lam, b += lam * T (factor_config.hpp:80-102).
     """
+    from .nmf_irls import _use_kr
     k, m = F.shape
     n = A_data.shape[1]
     dtype = A_data.dtype
-    bc = _block_count(n, k, m)
+    use_kr = _use_kr(k, m)
+    KR = linalg.kr_product(F) if use_kr else None
+    bc = _block_count(n, k, m, kr=use_kr)
     A_pad, _ = _pad_cols(A_data, bc)
     W_pad, _ = _pad_cols(train_w, bc)
     X_warm_pad, _ = _pad_cols(X_warm, bc)
@@ -101,7 +104,7 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
     def solve_block(blk_idx):
         A_blk = lax.dynamic_slice_in_dim(A_pad, blk_idx * bc, bc, axis=1)
         w_blk = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
-        Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk)
+        Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk, KR=KR)
         Gb = Gb + (1e-15 + fc.L2) * eye[None]
         if G_add is not None:
             Gb = Gb + G_add[None]

@@ -55,11 +55,26 @@ class IRLSState(NamedTuple):
     loss_hist: jax.Array
 
 
-def _block_count(n: int, k: int, m: int, budget_floats: float = 1.2e8) -> int:
+def _block_count(n: int, k: int, m: int, budget_floats: float = 1.2e8,
+                 kr: bool = False) -> int:
     """Column block size for the weighted-Gram solve: bound the (BC, k, m)
-    intermediate to ~budget floats."""
-    bc = max(8, int(budget_floats / max(k * m, 1)))
+    intermediate to ~budget floats.  With the Khatri-Rao Gram path (``kr``)
+    that intermediate does not exist — the bound is the (BC, k, k) Gram
+    output + the (m, BC) weight block, so blocks are much wider (fewer
+    sequential lax.map steps)."""
+    if kr:
+        bc = max(8, int(budget_floats / max(2 * k * k, m, 1)))
+    else:
+        bc = max(8, int(budget_floats / max(k * m, 1)))
     return min(bc, n)
+
+
+def _use_kr(k: int, m: int) -> bool:
+    """Whether the Khatri-Rao Gram formulation applies (TPU, operand fits)."""
+    import jax as _jax
+    from ..ops.linalg import KR_BUDGET_FLOATS
+    return (_jax.default_backend() != "cpu"
+            and k * k * m <= KR_BUDGET_FLOATS)
 
 
 def _pad_cols(X, bc):
@@ -94,7 +109,9 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
     dtype = A_data.dtype
     wcfg = cfg.replace(loss=active_loss)
 
-    bc = _block_count(n, k, m)
+    use_kr = _use_kr(k, m)
+    KR = linalg.kr_product(F) if use_kr else None
+    bc = _block_count(n, k, m, kr=use_kr)
     A_pad, pad = _pad_cols(A_data, bc)
     W_pad = _pad_cols(extra_w, bc)[0] if extra_w is not None else None
     Xw_pad = _pad_cols(X_warm, bc)[0] if X_warm is not None else None
@@ -133,8 +150,9 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
                 w = jnp.where(nz, w, 1.0)
             if w_extra is not None:
                 w = w * w_extra
-            # per-column weighted Gram + RHS (bf16-in/f32-accum on TPU)
-            Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk)
+            # per-column weighted Gram + RHS (bf16-in/f32-accum on TPU;
+            # KR precomputed once per solve, see linalg.kr_product)
+            Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk, KR=KR)
             if fc.L2 > 0:
                 Gb = Gb + fc.L2 * jnp.eye(k, dtype=dtype)[None]
             if G_add is not None:
