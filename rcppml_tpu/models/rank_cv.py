@@ -24,7 +24,19 @@ def _evaluate_rank(A, k, base_cfg_kwargs, cache, mask=None):
     if k in cache:
         return cache[k]
     from ..api import build_config
-    cfg = build_config(int(k), **base_cfg_kwargs)
+    kw = dict(base_cfg_kwargs)
+    # The reference's rank search ALWAYS runs the CD solver in its CV fits
+    # (RcppFunctions_nmf.cpp:217 sets solver_mode=2, which fit_cv.hpp:463-473
+    # dispatches to cd_nnls_col_fixed for every mode != 1).  CD descends the
+    # per-column objective monotonically; cholesky+clip does not (the clip is
+    # a projection, not a solve), and its loss oscillation at k >> k_true
+    # destroys the overfitting signal the search depends on.
+    kw.setdefault("solver", "cd")
+    # Rank-dependent seed for initialization diversity (rank_cv.hpp:79-82)
+    seed = kw.get("seed")
+    if isinstance(seed, (int, np.integer)) and seed > 0:
+        kw["seed"] = int(seed) + int(k)
+    cfg = build_config(int(k), **kw)
     # the user mask must hold out of EVERY rank-search fit, not just the
     # final refit — corrupt/missing entries would otherwise drive the
     # train/test losses and the k decision
