@@ -22,6 +22,35 @@ import numpy as np
 PUBLISHED_PBMC_K20_CPU_S = 2.18    # 56-thread Xeon Gold 6238R (vignette)
 PUBLISHED_PBMC_K20_H100_S = 0.21   # H100 NVL 96GB (vignette)
 
+# Public per-chip peaks for roofline accounting (achieved / peak).  Keyed by
+# jax device_kind; values = (HBM GB/s, bf16 TFLOP/s).
+_DEVICE_PEAKS = {
+    "TPU v5 lite": (819.0, 197.0),     # v5e
+    "TPU v4": (1228.0, 275.0),
+    "TPU v5p": (2765.0, 459.0),
+    "TPU v6 lite": (1640.0, 918.0),    # v6e / Trillium
+}
+
+
+def _roofline(m, n, k, iters, seconds, data_bytes, hbm_peak):
+    """Model-based achieved GFLOP/s + HBM GB/s for one fused ALS MSE loop.
+
+    Per iteration: two rank-k passes over A (B = WᵀA and AHᵀ, 2·m·n·k FLOPs
+    each), two k×k Grams, 2(m+n) k² solve work — FLOPs ≈ 4mnk + 4(m+n)k².
+    HBM traffic is dominated by the two A reads per iteration
+    (BENCH_NOTES.md roofline analysis: ~94 MB of the ~97 MB/iter on
+    movielens fp32) plus factor reads/writes.
+    """
+    it_s = seconds / iters
+    flops = 4.0 * m * n * k + 4.0 * (m + n) * k * k
+    bytes_ = 2.0 * m * n * data_bytes + 3.0 * (m + n) * k * 4.0
+    out = {"us_per_iter": round(it_s * 1e6, 1),
+           "achieved_gflops": round(flops / it_s / 1e9, 1),
+           "achieved_hbm_gbps": round(bytes_ / it_s / 1e9, 1)}
+    if hbm_peak:
+        out["hbm_peak_frac"] = round(bytes_ / it_s / 1e9 / hbm_peak, 3)
+    return out
+
 
 def _time_best_of(fn, reps=3):
     # best-of-N: robust to transient axon-tunnel dispatch noise
@@ -62,6 +91,19 @@ def main():
     ml16_s, res16 = _time_best_of(lambda: nmf_fit(ml, cfg16,
                                                   device_A=ml_dev))
 
+    import jax
+    kind = jax.devices()[0].device_kind
+    hbm_peak, bf16_peak = _DEVICE_PEAKS.get(kind, (None, None))
+    roof = {
+        "device": kind,
+        "peaks_assumed": {"hbm_gbps": hbm_peak, "bf16_tflops": bf16_peak},
+        "pbmc3k_k20_fp32": _roofline(*pb.shape, 20, 20, pb_s, 4, hbm_peak),
+        "movielens_k50_fp32": _roofline(*ml.shape, 50, res.iterations,
+                                        ml_s, 4, hbm_peak),
+        "movielens_k50_bf16": _roofline(*ml.shape, 50, res16.iterations,
+                                        ml16_s, 2, hbm_peak),
+    }
+
     print(json.dumps({
         "metric": "pbmc3k_k20_nmf_20iter_seconds",
         "value": round(pb_s, 4),
@@ -72,6 +114,7 @@ def main():
             "movielens_k50_als_iters_per_sec": round(res.iterations / ml_s, 1),
             "movielens_k50_bf16_iters_per_sec": round(
                 res16.iterations / ml16_s, 1),
+            "roofline": roof,
         },
     }))
 

@@ -694,9 +694,13 @@ class FactorNet:
             out.logger = logger
         for i, layer in enumerate(self._layers):
             W_T, Hm, d = out_states[i]
+            # per-layer loss from the history row of the last completed
+            # iteration (hist[:, 1+i]); the total is on the GraphResult
+            layer_loss = (float(hist[int(it) - 1, 1 + i]) if int(it) > 0
+                          else float("nan"))
             s = LayerResult(W=np.asarray(W_T).T, d=np.asarray(d),
                             H=np.asarray(Hm), iterations=int(it),
-                            loss=float(loss), converged=bool(conv))
+                            loss=layer_loss, converged=bool(conv))
             node, _ = self._resolve_source(layer.input)
             if isinstance(node, Shared):
                 _, blocks = data_map[id(node)]
