@@ -322,6 +322,31 @@ void decode_byteshuffle(const uint8_t* data, size_t size, uint32_t count,
 }
 
 // ---------------------------------------------------------------------------
+// CRC32 (zlib polynomial 0xEDB88320, reflected) — the footer's file_crc32
+// covers every byte before the 16-byte footer (format/checksum.hpp:17-70,
+// writer use sparsepress_v2.hpp:861).  Matches python zlib.crc32 so the
+// structural golden tests can verify independently.
+// ---------------------------------------------------------------------------
+
+static uint32_t crc32_bytes(const uint8_t* data, size_t len) {
+    static uint32_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (uint32_t i = 0; i < 256; ++i) {
+            uint32_t c = i;
+            for (int j = 0; j < 8; ++j)
+                c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
+            table[i] = c;
+        }
+        init = true;
+    }
+    uint32_t crc = 0xFFFFFFFFu;
+    for (size_t i = 0; i < len; ++i)
+        crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    return crc ^ 0xFFFFFFFFu;
+}
+
+// ---------------------------------------------------------------------------
 // v2 container structs (layout mirrors the published 128-byte header)
 // ---------------------------------------------------------------------------
 
@@ -369,6 +394,16 @@ static_assert(sizeof(ChunkDesc) == 48, "chunk descriptor must be 48 bytes");
 
 enum VType : uint8_t { VT_U8 = 0, VT_U16 = 1, VT_U32 = 2, VT_F32 = 3,
                        VT_F16 = 4, VT_Q8 = 5, VT_F64 = 6 };
+
+static uint32_t vt_size(uint8_t vt) {
+    switch (vt) {
+        case VT_U8: case VT_Q8: return 1;
+        case VT_U16: case VT_F16: return 2;
+        case VT_U32: case VT_F32: return 4;
+        case VT_F64: return 8;
+        default: return 0;
+    }
+}
 
 thread_local std::string g_error;
 
@@ -750,8 +785,11 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                     switch (value_type) {
                         case VT_U8: case VT_U16: case VT_U32: {
                             std::vector<uint32_t> iv(d.nnz);
+                            // round in double: v + 0.5f at |v| >= 2^23
+                            // rounds a full fp32 ulp upward (off-by-one)
                             for (uint32_t k = 0; k < d.nnz; ++k)
-                                iv[k] = static_cast<uint32_t>(vals[k] + 0.5f);
+                                iv[k] = static_cast<uint32_t>(
+                                    static_cast<double>(vals[k]) + 0.5);
                             val_stream = encode_rans_escape(iv.data(), d.nnz);
                             break;
                         }
@@ -787,6 +825,11 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                 d.stream_offset[1] = static_cast<uint32_t>(data.size());
                 d.stream_size[1] = static_cast<uint32_t>(val_stream.size());
                 data.insert(data.end(), val_stream.begin(), val_stream.end());
+                // decoded allocation hints, as the reference writer fills
+                // them (sparsepress_v2.hpp:610-611)
+                d.decoded_gap_bytes = d.nnz * 4;
+                d.decoded_value_bytes =
+                    d.nnz * static_cast<uint32_t>(vt_size(value_type));
             }
         };
 
@@ -823,11 +866,16 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
         h.num_chunks = static_cast<uint32_t>(descs.size());
         h.table_log = kProbBits;
         h.value_type = value_type;
+        h.compression_level = 1;   // DEFAULT (sparsepress_v2.hpp:633)
         h.density = (m && n)
             ? static_cast<float>(static_cast<double>(nnz) / (static_cast<double>(m) * n))
             : 0.0f;
         h.chunk_index_offset = sizeof(Header);
-        h.data_offset = h.chunk_index_offset + descs.size() * sizeof(ChunkDesc);
+        // tables are embedded per chunk, so the table section is empty:
+        // tables_offset == data_offset, num_tables == 0 — the layout the
+        // reference writer emits (sparsepress_v2.hpp:630,643-644)
+        h.tables_offset = h.chunk_index_offset + descs.size() * sizeof(ChunkDesc);
+        h.data_offset = h.tables_offset;
         uint64_t pos = h.data_offset + data.size();
         if (with_transpose) {
             h.transpose_offset = pos;
@@ -851,10 +899,13 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
             w += t_descs.size() * sizeof(ChunkDesc);
             std::memcpy(w, t_data.data(), t_data.size()); w += t_data.size();
         }
-        // footer: [metadata_size u32][crc u32][total_chunks u32]["SPEN"]
+        // footer: [metadata_size u32][crc u32][total_chunks u32]["SPEN"];
+        // file_crc32 covers everything before the footer
+        // (sparsepress_v2.hpp:858-863)
         uint32_t zero = 0;
+        uint32_t crc = crc32_bytes(out, static_cast<size_t>(pos));
         std::memcpy(w, &zero, 4); w += 4;
-        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &crc, 4); w += 4;
         std::memcpy(w, &h.num_chunks, 4); w += 4;
         std::memcpy(w, "SPEN", 4); w += 4;
         return static_cast<int64_t>(total);
@@ -1128,9 +1179,12 @@ int64_t spz3_encode(uint32_t m, uint32_t n, const float* data, uint8_t codec,
             w += t_descs.size() * sizeof(DenseChunkDesc);
             std::memcpy(w, t_panels.data(), t_panels.size()); w += t_panels.size();
         }
+        // v3 footer mirrors v2: crc over everything before the footer
+        // (sparsepress_v3.hpp:495-498)
         uint32_t zero = 0;
+        uint32_t crc = crc32_bytes(out, static_cast<size_t>(pos));
         std::memcpy(w, &zero, 4); w += 4;
-        std::memcpy(w, &zero, 4); w += 4;
+        std::memcpy(w, &crc, 4); w += 4;
         std::memcpy(w, &h.num_chunks, 4); w += 4;
         std::memcpy(w, "SPEN", 4); w += 4;
         return static_cast<int64_t>(total);

@@ -123,10 +123,15 @@ def compress_to_spz_bytes(mat, *, value_type: str = "auto",
     mat.sort_indices()
     x = np.asarray(mat.data, dtype=np.float32)
     if value_type == "auto":
+        # reference auto classification (header_v2.hpp:535-550): smallest
+        # unsigned integer type that holds all values, else fp32
         ints = np.all(x == np.round(x)) and np.all(x >= 0)
-        if ints and (x.max(initial=0) < 65536):
+        mx = x.max(initial=0)
+        if ints and mx <= 255:
+            value_type = "uint8"
+        elif ints and mx <= 65535:
             value_type = "uint16"
-        elif ints and (x.max(initial=0) < 2 ** 32):
+        elif ints and mx <= 2 ** 32 - 1:
             value_type = "uint32"
         else:
             value_type = "float32"

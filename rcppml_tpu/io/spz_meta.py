@@ -195,9 +195,11 @@ def attach_to_v2(buf: bytes, *, obs: Optional[Dict] = None,
     Sections go before the 16-byte footer; the header's reserved obs/var
     offsets (header_v2.hpp:173-186) and metadata_offset are patched.
     """
+    import zlib
     m, n = struct.unpack_from("<II", buf, 8)
     body = bytearray(buf[:-16])
-    footer = buf[-16:]
+    footer = bytearray(buf[-16:])
+    meta_size = 0
     if obs:
         struct.pack_into("<Q", body, 96, len(body))
         body += serialize_obs_var_table(obs, n)
@@ -206,9 +208,15 @@ def attach_to_v2(buf: bytes, *, obs: Optional[Dict] = None,
         body += serialize_obs_var_table(var, m)
     if rownames is not None or colnames is not None:
         struct.pack_into("<Q", body, 80, len(body))     # metadata_offset
-        body += serialize_metadata(rownames=rownames, colnames=colnames)
+        meta = serialize_metadata(rownames=rownames, colnames=colnames)
+        body += meta
+        meta_size = len(meta)
         body[116] |= 0x01                               # has_dimnames flag
-    return bytes(body) + footer
+    # rebuild the footer: metadata_size + file_crc32 over everything
+    # before the footer (Footer_v2, header_v2.hpp:251-262)
+    struct.pack_into("<II", footer, 0, meta_size,
+                     zlib.crc32(bytes(body)) & 0xFFFFFFFF)
+    return bytes(body) + bytes(footer)
 
 
 def v2_table_offsets(buf: bytes):
