@@ -448,6 +448,19 @@ def init_factors(cfg: NMFConfig, m: int, n: int, A=None,
     return W_T, H, d0
 
 
+@partial(jax.jit, static_argnames=("k", "m", "n"))
+def _init_random_device(k: int, m: int, n: int, seed_pair):
+    """Random init ON DEVICE — bit-identical to the host
+    :func:`init_factors` random path (fill_uniform_traced reproduces the
+    sequential SplitMix64 fill exactly, incl. the single-rounding uint64 ->
+    f32 conversion), so the k*(m+n) init floats never cross the host link.
+    ``seed_pair`` is traced (uint32[2]) so all seeds share one executable.
+    """
+    W_T = rng_mod.fill_uniform_traced(seed_pair, k, m)
+    H = rng_mod.fill_uniform_traced(seed_pair, k, n, offset=k * m)
+    return W_T, H, jnp.ones((k,), jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Host-level driver
 # ---------------------------------------------------------------------------
@@ -471,7 +484,13 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
     if cfg.rank > min(m, n):
         raise ValueError(f"rank {cfg.rank} exceeds min(dim) = {min(m, n)}")
 
-    W_T0, H0, d0 = init_factors(cfg, m, n, A=A, w_init=w_init, h_init=h_init)
+    if w_init is None and h_init is None and cfg.init_mode == 0:
+        # random init on device — no host fill, no host->device transfer
+        W_T0, H0, d0 = _init_random_device(
+            cfg.rank, m, n, jnp.asarray(rng_mod.seed_to_u32_pair(cfg.seed)))
+    else:
+        W_T0, H0, d0 = init_factors(cfg, m, n, A=A, w_init=w_init,
+                                    h_init=h_init)
 
     aux_dev = {key: jnp.asarray(val, jnp.float32)
                for key, val in (aux or {}).items() if val is not None}

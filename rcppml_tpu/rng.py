@@ -277,6 +277,92 @@ def position_hash_traced(seed, i, j):
     return _finalize_traced(h)
 
 
+def _u64_to_f32_rn(lo, hi):
+    """Exact uint64 -> float32 round-to-nearest-even, on uint32 limb pairs.
+
+    numpy/C++ convert uint64 to float32 with a single correctly-rounded
+    conversion; naive ``f32(hi)*2^32 + f32(lo)`` double-rounds (up to 1 ulp
+    off), which would break bit-parity between the device and host
+    :func:`fill_uniform`.  This reproduces the single rounding with integer
+    ops: keep the top 24 significant bits, round by the remainder (ties to
+    even), scale by the dropped power of two.
+    """
+    from jax import lax as _lax
+    u32 = jnp.uint32
+    nbits = jnp.where(hi == 0,
+                      32 - _lax.clz(lo),
+                      64 - _lax.clz(hi)).astype(jnp.int32)
+    shift = jnp.maximum(nbits - 24, 0).astype(u32)        # 0..40
+
+    # mant = z >> shift (result < 2^24, fits in lo32)
+    s_lo = jnp.minimum(shift, u32(31))                    # safe shift amounts
+    ge32 = shift >= u32(32)
+    sm32 = (u32(32) - jnp.minimum(shift, u32(31)))        # in 1..32, clamp
+    # z >> shift for 0 <= shift < 32:  (lo >> shift) | (hi << (32-shift))
+    lo_shift_lt32 = jnp.where(
+        shift == 0, lo,
+        (lo >> s_lo) | (hi << jnp.minimum(sm32, u32(31))))
+    # for 32 <= shift < 64: hi >> (shift-32)
+    lo_shift_ge32 = hi >> jnp.where(ge32, shift - u32(32), u32(0))
+    mant = jnp.where(ge32, lo_shift_ge32, lo_shift_lt32)
+
+    # rem = z & ((1 << shift) - 1), compared against half = 1 << (shift-1)
+    sh1 = jnp.where(shift == 0, u32(0), shift - u32(1))   # shift-1 (safe)
+    half_lo = jnp.where(sh1 < 32, u32(1) << jnp.minimum(sh1, u32(31)), u32(0))
+    half_hi = jnp.where(sh1 >= 32, u32(1) << jnp.where(
+        sh1 >= 32, sh1 - u32(32), u32(0)), u32(0))
+    # mask for rem
+    def _mask_pair(nb):
+        # ((1 << nb) - 1) as (lo, hi), nb in 0..40
+        lo_m = jnp.where(nb >= 32, u32(0xFFFFFFFF),
+                         (u32(1) << jnp.minimum(nb, u32(31))) - u32(1))
+        lo_m = jnp.where(nb == 0, u32(0), lo_m)
+        hi_m = jnp.where(nb >= 32,
+                         (u32(1) << jnp.minimum(nb - u32(32), u32(31)))
+                         - u32(1), u32(0))
+        return lo_m, hi_m
+    m_lo, m_hi = _mask_pair(shift)
+    rem_lo, rem_hi = lo & m_lo, hi & m_hi
+    gt_half = (rem_hi > half_hi) | ((rem_hi == half_hi) & (rem_lo > half_lo))
+    eq_half = (rem_hi == half_hi) & (rem_lo == half_lo)
+    odd = (mant & u32(1)) == u32(1)
+    round_up = jnp.where(shift == 0, False, gt_half | (eq_half & odd))
+    mant = mant + round_up.astype(u32)
+
+    # ldexp, not exp2: exp2 is a polynomial approximation and need not
+    # return exact powers of two
+    return jnp.ldexp(mant.astype(jnp.float32), shift.astype(jnp.int32))
+
+
+def fill_uniform_traced(seed, rows: int, cols: int, *, offset: int = 0):
+    """JAX-traced :func:`fill_uniform` — bit-identical column-major fill.
+
+    ``seed`` is an int (static) or a uint32[2] (lo, hi) pair from
+    :func:`seed_to_u32_pair`.  Runs on the accelerator, so the k*(m+n)
+    init draws never cross the host link (the host fill + device_put costs
+    ~60 ms over a remote tunnel; this is ~0).
+    """
+    if isinstance(seed, (int, np.integer)):
+        s = int(_canon_seed(int(seed)))
+        seed_pair = (jnp.uint32(s & 0xFFFFFFFF),
+                     jnp.uint32((s >> 32) & 0xFFFFFFFF))
+    else:
+        seed_pair = (seed[0], seed[1])
+    count = rows * cols
+    t = jnp.arange(offset + 1, offset + count + 1, dtype=jnp.uint32)
+    t_hi = jnp.zeros_like(t)
+    # counts can exceed 2^32 only for absurd shapes; keep the hi limb real
+    if offset + count + 1 > 0xFFFFFFFF:
+        t64 = np.arange(offset + 1, offset + count + 1, dtype=np.uint64)
+        t = jnp.asarray((t64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        t_hi = jnp.asarray((t64 >> np.uint64(32)).astype(np.uint32))
+    z = _u64_add(seed_pair, _u64_mul((t, t_hi),
+                                     _u64_const(0x9E3779B97F4A7C15)))
+    z = _finalize_traced(z)
+    u = _u64_to_f32_rn(*z) / jnp.float32(float(int(_U64_MAX)))
+    return u.reshape(cols, rows).T
+
+
 def is_holdout_traced(seed, i, j, inv_prob: int):
     """Traced boolean holdout test, identical to rng.hpp:164-170."""
     if inv_prob <= 0:
