@@ -309,14 +309,21 @@ class FactorNet:
 
     # -- topology ----------------------------------------------------------
     def compile(self) -> "FactorNet":
-        """Topological collection + validation of layer nodes."""
-        seen = set()
+        """Topological collection + validation of layer nodes.
+
+        DFS with an in-progress set so a cycle (only constructible by
+        mutating node inputs after the functional builders) raises instead
+        of silently fitting layers against stale upstream states."""
+        done = set()
+        in_progress = set()
         order: List[Node] = []
 
         def visit(node: Node):
-            if id(node) in seen:
+            if id(node) in done:
                 return
-            seen.add(id(node))
+            if id(node) in in_progress:
+                raise ValueError("graph contains a cycle")
+            in_progress.add(id(node))
             if isinstance(node, (NMFLayer, SVDLayer)):
                 visit(node.input)
                 order.append(node)
@@ -329,6 +336,8 @@ class FactorNet:
                 pass
             else:
                 raise TypeError(f"unknown node type {type(node)}")
+            in_progress.discard(id(node))
+            done.add(id(node))
 
         visit(self.output)
         if not order:
@@ -353,6 +362,39 @@ class FactorNet:
             zs.append(node.Z)
             node = node.input
         return node, zs
+
+    def _io_dims(self, data_shapes):
+        """Per-layer (a_i, b_i) input-matrix dims implied by the given
+        data-node shapes (node id -> (rows, cols)) — used by the mesh path
+        to compute pad-strip extents without materializing anything.
+        Layer i factorizes X_i (a_i, b_i): W_i is (a_i, k_i), H_i is
+        (k_i, b_i)."""
+        dims = []
+        idx_of = {id(l): j for j, l in enumerate(self._layers)}
+        for layer in self._layers:
+            node, zs = self._resolve_source(layer.input)
+            if isinstance(node, (Input, Shared)):
+                a, b = data_shapes[id(node)]
+            elif isinstance(node, Concat):
+                branches = [self._resolve_source(br)[0]
+                            for br in node.inputs]
+                if any(id(br) not in idx_of for br in branches):
+                    raise ValueError("concat branch is not a layer")
+                a = dims[idx_of[id(branches[0])]][1]
+                b = sum(self._layers[idx_of[id(br)]].k for br in branches)
+            elif isinstance(node, Add):
+                b0 = self._resolve_source(node.inputs[0])[0]
+                if id(b0) not in idx_of:
+                    raise ValueError("add branch is not a layer")
+                j = idx_of[id(b0)]
+                a, b = dims[j][1], self._layers[j].k
+            else:                                   # chained layer
+                j = idx_of[id(node)]
+                a, b = dims[j][1], self._layers[j].k
+            for Z in zs:
+                b += (Z.shape[1] if Z.shape[0] == a else Z.shape[0])
+            dims.append((int(a), int(b)))
+        return dims
 
     def _is_chain(self) -> bool:
         """True iff every layer i > 0 consumes exactly layer i-1's output
@@ -478,12 +520,26 @@ class FactorNet:
                 if j is None:
                     raise ValueError("concat branch is not a layer")
                 parts.append(h_of(j).T)
+            ns = {int(p.shape[0]) for p in parts}
+            if len(ns) > 1:
+                raise ValueError(
+                    f"factor_concat branches have mismatched sample "
+                    f"counts {sorted(ns)} (all branch H factors must "
+                    f"cover the same columns)")
             result = xp.concatenate(parts, axis=1)
         elif isinstance(node, Add):
             total = None
             for branch in node.inputs:
                 b, _ = self._resolve_source(branch)
-                h = h_of(idx_of[id(b)])
+                j = idx_of.get(id(b))
+                if j is None:
+                    raise ValueError("add branch is not a layer")
+                h = h_of(j)
+                if total is not None and h.shape != total.shape:
+                    raise ValueError(
+                        f"factor_add branches have mismatched H shapes "
+                        f"{total.shape} vs {h.shape} (equal rank k and "
+                        f"equal sample count required)")
                 total = h if total is None else total + h
             result = total.T
         elif isinstance(node, (NMFLayer, SVDLayer)):
@@ -635,40 +691,109 @@ class FactorNet:
 
         return run
 
-    def _fit_deep_fused(self, data_map, logger=None) -> Optional[GraphResult]:
+    def _fit_deep_fused(self, data_map, logger=None,
+                        mesh=None) -> Optional[GraphResult]:
         """Fully on-device outer ALS.  Returns None when ineligible (then
-        the host-driven loop below runs, exactly like the reference)."""
+        the host-driven loop below runs, exactly like the reference).
+
+        ``mesh``: optional jax.sharding.Mesh — each modality's data is
+        block-sharded over (rows, cols), factor states replicated, and the
+        SAME fused executable runs under GSPMD (Gram all-reduces inserted
+        from the data shardings; uneven dims use jax's native uneven
+        sharding, no padding needed since the program is semantics-
+        preserving under GSPMD)."""
         cfgs_auxs = self._deep_cfgs()
         if cfgs_auxs is None:
+            if mesh is not None:
+                raise ValueError(
+                    "mesh= requires the fused graph path; this graph has "
+                    "a layer configuration (IRLS loss / CV holdout / "
+                    "streaming input) that runs on the host loop")
             return None
         import jax
         import jax.numpy as jnp
+
+        shard = repl = None
+        strip_dims = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import check_pad_soundness, mesh_padding
+            shard = NamedSharding(mesh, PartitionSpec("rows", "cols"))
+            repl = NamedSharding(mesh, PartitionSpec())
 
         # warmup fits per layer (fit.hpp:280-300), device-resident inputs
         init_maxit = min(10, self.maxit)
         seed_base = self.seed if self.seed else 42
         data_ids = {}
-        datas = []
+        datas_raw = []          # unpadded, for the warmup fits
+        datas = []              # padded + sharded, for the fused executable
+        true_shapes = {}
+        pad_shapes = {}
         for layer in self._layers:
             node, _ = self._resolve_source(layer.input)
             if isinstance(node, (Input, Shared)) and id(node) not in data_ids:
                 data_ids[id(node)] = len(datas)
-                datas.append(jnp.asarray(data_map[id(node)][0]))
+                d = jnp.asarray(data_map[id(node)][0])
+                true_shapes[id(node)] = d.shape
+                datas_raw.append(d)
+                if shard is not None:
+                    # zero-pad to mesh-divisible dims (exact for the
+                    # fused-eligible MSE layers: zero rows/cols solve to
+                    # exactly zero — parallel/mesh.py pad_to_mesh), then
+                    # block-shard; pads are stripped at packaging below
+                    pm, pn = mesh_padding(mesh, *d.shape)
+                    for cfg_i, _ in cfgs_auxs:
+                        check_pad_soundness(cfg_i, pm, pn)
+                    if pm or pn:
+                        d = jnp.pad(d, ((0, pm), (0, pn)))
+                    d = jax.device_put(d, shard)
+                pad_shapes[id(node)] = d.shape
+                datas.append(d)
         datas = tuple(datas)
-        dev_map = {nid: (datas[pos], None) for nid, pos in data_ids.items()}
+        dev_map = {nid: (datas_raw[pos], None)
+                   for nid, pos in data_ids.items()}
 
-        states: List[tuple] = [None] * self.n_layers      # type: ignore
+        dims_t = self._io_dims(true_shapes)
+        z_pad = None
+        if shard is not None:
+            dims_p = self._io_dims(pad_shapes)
+            if pad_shapes != true_shapes:
+                strip_dims = dims_t
+            z_pad = [dims_p[i][0] - dims_t[i][0]
+                     for i in range(self.n_layers)]
+
+        # warmups run on UNPADDED data/states so mesh and single-device
+        # fits share the same random init and warm trajectory bit-for-bit
+        states_raw: List[tuple] = [None] * self.n_layers  # type: ignore
         for i, layer in enumerate(self._layers):
-            inp = self._effective_input(i, states, dev_map, xp=jnp)
+            inp = self._effective_input(i, states_raw, dev_map, xp=jnp)
             res = self._fit_layer(layer, inp, maxit=init_maxit,
                                   seed=seed_base + i)
-            states[i] = (jnp.asarray(np.ascontiguousarray(res.W.T)),
-                         jnp.asarray(res.H), jnp.asarray(res.d))
+            states_raw[i] = (jnp.asarray(np.ascontiguousarray(res.W.T)),
+                             jnp.asarray(res.H), jnp.asarray(res.d))
+        states = list(states_raw)
+        if shard is not None:
+            for i, st in enumerate(states_raw):
+                pa = dims_p[i][0] - dims_t[i][0]
+                pb = dims_p[i][1] - dims_t[i][1]
+                st = (jnp.pad(st[0], ((0, 0), (0, pa))),
+                      jnp.pad(st[1], ((0, 0), (0, pb))), st[2])
+                states[i] = tuple(jax.device_put(x, repl) for x in st)
 
-        zs = tuple(tuple(jnp.asarray(Z) for Z in
+        def _prep_z(i, Z):
+            Z = jnp.asarray(Z, jnp.float32)
+            if z_pad and z_pad[i]:
+                # condition covariates must cover the padded samples too;
+                # zero rows keep the pad solves exactly zero
+                Z = jnp.pad(Z, ((0, z_pad[i]), (0, 0)))
+            return jax.device_put(Z, repl) if repl is not None else Z
+
+        zs = tuple(tuple(_prep_z(i, Z) for Z in
                          self._resolve_source(l.input)[1])
-                   for l in self._layers)
-        auxs = tuple({k: jnp.asarray(v) for k, v in aux.items()}
+                   for i, l in enumerate(self._layers))
+        auxs = tuple({k: (jax.device_put(jnp.asarray(v), repl)
+                          if repl is not None else jnp.asarray(v))
+                      for k, v in aux.items()}
                      for _, aux in cfgs_auxs)
 
         if self._fused_fn is None:
@@ -694,12 +819,18 @@ class FactorNet:
             out.logger = logger
         for i, layer in enumerate(self._layers):
             W_T, Hm, d = out_states[i]
+            W = np.asarray(W_T).T
+            Hm = np.asarray(Hm)
+            if strip_dims is not None:
+                a_i, b_i = strip_dims[i]
+                W = W[:a_i]                  # mesh pads solve to exact zero
+                Hm = Hm[:, :b_i]
             # per-layer loss from the history row of the last completed
             # iteration (hist[:, 1+i]); the total is on the GraphResult
             layer_loss = (float(hist[int(it) - 1, 1 + i]) if int(it) > 0
                           else float("nan"))
-            s = LayerResult(W=np.asarray(W_T).T, d=np.asarray(d),
-                            H=np.asarray(Hm), iterations=int(it),
+            s = LayerResult(W=W, d=np.asarray(d),
+                            H=Hm, iterations=int(it),
                             loss=layer_loss, converged=bool(conv))
             node, _ = self._resolve_source(layer.input)
             if isinstance(node, Shared):
@@ -708,9 +839,12 @@ class FactorNet:
             out.layers[layer.name] = s
         return out
 
-    def fit(self, logger=None) -> GraphResult:
+    def fit(self, logger=None, mesh=None) -> GraphResult:
         if not self._compiled:
             self.compile()
+        if mesh is not None and self.n_layers == 1:
+            raise ValueError("mesh= on a single-layer graph: call "
+                             "nmf(..., mesh=) / fit_sharded directly")
 
         # materialize data-bearing nodes once
         data_map = {}
@@ -748,7 +882,7 @@ class FactorNet:
             return out
 
         # ---- multi-layer outer ALS ----
-        fused = self._fit_deep_fused(data_map, logger=logger)
+        fused = self._fit_deep_fused(data_map, logger=logger, mesh=mesh)
         if fused is not None:
             if self.verbose:
                 print(f"  fused outer ALS: {fused.total_iterations} iters, "
@@ -834,12 +968,13 @@ def factor_net(inputs, output, *, config: Optional[GlobalConfig] = None,
                      seed=seed, verbose=verbose).compile()
 
 
-def fit(net: FactorNet, *, logger=None) -> GraphResult:
+def fit(net: FactorNet, *, logger=None, mesh=None) -> GraphResult:
     """Fit a compiled FactorNet.  ``logger`` is a ``training_logger()``
     that records one entry per outer iteration: total loss, per-layer
     loss, and per-layer reconstruction Frobenius norm
-    (R/factor_methods.R fit.factor_net logger wiring)."""
-    return net.fit(logger=logger)
+    (R/factor_methods.R fit.factor_net logger wiring).  ``mesh``: run the
+    fused outer ALS under GSPMD over a (rows, cols) device mesh."""
+    return net.fit(logger=logger, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

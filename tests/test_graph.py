@@ -515,3 +515,114 @@ def test_graph_repr_methods(modalities):
     assert repr(net)
     res = fit(net)
     assert repr(res)
+
+
+# ---------------------------------------------------------------------------
+# Edge cases: cycles, dim mismatches at shared/concat/add nodes (round-3
+# VERDICT #9; the reference host-loops these topologies in graph/fit.hpp)
+# ---------------------------------------------------------------------------
+
+def test_cycle_raises(modalities):
+    A, _ = modalities
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 2, name="a")
+    l2 = NMFLayer(l1, 2, name="b")
+    l1.input = l2                              # manual cycle a <-> b
+    with pytest.raises(ValueError, match="cycle"):
+        factor_net(inp, l2)
+
+
+def test_shared_unequal_columns_raises(modalities):
+    A, _ = modalities
+    i1 = Input(A, "a")                         # 40 x 60
+    i2 = Input(np.random.rand(10, 59).astype(np.float32), "b")
+    shared = Shared(i1, i2)
+    net = factor_net([i1, i2], NMFLayer(shared, 2, name="s"), maxit=3)
+    with pytest.raises(ValueError, match="equal columns"):
+        fit(net)
+
+
+def test_concat_mismatched_samples_raises(modalities):
+    A, B = modalities
+    i1 = Input(A, "a")                         # H over 60 cols
+    i2 = Input(B[:, :50], "b")                 # H over 50 cols
+    l1 = NMFLayer(i1, 2, name="a")
+    l2 = NMFLayer(i2, 2, name="b")
+    top = NMFLayer(Concat(l1, l2), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=3)
+    with pytest.raises(ValueError, match="mismatched sample"):
+        fit(net)
+
+
+def test_concat_branch_not_layer_raises(modalities):
+    A, B = modalities
+    i1 = Input(A, "a")
+    i2 = Input(B, "b")
+    l1 = NMFLayer(i1, 2, name="a")
+    top = NMFLayer(Concat(l1, i2), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=3)
+    with pytest.raises(ValueError, match="not a layer"):
+        fit(net)
+
+
+def test_add_mismatched_rank_raises(modalities):
+    A, B = modalities
+    i1 = Input(A, "a")
+    i2 = Input(B, "b")
+    l1 = NMFLayer(i1, 2, name="a")
+    l2 = NMFLayer(i2, 3, name="b")             # different k
+    top = NMFLayer(Add(l1, l2), 2, name="top")
+    net = factor_net([i1, i2], top, maxit=3)
+    with pytest.raises(ValueError, match="mismatched H shapes"):
+        fit(net)
+
+
+def test_per_layer_losses_differ(modalities):
+    A, _ = modalities
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 5, name="L1")
+    l2 = NMFLayer(l1, 2, name="L2")
+    res = fit(factor_net(inp, l2, maxit=25, seed=7))
+    # per-layer losses come from the loss history, not the total duplicated
+    assert res["L1"].loss != res["L2"].loss
+    assert np.isfinite(res["L1"].loss) and np.isfinite(res["L2"].loss)
+
+
+def test_graph_fit_on_mesh_matches_single(modalities):
+    """Fused whole-graph outer ALS under GSPMD on an 8-virtual-device
+    (rows, cols) mesh: uneven dims are zero-padded (exact for the
+    MSE layers), pads stripped; factors match single-device fp32-tight."""
+    import jax
+    from rcppml_tpu.parallel.mesh import default_mesh
+    A1, A2 = modalities                  # 40x60 and 25x60 (uneven on mesh)
+    mesh = default_mesh(jax.devices("cpu")[:8])
+    i1, i2 = Input(A1, "rna"), Input(A2, "adt")
+    shared = Shared(i1, i2)
+
+    def build():
+        l1 = NMFLayer(shared, 4, name="J")
+        l2 = NMFLayer(l1, 2, name="T")
+        return factor_net([i1, i2], l2, maxit=6, tol=0.0, seed=3)
+
+    r_mesh = fit(build(), mesh=mesh)
+    r_one = fit(build())
+    for name in ("J", "T"):
+        assert r_mesh[name].W.shape == r_one[name].W.shape
+        np.testing.assert_allclose(r_mesh[name].W, r_one[name].W, atol=1e-4)
+    assert set(r_mesh["J"].W_blocks) == {"rna", "adt"}
+    assert r_mesh["J"].W_blocks["rna"].shape == (40, 4)
+
+
+def test_graph_mesh_rejects_host_loop_layers(modalities):
+    """mesh= on a graph that must run the host loop (IRLS loss) raises
+    instead of silently single-deviceing (the round-2 silent-drop class)."""
+    import jax
+    from rcppml_tpu.parallel.mesh import default_mesh
+    A, _ = modalities
+    mesh = default_mesh(jax.devices("cpu")[:8])
+    inp = Input(A, "x")
+    l1 = NMFLayer(inp, 3, name="a", loss="nb")
+    l2 = NMFLayer(l1, 2, name="b")
+    net = factor_net(inp, l2, maxit=3)
+    with pytest.raises(ValueError, match="mesh"):
+        fit(net, mesh=mesh)
