@@ -103,8 +103,9 @@ class NMFConfig:
     theta_min: float = 0.0
     theta_max: float = 0.9
     nb_size_init: float = 10.0
-    nb_size_min: float = 0.1
-    nb_size_max: float = 1000.0
+    nb_size_min: float = 0.01     # core/config.hpp:192
+    nb_size_max: float = 1e6      # core/config.hpp:189 (near-Poisson genes
+                                  # legitimately reach huge theta)
     gamma_phi_init: float = 1.0
     gamma_phi_min: float = 1e-4
     gamma_phi_max: float = 1e4
@@ -143,6 +144,18 @@ class NMFConfig:
     # opt-in speed knob: store A as bfloat16 for the ALS matmuls (halves
     # the HBM read that bounds the iteration; fp32 accumulation; loss
     # bookkeeping stays fp32).  ~3 significant digits on the factors.
+    #
+    # DELIBERATELY opt-in, never auto-on (round-2 VERDICT #5 decision):
+    # (1) same-seed fits are bitwise-reproducible (parity gate 1, the
+    #     suite's determinism tests) — flipping the data path by a size
+    #     heuristic would silently change what a seed means;
+    # (2) loss histories drive tol/patience stopping, so halved data
+    #     precision shifts stopping iterations, not just trailing digits;
+    # (3) the win is shape-dependent: bandwidth-bound large fits gain
+    #     ~35% (BENCH_NOTES), while small fits LOSE to the cast overhead
+    #     (movielens k=50 measured slower under bf16 than fp32 once init
+    #     moved on-device).  tests/test_parameters.py pins bf16-vs-fp32
+    #     factor agreement.
     bf16_data: bool = False
 
     # Presence flags for traced aux arrays (affect compiled program shape)
