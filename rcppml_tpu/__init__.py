@@ -78,6 +78,7 @@ _LAZY = {
     "plot_cv": (".utils.plots", None),
     "plot_dclust": (".utils.plots", None),
     "plot_consensus": (".utils.plots", None),
+    "plot_summary": (".utils.plots", None),
     # streaming SVD over a DataLoader / .spz path (svd/streaming.hpp)
     "streaming_svd": (".models.svd", None),
     # RNG surface (R/random.R)

@@ -68,17 +68,29 @@ def plot_loss(result, *, log: bool = True, ax=None):
     return fig if fig is not None else ax.figure
 
 
-def plot_cv(rows: Sequence[dict], *, metric: str = "test_mse", ax=None):
-    """Rank-selection curve from a CV sweep (plot.nmfCrossValidate)."""
+def plot_cv(rows: Sequence[dict], *, metric: str = "test_mse", ax=None,
+            show_train: Optional[bool] = None):
+    """Rank-selection curve from a CV sweep (plot.nmfCrossValidate).
+
+    ``show_train``: overlay the train curve (dashed) alongside the test
+    curve — default mirrors R/plot_nmf.R:447-463 (on when train data is
+    present and the metric is the test loss)."""
     plt = _plt()
     fig = None
     if ax is None:
         fig, ax = plt.subplots(figsize=(6, 4))
+    if show_train is None:
+        show_train = (metric == "test_mse"
+                      and all("train_mse" in r for r in rows))
     reps = sorted({r["rep"] for r in rows})
     for rep in reps:
         sub = sorted((r for r in rows if r["rep"] == rep), key=lambda r: r["k"])
-        ax.plot([r["k"] for r in sub], [r[metric] for r in sub],
-                marker="o", label=f"rep {rep}")
+        line, = ax.plot([r["k"] for r in sub], [r[metric] for r in sub],
+                        marker="o", label=f"rep {rep}")
+        if show_train and metric == "test_mse":
+            ax.plot([r["k"] for r in sub], [r["train_mse"] for r in sub],
+                    marker=".", linestyle="--", color=line.get_color(),
+                    alpha=0.6, label=f"rep {rep} (train)")
     ax.set_xlabel("rank k")
     ax.set_ylabel(metric)
     ax.legend()
@@ -137,18 +149,60 @@ def plot_dclust(clusters, ax=None):
     return fig if fig is not None else ax.figure
 
 
-def plot_consensus(consensus_out, ax=None):
-    """Consensus-matrix heatmap ordered by cluster label
-    (plot.consensus_nmf)."""
+def plot_consensus(consensus_out, ax=None, *, cluster_rows: bool = True,
+                   show_clusters: bool = True):
+    """Consensus-matrix heatmap (plot.consensus_nmf, R/consensus.R:184).
+
+    ``cluster_rows``: reorder samples by cluster label (the reference's
+    hclust reorder; labels come from the consensus clustering itself).
+    ``show_clusters``: draw cluster-boundary lines as the sidebar analog.
+    """
     plt = _plt()
     fig = None
     if ax is None:
         fig, ax = plt.subplots(figsize=(5, 5))
     C = np.asarray(consensus_out["consensus"])
-    order = np.argsort(consensus_out["labels"])
+    labels = np.asarray(consensus_out["labels"])
+    order = np.argsort(labels) if cluster_rows else np.arange(len(labels))
     im = ax.imshow(C[np.ix_(order, order)], cmap="viridis", vmin=0, vmax=1)
     ax.figure.colorbar(im, ax=ax, shrink=0.8)
+    if show_clusters and cluster_rows:
+        bounds = np.flatnonzero(np.diff(labels[order])) + 0.5
+        for b in bounds:
+            ax.axhline(b, color="white", lw=0.8)
+            ax.axvline(b, color="white", lw=0.8)
     ax.set_title(f"consensus (cophenetic={consensus_out['cophenetic']:.3f})")
+    return fig if fig is not None else ax.figure
+
+
+def plot_summary(stats, group_names: Optional[Sequence[str]] = None,
+                 ax=None):
+    """Stacked per-factor group-representation bars (plot.nmfSummary,
+    R/nmf_plots.R:21-31): each factor's bar shows the PROPORTION of its
+    mean weight contributed by each sample group (position='fill').
+
+    ``stats``: the (k, n_groups) matrix returned by
+    ``result.summary(group_by)``."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    S = np.asarray(stats, dtype=np.float64)
+    k, g = S.shape
+    tot = np.maximum(S.sum(axis=1, keepdims=True), 1e-300)
+    frac = S / tot
+    x = np.arange(k)
+    bottom = np.zeros(k)
+    names = (list(group_names) if group_names is not None
+             else [f"group {i}" for i in range(g)])
+    for gi in range(g):
+        ax.bar(x, frac[:, gi], bottom=bottom, label=str(names[gi]))
+        bottom += frac[:, gi]
+    ax.set_xlabel("NMF factor")
+    ax.set_ylabel("Representation in group")
+    ax.set_xticks(x, [f"f{i + 1}" for i in range(k)])
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8)
     return fig if fig is not None else ax.figure
 
 
