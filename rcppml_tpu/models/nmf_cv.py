@@ -522,8 +522,13 @@ def fit_cv_or_masked(A, cfg: NMFConfig, *, mask=None,
     aux_dev = {key: jnp.asarray(val, jnp.float32)
                for key, val in (aux or {}).items()
                if val is not None and not key.endswith("_gram")}
-    W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
-                                        h_init=h_init)
+    if w_init is None and h_init is None and cfg.init_mode == 0:
+        # device-side bit-identical random init (no host fill / transfer)
+        W_T0, H0, d0 = nmf_mod._init_random_device(
+            cfg.rank, m, n, jnp.asarray(rng_mod.seed_to_u32_pair(cfg.seed)))
+    else:
+        W_T0, H0, d0 = nmf_mod.init_factors(cfg, m, n, A=A, w_init=w_init,
+                                            h_init=h_init)
     disp_row0, disp_col0 = _init_dispersion(cfg, m, n, np.float32)
 
     # seed travels as a traced uint32 pair; strip it from the static config
