@@ -396,6 +396,33 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                 "seed=[...] multi-restart requires a scalar integer k; "
                 "for a rank sweep use cv_seed=[...] to control "
                 "repetitions")
+        # batched fast path: plain dense MSE fits vmap over the restart
+        # axis — ONE device program whose batched matmuls read A once per
+        # iteration for every restart (the serial reference loop pays the
+        # full HBM cost per restart; models/nmf.py fit_multi_restart)
+        plain = (mask is None and graph_W is None and graph_H is None
+                 and target_H is None and target_W is None
+                 and w_init is None and h_init is None
+                 and mesh is None and on_iteration is None
+                 and checkpoint_path is None
+                 and not isinstance(data, str)
+                 and streaming in (None, False, "auto")
+                 and all(isinstance(s, (int, np.integer))
+                         for s in seed_arg))
+        if plain and hasattr(data, "shape") and not kwargs.get("sparse"):
+            from .utils.memory import check_dense_alloc
+            kw0 = {kk: vv for kk, vv in kwargs.items() if kk != "sparse"}
+            cfg0 = build_config(int(k), **{**kw0,
+                                           "seed": int(seed_arg[0])})
+            if (not cfg0.requires_irls() and not cfg0.is_cv()
+                    and not cfg0.mask_zeros and cfg0.init_mode == 0
+                    and not cfg0.enable_profiling and not cfg0.bf16_data
+                    and not cfg0.projective and not cfg0.symmetric
+                    and check_dense_alloc(data.shape[0], data.shape[1],
+                                          where="device").fits):
+                from .models.nmf import fit_multi_restart
+                return fit_multi_restart(_to_dense_f32(data), cfg0,
+                                         [int(s) for s in seed_arg])
         runs = []
         for ri, s in enumerate(seed_arg):
             sub = dict(kwargs)

@@ -448,6 +448,52 @@ def init_factors(cfg: NMFConfig, m: int, n: int, A=None,
     return W_T, H, d0
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_mse_multi(cfg: NMFConfig, A, seed_pairs):
+    """Batched multi-restart: ALL restarts in ONE vmapped fused loop.
+
+    The reference runs restarts serially (R/nmf_thin.R seed-list loop);
+    on TPU the ALS iteration is HBM-bandwidth-bound on re-reading A, so
+    vmapping the whole fused fit over the restart axis amortizes the A
+    reads — r restarts cost barely more than one (the batched matmuls
+    read A once per iteration for all restarts).  Each lane inits from
+    its own SplitMix64 seed exactly like a standalone fit; finished
+    lanes freeze via while_loop-under-vmap select semantics, so each
+    lane's trajectory equals its standalone counterpart up to XLA tiling
+    of the batched matmuls.
+    """
+    k = cfg.rank
+    m, n = A.shape
+
+    def one(seed_pair):
+        W_T = rng_mod.fill_uniform_traced(seed_pair, k, m)
+        H = rng_mod.fill_uniform_traced(seed_pair, k, n, offset=k * m)
+        init = _init_fit_state(cfg, W_T, H, jnp.ones((k,), jnp.float32),
+                               A.dtype)
+        return _mse_loop(cfg, A, {}, init, jnp.int32(cfg.max_iter))
+
+    return jax.vmap(one)(seed_pairs)
+
+
+def fit_multi_restart(A, cfg: NMFConfig, seeds) -> "NMFResult":
+    """Run the seed-list multi-restart as one batched device program and
+    return the best-loss restart (R semantics: test_parameters.R:554-578,
+    best train loss wins; ``misc['all_inits']`` records every restart)."""
+    A_dev = A if isinstance(A, jax.Array) else jnp.asarray(
+        np.asarray(A, dtype=np.float32))
+    pairs = jnp.asarray(np.stack([rng_mod.seed_to_u32_pair(int(s))
+                                  for s in seeds]))
+    states = _fit_mse_multi(cfg.device_static(), A_dev, pairs)
+    losses = np.asarray(jax.device_get(states.prev_loss), dtype=np.float64)
+    best_ix = int(np.nanargmin(losses))
+    best_state = jax.tree_util.tree_map(lambda x: x[best_ix], states)
+    res = finalize_result(cfg, best_state)
+    res.misc["all_inits"] = [
+        {"init": i, "loss": float(losses[i]), "selected": i == best_ix}
+        for i in range(len(seeds))]
+    return res
+
+
 @partial(jax.jit, static_argnames=("k", "m", "n"))
 def _init_random_device(k: int, m: int, n: int, seed_pair):
     """Random init ON DEVICE — bit-identical to the host

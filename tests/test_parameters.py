@@ -295,3 +295,36 @@ def test_bf16_data_rejected_outside_plain_mse():
         rt.nmf(A, 3, bf16_data=True, mask=np.zeros_like(A, bool), maxit=3)
     with pytest.raises(ValueError, match="bf16_data"):
         rt.nmf(A, 3, bf16_data=True, streaming=True, maxit=3)
+
+
+def test_seed_list_batched_matches_serial():
+    """Plain dense MSE seed-lists take the vmapped batched path
+    (models/nmf.py fit_multi_restart): per-restart losses and the
+    selected model must match the standalone per-seed fits."""
+    rs = np.random.RandomState(7)
+    A = np.abs(rs.rand(40, 30)).astype(np.float32)
+    res = rt.nmf(A, 3, seed=[5, 6, 7], maxit=12, sort_model=False)
+    singles = [rt.nmf(A, 3, seed=s, maxit=12, sort_model=False)
+               for s in (5, 6, 7)]
+    for row, single in zip(res.misc["all_inits"], singles):
+        np.testing.assert_allclose(row["loss"], single.train_loss,
+                                   rtol=1e-5)
+    best = int(np.argmin([s.train_loss for s in singles]))
+    np.testing.assert_allclose(res.W, singles[best].W,
+                               rtol=1e-4, atol=1e-6)
+    assert res.misc["all_inits"][best]["selected"]
+
+
+def test_seed_list_ineligible_configs_still_work():
+    """Configs outside the batched fast path (CV, IRLS, masks) fall back
+    to the serial loop with identical semantics."""
+    rs = np.random.RandomState(8)
+    A = np.abs(rs.rand(30, 25)).astype(np.float32)
+    r_cv = rt.nmf(A, 2, seed=[1, 2], maxit=6, test_fraction=0.1,
+                  cv_seed=3, sort_model=False)
+    assert len(r_cv.misc["all_inits"]) == 2
+    assert np.isfinite(r_cv.test_loss)
+    counts = rs.poisson(2.0, (30, 25)).astype(np.float32)
+    r_nb = rt.nmf(counts, 2, seed=[1, 2], maxit=4, loss="nb",
+                  sort_model=False)
+    assert len(r_nb.misc["all_inits"]) == 2
