@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC streampress.cpp -o libstreampress.so
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -328,18 +329,24 @@ void decode_byteshuffle(const uint8_t* data, size_t size, uint32_t count,
 // structural golden tests can verify independently.
 // ---------------------------------------------------------------------------
 
-static uint32_t crc32_bytes(const uint8_t* data, size_t len) {
-    static uint32_t table[256];
-    static bool init = false;
-    if (!init) {
+static const std::array<uint32_t, 256>& crc32_table() {
+    // C++11 magic static: thread-safe one-time init (concurrent first
+    // encodes from two threads must not race the table fill)
+    static const std::array<uint32_t, 256> table = [] {
+        std::array<uint32_t, 256> t{};
         for (uint32_t i = 0; i < 256; ++i) {
             uint32_t c = i;
             for (int j = 0; j < 8; ++j)
                 c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
-            table[i] = c;
+            t[i] = c;
         }
-        init = true;
-    }
+        return t;
+    }();
+    return table;
+}
+
+static uint32_t crc32_bytes(const uint8_t* data, size_t len) {
+    const auto& table = crc32_table();
     uint32_t crc = 0xFFFFFFFFu;
     for (size_t i = 0; i < len; ++i)
         crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);

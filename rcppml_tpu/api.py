@@ -414,15 +414,26 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
             kw0 = {kk: vv for kk, vv in kwargs.items() if kk != "sparse"}
             cfg0 = build_config(int(k), **{**kw0,
                                            "seed": int(seed_arg[0])})
-            if (not cfg0.requires_irls() and not cfg0.is_cv()
+            # the fast path must preserve nmf()'s standard preprocessing:
+            # dimnames survive onto the result, and NaN data falls back to
+            # the serial loop (which auto-masks via _resolve_mask)
+            import jax
+            rn0, cn0, data0 = _extract_dimnames(data)
+            has_nan = (not isinstance(data0, jax.Array)
+                       and not _is_sparse(data0)
+                       and np.isnan(np.asarray(data0)).any())
+            if (not has_nan
+                    and not cfg0.requires_irls() and not cfg0.is_cv()
                     and not cfg0.mask_zeros and cfg0.init_mode == 0
                     and not cfg0.enable_profiling and not cfg0.bf16_data
                     and not cfg0.projective and not cfg0.symmetric
                     and check_dense_alloc(data.shape[0], data.shape[1],
                                           where="device").fits):
                 from .models.nmf import fit_multi_restart
-                return fit_multi_restart(_to_dense_f32(data), cfg0,
-                                         [int(s) for s in seed_arg])
+                res_b = fit_multi_restart(_to_dense_f32(data0), cfg0,
+                                          [int(s) for s in seed_arg])
+                res_b.row_names, res_b.col_names = rn0, cn0
+                return res_b
         runs = []
         for ri, s in enumerate(seed_arg):
             sub = dict(kwargs)

@@ -363,13 +363,20 @@ class FactorNet:
             node = node.input
         return node, zs
 
-    def _io_dims(self, data_shapes):
+    def _io_dims(self, data_shapes, z_cols=None):
         """Per-layer (a_i, b_i) input-matrix dims implied by the given
         data-node shapes (node id -> (rows, cols)) — used by the mesh path
         to compute pad-strip extents without materializing anything.
         Layer i factorizes X_i (a_i, b_i): W_i is (a_i, k_i), H_i is
-        (k_i, b_i)."""
+        (k_i, b_i).
+
+        Returns (dims, z_cols).  Covariate orientation (is Z (a, q) or
+        (q, a)?) is only decidable against TRUE dims — when called with
+        PADDED shapes, pass the ``z_cols`` list from the true-dims call so
+        the covariate column counts are not re-inferred against padded a
+        (they would resolve to the sample count)."""
         dims = []
+        out_z = []
         idx_of = {id(l): j for j, l in enumerate(self._layers)}
         for layer in self._layers:
             node, zs = self._resolve_source(layer.input)
@@ -391,10 +398,15 @@ class FactorNet:
             else:                                   # chained layer
                 j = idx_of[id(node)]
                 a, b = dims[j][1], self._layers[j].k
-            for Z in zs:
-                b += (Z.shape[1] if Z.shape[0] == a else Z.shape[0])
+            if z_cols is not None:
+                zc = z_cols[len(dims)]
+            else:
+                zc = sum((Z.shape[1] if Z.shape[0] == a else Z.shape[0])
+                         for Z in zs)
+            out_z.append(int(zc))
+            b += zc
             dims.append((int(a), int(b)))
-        return dims
+        return dims, out_z
 
     def _is_chain(self) -> bool:
         """True iff every layer i > 0 consumes exactly layer i-1's output
@@ -591,7 +603,7 @@ class FactorNet:
             out.append((cfg, aux))
         return out
 
-    def _build_fused(self, cfgs_auxs, data_ids):
+    def _build_fused(self, cfgs_auxs, data_ids, sizes=None):
         """One jitted executable running the whole outer ALS on device.
 
         All arrays (data panels, covariates, aux matrices, initial states)
@@ -661,7 +673,13 @@ class FactorNet:
                     # avoids the (m, n) intermediate entirely)
                     trB = jnp.sum(B * B)
                     sse = linalg.mse_loss_from_saved(trB, W_T, d, B_w, G_w)
-                    lyr = sse / (B.shape[0] * B.shape[1])
+                    # normalize by the TRUE element count: on the mesh path
+                    # B carries zero pads whose SSE contribution is zero but
+                    # whose element count is not (the pads would understate
+                    # every loss and skew the rel-tol convergence test)
+                    n_elem = (sizes[i] if sizes is not None
+                              else B.shape[0] * B.shape[1])
+                    lyr = sse / n_elem
                     total = total + lyr
                     layer_losses.append(lyr)
                     # recon Frobenius norm via the k x k Gram trick:
@@ -735,13 +753,23 @@ class FactorNet:
                 data_ids[id(node)] = len(datas)
                 # cache the device copy per data node: re-fitting the same
                 # net must not re-upload the matrix (on a remote link the
-                # upload dwarfs the fit — 145 MB ~ 2.4 s vs a 0.1 s fit)
+                # upload dwarfs the fit — 145 MB ~ 2.4 s vs a 0.1 s fit).
+                # Cache entries carry a strided-sample fingerprint so
+                # replacing (or mutating) a node's data invalidates them
+                # instead of silently fitting the old matrix.
                 if not hasattr(self, "_dev_cache"):
                     self._dev_cache = {}
-                d = self._dev_cache.get(id(node))
-                if d is None:
-                    d = jnp.asarray(data_map[id(node)][0])
-                    self._dev_cache[id(node)] = d
+                host = data_map[id(node)][0]
+                flat = np.ravel(host)
+                step = max(1, flat.size // 1024)
+                fp = (host.shape, str(host.dtype),
+                      flat[::step].tobytes())
+                cached = self._dev_cache.get(id(node))
+                if cached is not None and cached[0] == fp:
+                    d = cached[1]
+                else:
+                    d = jnp.asarray(host)
+                    self._dev_cache[id(node)] = (fp, d)
                 true_shapes[id(node)] = d.shape
                 datas_raw.append(d)
                 if shard is not None:
@@ -761,10 +789,10 @@ class FactorNet:
         dev_map = {nid: (datas_raw[pos], None)
                    for nid, pos in data_ids.items()}
 
-        dims_t = self._io_dims(true_shapes)
+        dims_t, z_cols_t = self._io_dims(true_shapes)
         z_pad = None
         if shard is not None:
-            dims_p = self._io_dims(pad_shapes)
+            dims_p, _ = self._io_dims(pad_shapes, z_cols=z_cols_t)
             if pad_shapes != true_shapes:
                 strip_dims = dims_t
             z_pad = [dims_p[i][0] - dims_t[i][0]
@@ -792,8 +820,13 @@ class FactorNet:
             Z = jnp.asarray(Z, jnp.float32)
             if z_pad and z_pad[i]:
                 # condition covariates must cover the padded samples too;
-                # zero rows keep the pad solves exactly zero
-                Z = jnp.pad(Z, ((0, z_pad[i]), (0, 0)))
+                # zero rows keep the pad solves exactly zero.  The sample
+                # axis is whichever dim matches the TRUE layer row count
+                # (eff() accepts both (a, q) and (q, a) orientations)
+                if Z.shape[0] == dims_t[i][0]:
+                    Z = jnp.pad(Z, ((0, z_pad[i]), (0, 0)))
+                else:
+                    Z = jnp.pad(Z, ((0, 0), (0, z_pad[i])))
             return jax.device_put(Z, repl) if repl is not None else Z
 
         zs = tuple(tuple(_prep_z(i, Z) for Z in
@@ -805,7 +838,9 @@ class FactorNet:
                      for _, aux in cfgs_auxs)
 
         if self._fused_fn is None:
-            self._fused_fn = self._build_fused(cfgs_auxs, data_ids)
+            self._fused_fn = self._build_fused(
+                cfgs_auxs, data_ids,
+                sizes=tuple(a * b for a, b in dims_t))
         out_states, it, loss, _, conv, hist = jax.device_get(
             self._fused_fn(datas, zs, auxs, tuple(states)))
 

@@ -59,11 +59,12 @@ def _block_count(n: int, k: int, m: int, budget_floats: float = 1.2e8,
                  kr: bool = False) -> int:
     """Column block size for the weighted-Gram solve: bound the (BC, k, m)
     intermediate to ~budget floats.  With the Khatri-Rao Gram path (``kr``)
-    that intermediate does not exist — the bound is the (BC, k, k) Gram
-    output + the (m, BC) weight block, so blocks are much wider (fewer
-    sequential lax.map steps)."""
+    that intermediate does not exist, but each block still materializes the
+    (m, BC) data slice AND the (m, BC) weight block plus the (BC, k^2) Gram
+    output — the per-column footprint is ~2m + 2k^2 floats, all of which
+    must count or fits near the HBM limit OOM."""
     if kr:
-        bc = max(8, int(budget_floats / max(2 * k * k, m, 1)))
+        bc = max(8, int(budget_floats / max(2 * m + 2 * k * k, 1)))
     else:
         bc = max(8, int(budget_floats / max(k * m, 1)))
     return min(bc, n)

@@ -626,3 +626,71 @@ def test_graph_mesh_rejects_host_loop_layers(modalities):
     net = factor_net(inp, l2, maxit=3)
     with pytest.raises(ValueError, match="mesh"):
         fit(net, mesh=mesh)
+
+
+def test_graph_mesh_with_condition_covariates(modalities):
+    """Round-3 review finding: covariates on a layer whose input needs
+    mesh padding must pad the SAMPLE axis of Z (both orientations) and
+    not mis-count covariate columns against padded dims."""
+    import jax
+    from rcppml_tpu.parallel.mesh import default_mesh
+    mesh = default_mesh(jax.devices("cpu")[:8])
+    rs = np.random.RandomState(0)
+    A = np.abs(rs.rand(37, 61)).astype(np.float32)   # uneven on (2,4) mesh
+    Z = rs.rand(61, 3).astype(np.float32)
+
+    def build(zmat):
+        inp = Input(A, "x")
+        l1 = NMFLayer(inp, 4, name="L1")
+        l2 = NMFLayer(Condition(l1, zmat), 2, name="L2")
+        return factor_net(inp, l2, maxit=5, tol=0.0, seed=11), inp
+
+    net_m, _ = build(Z)
+    net_s, _ = build(Z)
+    r_mesh = fit(net_m, mesh=mesh)
+    r_one = fit(net_s)
+    np.testing.assert_allclose(r_mesh["L2"].W, r_one["L2"].W, atol=1e-5)
+    # transposed covariate orientation pads axis 1
+    net_mt, _ = build(Z.T.copy())
+    r_mt = fit(net_mt, mesh=mesh)
+    np.testing.assert_allclose(r_mt["L2"].W, r_one["L2"].W, atol=1e-5)
+
+
+def test_graph_mesh_loss_normalized_by_true_size(modalities):
+    """Padded element counts must not understate the per-layer losses
+    (round-3 review finding: SSE / padded size)."""
+    import jax
+    from rcppml_tpu.parallel.mesh import default_mesh
+    mesh = default_mesh(jax.devices("cpu")[:8])
+    rs = np.random.RandomState(1)
+    A = np.abs(rs.rand(37, 61)).astype(np.float32)
+
+    def build():
+        inp = Input(A, "x")
+        l2 = NMFLayer(NMFLayer(inp, 4, name="L1"), 2, name="L2")
+        return factor_net(inp, l2, maxit=5, tol=0.0, seed=7)
+
+    r_mesh = fit(build(), mesh=mesh)
+    r_one = fit(build())
+    np.testing.assert_allclose(r_mesh["L1"].loss, r_one["L1"].loss,
+                               rtol=1e-5)
+    np.testing.assert_allclose(r_mesh.total_loss, r_one.total_loss,
+                               rtol=1e-5)
+
+
+def test_graph_dev_cache_invalidates_on_new_data(modalities):
+    """Replacing a node's data must re-upload, not fit the stale cached
+    device array (round-3 review finding)."""
+    rs = np.random.RandomState(2)
+    A1 = np.abs(rs.rand(30, 40)).astype(np.float32)
+    A2 = np.abs(rs.rand(30, 40)).astype(np.float32)
+    inp = Input(A1, "x")
+    l2 = NMFLayer(NMFLayer(inp, 3, name="L1"), 2, name="L2")
+    net = factor_net(inp, l2, maxit=5, tol=0.0, seed=3)
+    r1 = fit(net)
+    inp.data = A2
+    r2 = fit(net)
+    assert abs(r1.total_loss - r2.total_loss) > 1e-6
+    # and refitting A2 again matches r2 (cache hit on the new data)
+    r3 = fit(net)
+    np.testing.assert_allclose(r2.total_loss, r3.total_loss, rtol=1e-6)

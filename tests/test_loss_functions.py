@@ -137,3 +137,27 @@ def test_huber_robust_modifier():
     res = rt.nmf(A + np.eye(6, 8, dtype=np.float32) * 50, 1, robust=True,
                  seed=1, maxit=10)
     assert np.isfinite(res.train_loss)
+
+
+def test_nb_loss_stable_at_large_theta():
+    """Round-3 review finding: at the reference's nb_size_max=1e6 cap the
+    direct fp32 lgamma difference carries O(1) error per entry; the
+    large-r branch must track float64 to ~1e-5 absolute."""
+    import jax.numpy as jnp
+    from scipy.special import gammaln
+    from rcppml_tpu.ops import losses
+    rs = np.random.RandomState(0)
+    y = rs.poisson(3.0, 5000).astype(np.float32)
+    mu = (rs.rand(5000) * 8 + 0.01).astype(np.float32)
+    for r in (10.0, 500.0, 1e4, 1e6):
+        got = np.asarray(losses.loss_nb(jnp.asarray(y), jnp.asarray(mu),
+                                        jnp.float32(r)), np.float64)
+        yf, muf = y.astype(np.float64), mu.astype(np.float64)
+        exact = (-gammaln(yf + r) + gammaln(r)
+                 - r * np.log(r / (r + muf)) - yf * np.log(muf / (r + muf)))
+        assert np.max(np.abs(got - exact)) < 5e-3, f"r={r}"
+    # large-r limit equals the Poisson NLL
+    pois = muf - yf * np.log(muf)
+    got6 = np.asarray(losses.loss_nb(jnp.asarray(y), jnp.asarray(mu),
+                                     jnp.float32(1e6)), np.float64)
+    assert np.max(np.abs(got6 - pois)) < 0.05

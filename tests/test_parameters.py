@@ -328,3 +328,24 @@ def test_seed_list_ineligible_configs_still_work():
     r_nb = rt.nmf(counts, 2, seed=[1, 2], maxit=4, loss="nb",
                   sort_model=False)
     assert len(r_nb.misc["all_inits"]) == 2
+
+
+def test_seed_list_nan_and_dimnames():
+    """Round-3 review finding: the batched seed-list path must not bypass
+    nmf()'s NaN auto-masking or DataFrame dimname carry-through."""
+    import warnings
+    rs = np.random.RandomState(3)
+    A = np.abs(rs.rand(30, 25)).astype(np.float32)
+    An = A.copy()
+    An[3, 4] = np.nan
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = rt.nmf(An, 3, seed=[5, 6], maxit=5, sort_model=False)
+    assert np.isfinite(r.train_loss)
+    assert any("NA" in str(x.message) for x in w)
+    pd = pytest.importorskip("pandas")
+    df = pd.DataFrame(A, index=[f"g{i}" for i in range(30)],
+                      columns=[f"c{j}" for j in range(25)])
+    r2 = rt.nmf(df, 2, seed=[5, 6], maxit=5, sort_model=False)
+    assert list(r2.row_names)[:2] == ["g0", "g1"]
+    assert list(r2.col_names)[:2] == ["c0", "c1"]

@@ -118,3 +118,34 @@ def test_r_unif_binom():
     assert 2.0 <= u.min() and u.max() < 5.0
     b = rng.r_binom(5000, 0.3, seed=5)
     assert 0.25 < b.mean() < 0.35
+
+
+def test_u64_to_f32_single_rounding():
+    """The device-side init's uint64 -> float32 conversion must reproduce
+    numpy's single correctly-rounded conversion exactly (the bit-parity of
+    every device-initialized fit rests on this; rng._u64_to_f32_rn)."""
+    import jax
+    import jax.numpy as jnp
+    rs = np.random.RandomState(0)
+    z = (rs.randint(0, 2 ** 63, 300000, dtype=np.uint64) * 2
+         + rs.randint(0, 2, 300000).astype(np.uint64))
+    z[:10] = [0, 1, 2 ** 24, 2 ** 24 + 1, 2 ** 25 + 3, 2 ** 32 - 1,
+              2 ** 32, 2 ** 63, 2 ** 64 - 1, 2 ** 53 + 7]
+    lo = jnp.asarray((z & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((z >> np.uint64(32)).astype(np.uint32))
+    got = np.asarray(jax.jit(rng._u64_to_f32_rn)(lo, hi))
+    np.testing.assert_array_equal(got, z.astype(np.float32))
+
+
+def test_fill_uniform_traced_bit_parity():
+    """Device fill == host fill bitwise, across seeds, shapes, offsets —
+    the load-bearing claim behind models/nmf._init_random_device."""
+    import jax
+    for seed in (0, 1, 42, 123456789, 2 ** 63 + 5):
+        for rows, cols, off in ((3, 4, 0), (20, 137, 0), (20, 137, 2740),
+                                (7, 1, 999)):
+            h = rng.fill_uniform(seed, rows, cols, offset=off)
+            d = np.asarray(jax.jit(
+                lambda s=seed, r=rows, c=cols, o=off:
+                rng.fill_uniform_traced(s, r, c, offset=o))())
+            np.testing.assert_array_equal(h, d)

@@ -146,3 +146,17 @@ def test_fused_als_pallas_runs_and_reconstructs():
     rec = np.asarray(W_T).T @ np.diag(np.asarray(d)) @ np.asarray(Hk)
     rel = np.linalg.norm(A - rec) / np.linalg.norm(A)
     assert np.isfinite(rel) and rel < 0.05, f"fused ALS rel err {rel}"
+
+
+def test_fill_uniform_traced_bit_parity_tpu():
+    """TPU lowering of clz/ldexp must keep the device init bit-identical
+    to the host SplitMix64 fill (verified on v5e 2026-08-19; this pins it
+    against backend/compiler drift)."""
+    import jax
+    import numpy as np
+    from rcppml_tpu import rng
+    for seed in (1, 42, 2 ** 40 + 3):
+        h = rng.fill_uniform(seed, 16, 1337)
+        d = np.asarray(jax.jit(
+            lambda s=seed: rng.fill_uniform_traced(s, 16, 1337))())
+        np.testing.assert_array_equal(h, d)
