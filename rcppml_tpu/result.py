@@ -65,10 +65,19 @@ class NMFResult:
         return (self.W * self.d[None, :]) @ self.H
 
     def sparsity(self):
-        """Fraction of zero entries per factor side (features/sparsity.hpp)."""
+        """Per-factor zero fractions, the reference's data.frame shape
+        (R/nmf_methods.R:222-233: one row per factor per side, columns
+        factor/sparsity/model) — returned as a dict-of-columns with the
+        side aggregates kept under "W"/"H" for convenience."""
         w = np.asarray(self.W)
         h = np.asarray(self.H)
+        k = self.k
+        names = [f"factor{i + 1}" for i in range(k)]
         return {
+            "factor": names + names,
+            "sparsity": [float(np.mean(w[:, i] == 0)) for i in range(k)]
+                        + [float(np.mean(h[i, :] == 0)) for i in range(k)],
+            "model": ["w"] * k + ["h"] * k,
             "W": float(np.mean(w == 0)),
             "H": float(np.mean(h == 0)),
         }
@@ -99,12 +108,14 @@ class NMFResult:
                          col_names=_sub(self.col_names, cols))
 
     def t(self) -> "NMFResult":
-        """Transpose the model: A' ~ H' diag(d) W'."""
+        """Transpose the model: A' ~ H' diag(d) W'.  misc is preserved
+        (test_s4_methods.R:47-51)."""
         return NMFResult(W=np.ascontiguousarray(self.H.T), d=self.d.copy(),
                          H=np.ascontiguousarray(self.W.T),
                          iterations=self.iterations, converged=self.converged,
                          train_loss=self.train_loss,
-                         row_names=self.col_names, col_names=self.row_names)
+                         row_names=self.col_names, col_names=self.row_names,
+                         misc=dict(self.misc))
 
     def prod(self) -> np.ndarray:
         """W diag(d) H (the `prod` S4 method)."""

@@ -128,3 +128,91 @@ def test_nmf_result_method_roundtrips():
     assert np.all(np.diff(d) >= -1e-7)
     assert res.head(3).shape == (3, 4)
     np.testing.assert_allclose(res.prod(), res.reconstruct())
+
+
+# ---------------------------------------------------------------------------
+# Granular S4-method matrix (test_s4_methods.R, 22 blocks)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def s4_model():
+    rs = np.random.RandomState(11)
+    A = np.abs(rs.rand(20, 15)).astype(np.float32)
+    return A, rt.nmf(A, 4, maxit=10, seed=1)
+
+
+def test_t_transposes_w_and_h(s4_model):
+    _, res = s4_model
+    tt = res.t()
+    np.testing.assert_array_equal(np.asarray(tt.W), np.asarray(res.H).T)
+    np.testing.assert_array_equal(np.asarray(tt.H), np.asarray(res.W).T)
+    np.testing.assert_array_equal(np.asarray(tt.d), np.asarray(res.d))
+
+
+def test_t_preserves_misc(s4_model):
+    _, res = s4_model
+    res.misc["tag"] = 123
+    assert res.t().misc.get("tag") == 123
+
+
+def test_sort_reorders_by_decreasing_d(s4_model):
+    A, _ = s4_model
+    res = rt.nmf(A, 4, maxit=10, seed=1, sort_model=False).sort()
+    d = np.asarray(res.d)
+    assert np.all(np.diff(d) <= 1e-7)
+    rec = res.reconstruct()
+    base = rt.nmf(A, 4, maxit=10, seed=1, sort_model=False).reconstruct()
+    np.testing.assert_allclose(rec, base, rtol=1e-6)   # sort is a relabel
+
+
+def test_prod_dims_and_value(s4_model):
+    A, res = s4_model
+    P = res.prod()
+    assert P.shape == A.shape
+    np.testing.assert_allclose(
+        P, np.asarray(res.W) * np.asarray(res.d)[None, :] @ np.asarray(res.H),
+        rtol=1e-6)
+
+
+def test_getitem_factor_subset(s4_model):
+    _, res = s4_model
+    sub = res[[0, 2]]
+    assert sub.k == 2
+    np.testing.assert_array_equal(np.asarray(sub.W),
+                                  np.asarray(res.W)[:, [0, 2]])
+    np.testing.assert_array_equal(np.asarray(sub.H),
+                                  np.asarray(res.H)[[0, 2], :])
+
+
+def test_subset_rows_cols(s4_model):
+    _, res = s4_model
+    sub = res.subset(rows=range(5), cols=range(7))
+    assert sub.W.shape == (5, res.k)
+    assert sub.H.shape == (res.k, 7)
+
+
+def test_dim_and_shape(s4_model):
+    A, res = s4_model
+    assert res.shape == A.shape
+    assert res.k == 4
+
+
+def test_head_and_repr(s4_model):
+    _, res = s4_model
+    assert res.head(3).shape == (3, 4)
+    s = repr(res)
+    assert "k=4" in s and "converged" in s
+
+
+def test_sparsity_per_factor_structure(s4_model):
+    """Reference data.frame shape (test_s4_methods.R:183-191): one row per
+    factor per side, values in [0, 1], model in {w, h}."""
+    A, _ = s4_model
+    res = rt.nmf(A, 4, maxit=10, seed=1, L1=(0.0, 0.3), sort_model=False)
+    sp = res.sparsity()
+    assert len(sp["factor"]) == 8 and len(sp["sparsity"]) == 8
+    assert set(sp["model"]) == {"w", "h"}
+    assert all(0.0 <= v <= 1.0 for v in sp["sparsity"])
+    # aggregates consistent with the per-factor values
+    h_vals = [v for v, m in zip(sp["sparsity"], sp["model"]) if m == "h"]
+    np.testing.assert_allclose(np.mean(h_vals), sp["H"], atol=1e-9)
