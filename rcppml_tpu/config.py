@@ -190,6 +190,18 @@ class NMFConfig:
         """Reject illegal combinations (core/config.hpp:421-453)."""
         if self.rank <= 0:
             raise ValueError(f"rank must be positive, got {self.rank}")
+        # penalty ranges (R/nmf_validation.R, test_validation_errors.R:35-71)
+        for side, fc in (("W", self.W), ("H", self.H)):
+            if not (0.0 <= fc.L1 < 1.0):
+                raise ValueError(
+                    f"L1 penalty must be in [0, 1), got {fc.L1} on {side} "
+                    f"(L1 is a fraction of the max coefficient)")
+            for name in ("L2", "L21", "angular", "upper_bound",
+                         "graph_lambda"):
+                val = getattr(fc, name)
+                if val < 0:
+                    raise ValueError(f"{name} must be non-negative, got "
+                                     f"{val} on {side}")
         if self.max_iter <= 0:
             raise ValueError(f"max_iter must be positive, got {self.max_iter}")
         if self.tol < 0:

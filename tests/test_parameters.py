@@ -349,3 +349,21 @@ def test_seed_list_nan_and_dimnames():
     r2 = rt.nmf(df, 2, seed=[5, 6], maxit=5, sort_model=False)
     assert list(r2.row_names)[:2] == ["g0", "g1"]
     assert list(r2.col_names)[:2] == ["c0", "c1"]
+
+
+@pytest.mark.parametrize("kw", [
+    {"L1": 1.5}, {"L1": -0.1}, {"L2": -0.5}, {"L21": -1.0},
+    {"angular": -1.0}, {"upper_bound": -2.0},
+    {"L1": (0.0, 1.5)},
+])
+def test_negative_or_oob_penalties_rejected(kw):
+    """Penalty range validation (test_validation_errors.R:35-71) — these
+    were previously silently accepted (negative ridge = indefinite Gram)."""
+    with pytest.raises(ValueError):
+        rt.nmf(A_DENSE, 2, maxit=2, **kw)
+
+
+def test_negative_graph_lambda_rejected():
+    L = np.eye(A_DENSE.shape[0], dtype=np.float32)
+    with pytest.raises(ValueError):
+        rt.nmf(A_DENSE, 2, maxit=2, graph_W=L, graph_lambda=-1.0)
