@@ -50,10 +50,25 @@ def _evaluate_rank(A, k, base_cfg_kwargs, cache, mask=None):
 def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
                       bracket_tol: int = 2, test_fraction: float = 0.1,
                       cv_seed: int = 0, refit: bool = True, verbose=False,
-                      mask=None, **kwargs):
+                      mask=None, criterion: str = "train", **kwargs):
     """Exponential + golden-section rank search; returns the final NMF fit at
     k_optimal (with ``misc['rank_search']`` holding the evaluations), or the
-    search dict when ``refit=False``."""
+    search dict when ``refit=False``.
+
+    ``criterion``: ``"train"`` (default) reproduces the reference's bracket
+    rule exactly — overfitting is flagged when TRAIN loss saturates (<1%
+    change across a rank doubling) while test loss rises
+    (rank_cv.hpp:139-158).  That rule keys on model capacity, not truth:
+    while a model can still fit noise, train keeps dropping >1% and the
+    bracket never fires, so the search returns max_k on noisy data.
+    ``criterion="test"`` (extension) brackets on the test loss itself —
+    overfitting the moment test rises across a doubling — which recovers
+    planted ranks on simulateNMF-style data; the documented k-sweep argmin
+    recipe (cross-validation.Rmd:101) remains the reference-exact
+    alternative."""
+    if criterion not in ("train", "test"):
+        raise ValueError("criterion must be 'train' (reference rule) or "
+                         "'test'")
     A = np.asarray(A, dtype=np.float32)
     max_k = min(max_k, min(A.shape))
     kwargs.pop("test_fraction", None)
@@ -65,17 +80,29 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
     k_low = k_high = -1
     overfit = False
     k_current = k_init
-    prev = None
+    prev = prev2 = None
     while k_current <= max_k:
         cur = _evaluate_rank(A, k_current, base, cache, mask=mask)
         evals.append(cur)
         if prev is not None:
-            train_rel = abs(cur["train"] - prev["train"]) / (prev["train"] + 1e-15)
-            if train_rel < 0.01 and cur["test"] > prev["test"]:
-                k_low, k_high = prev["rank"], cur["rank"]
+            if criterion == "train":
+                train_rel = (abs(cur["train"] - prev["train"])
+                             / (prev["train"] + 1e-15))
+                hit = train_rel < 0.01 and cur["test"] > prev["test"]
+                if hit:
+                    k_low, k_high = prev["rank"], cur["rank"]
+            else:
+                hit = cur["test"] > prev["test"]
+                if hit:
+                    # test rose between prev and cur: the minimum lies in
+                    # (prev2, cur) — prev is an interior point of the
+                    # unimodal bracket, not its lower edge
+                    k_low = prev2["rank"] if prev2 is not None else k_init
+                    k_high = cur["rank"]
+            if hit:
                 overfit = True
                 break
-        prev = cur
+        prev2, prev = prev, cur
         if k_current * 2 > max_k and k_current < max_k:
             k_current = max_k
         else:
@@ -96,7 +123,13 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
                 hi = k2
             else:
                 lo = k1
-        k_optimal = lo          # conservative lower bound (rank_cv.hpp:227)
+        if criterion == "test":
+            # extension semantics: the decision IS the test minimum — take
+            # the argmin over every rank evaluated (the bracket from a
+            # doubling schedule can sit entirely above the optimum)
+            k_optimal = min(cache.values(), key=lambda e: e["test"])["rank"]
+        else:
+            k_optimal = lo      # conservative lower bound (rank_cv.hpp:227)
     else:
         k_optimal = evals[-1]["rank"] if evals else k_init
 

@@ -327,3 +327,26 @@ def test_cv_fit_downdate_equals_weighted(sim):
                                rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(float(fast.test_hist[9]),
                                float(slow.test_hist[9]), rtol=1e-3)
+
+
+def test_auto_rank_test_criterion_extension():
+    """criterion='test' (extension): brackets on the test loss itself and
+    returns the argmin over evaluated ranks — near the planted rank and
+    seed-stable on block-diagonal data where the reference train-saturation
+    rule returns max_k (rank_cv.hpp's rule keys on capacity, not truth)."""
+    from rcppml_tpu.utils.simulate import simulate_nmf
+    sim = simulate_nmf(m=200, n=80, k=5, noise=1.0, seed=42, block=True)
+    A = sim["A"] / sim["A"].mean()
+    ks = []
+    for cv_seed in (1, 2):
+        s = rt.nmf(A, "auto", k_init=2, max_k=20, cv_seed=cv_seed, seed=42,
+                   maxit=100, refit=False, criterion="test")
+        assert s["overfitting_detected"]
+        ks.append(s["k_optimal"])
+    assert all(4 <= k <= 9 for k in ks), ks      # near the planted k=5
+    # the reference rule is untouched: train never saturates here
+    s0 = rt.nmf(A, "auto", k_init=2, max_k=20, cv_seed=1, seed=42,
+                maxit=100, refit=False)
+    assert s0["k_optimal"] == 20 and not s0["overfitting_detected"]
+    with pytest.raises(ValueError, match="criterion"):
+        rt.nmf(A, "auto", cv_seed=1, refit=False, criterion="bogus")
