@@ -92,7 +92,13 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
                 if hit:
                     k_low, k_high = prev["rank"], cur["rank"]
             else:
-                hit = cur["test"] > prev["test"]
+                # best-iteration test loss (per-fit minimum), not the
+                # final iteration's — a fixed maxit lets higher-rank fits
+                # drift past their own minimum, biasing the decision low;
+                # and require a >0.1% relative rise so a noise-level
+                # uptick on a plateau does not end the search early
+                hit = (cur["best_test"]
+                       > prev["best_test"] * (1.0 + 1e-3))
                 if hit:
                     # test rose between prev and cur: the minimum lies in
                     # (prev2, cur) — prev is an interior point of the
@@ -125,9 +131,11 @@ def find_optimal_rank(A, *, k_init: int = 2, max_k: int = 50,
                 lo = k1
         if criterion == "test":
             # extension semantics: the decision IS the test minimum — take
-            # the argmin over every rank evaluated (the bracket from a
-            # doubling schedule can sit entirely above the optimum)
-            k_optimal = min(cache.values(), key=lambda e: e["test"])["rank"]
+            # the argmin of the per-fit BEST test loss over every rank
+            # evaluated (the bracket from a doubling schedule can sit
+            # entirely above the optimum)
+            k_optimal = min(cache.values(),
+                            key=lambda e: e["best_test"])["rank"]
         else:
             k_optimal = lo      # conservative lower bound (rank_cv.hpp:227)
     else:

@@ -73,13 +73,14 @@ class NMFResult:
         h = np.asarray(self.H)
         k = self.k
         names = [f"factor{i + 1}" for i in range(k)]
+        sw = np.mean(w == 0, axis=0)
+        sh = np.mean(h == 0, axis=1)
         return {
             "factor": names + names,
-            "sparsity": [float(np.mean(w[:, i] == 0)) for i in range(k)]
-                        + [float(np.mean(h[i, :] == 0)) for i in range(k)],
+            "sparsity": sw.tolist() + sh.tolist(),
             "model": ["w"] * k + ["h"] * k,
-            "W": float(np.mean(w == 0)),
-            "H": float(np.mean(h == 0)),
+            "W": float(sw.mean()),
+            "H": float(sh.mean()),
         }
 
     # -- S4-method equivalents (R/nmf_methods.R:18-498) --------------------
@@ -108,12 +109,25 @@ class NMFResult:
                          col_names=_sub(self.col_names, cols))
 
     def t(self) -> "NMFResult":
-        """Transpose the model: A' ~ H' diag(d) W'.  misc is preserved
-        (test_s4_methods.R:47-51)."""
+        """Transpose the model: A' ~ H' diag(d) W'.
+
+        misc is preserved (test_s4_methods.R:47-51; the reference's t()
+        carries w/d/h/misc).  Typed state the reference keeps inside misc
+        travels too: losses/histories/profile verbatim, axis-oriented
+        fields (pi_row/pi_col, dimnames) swapped to the new orientation;
+        theta/dispersion are carried as estimated (their axis semantics
+        follow the ORIGINAL fit's dispersion mode)."""
         return NMFResult(W=np.ascontiguousarray(self.H.T), d=self.d.copy(),
                          H=np.ascontiguousarray(self.W.T),
                          iterations=self.iterations, converged=self.converged,
                          train_loss=self.train_loss,
+                         test_loss=self.test_loss, final_tol=self.final_tol,
+                         best_iter=self.best_iter,
+                         loss_history=self.loss_history,
+                         test_loss_history=self.test_loss_history,
+                         theta=self.theta, dispersion=self.dispersion,
+                         pi_row=self.pi_col, pi_col=self.pi_row,
+                         profile=self.profile,
                          row_names=self.col_names, col_names=self.row_names,
                          misc=dict(self.misc))
 

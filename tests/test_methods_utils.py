@@ -150,9 +150,22 @@ def test_t_transposes_w_and_h(s4_model):
 
 
 def test_t_preserves_misc(s4_model):
-    _, res = s4_model
-    res.misc["tag"] = 123
+    A, _ = s4_model
+    res = rt.nmf(A, 4, maxit=5, seed=1)   # fresh fit: don't mutate the
+    res.misc["tag"] = 123                 # module-scoped fixture's misc
     assert res.t().misc.get("tag") == 123
+
+
+def test_t_carries_typed_state():
+    rs = np.random.RandomState(12)
+    counts = rs.poisson(2.0, (25, 20)).astype(np.float32)
+    res = rt.nmf(counts, 3, maxit=4, seed=1, loss="nb", zi="row")
+    tt = res.t()
+    assert tt.theta is not None
+    np.testing.assert_array_equal(np.asarray(tt.pi_col),
+                                  np.asarray(res.pi_row))
+    assert tt.test_loss == res.test_loss or (
+        np.isnan(tt.test_loss) and np.isnan(res.test_loss))
 
 
 def test_sort_reorders_by_decreasing_d(s4_model):
