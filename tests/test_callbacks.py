@@ -49,3 +49,17 @@ def test_logger_as_callback(small_factors):
     log = training_logger()
     rt.nmf(A, 4, seed=42, maxit=5, tol=0.0, on_iteration=log)
     assert len(log) == 5
+
+
+def test_profile_irls_not_silently_dropped():
+    """profile=True with an IRLS loss previously returned an EMPTY map
+    (the IRLS dispatch preceded the profiling branch); it now runs the
+    fused IRLS loop segmented, bitwise-identically."""
+    rs = np.random.RandomState(4)
+    counts = rs.poisson(2.0, (30, 25)).astype(np.float32)
+    r = rt.nmf(counts, 3, maxit=8, seed=1, loss="kl", profile=True, tol=0.0)
+    assert r.profile["mode"] == "fused-segmented"
+    assert r.profile["fused_per_iter_us"] > 0
+    assert r.profile["iterations"] == r.iterations
+    r0 = rt.nmf(counts, 3, maxit=8, seed=1, loss="kl", tol=0.0)
+    np.testing.assert_array_equal(np.asarray(r.W), np.asarray(r0.W))
