@@ -307,20 +307,41 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         m_pad, n_pad = m, n
         s_fwd = s_trp = s_rep = None
 
-    def _put_panel(block, transposed: bool):
+    # Panel residency cache: every sweep re-decodes AND re-uploads each
+    # panel; when forward + transpose copies fit device memory with
+    # headroom, keep the device panels across sweeps instead (the loader
+    # still provides sweep 0 — true out-of-core inputs larger than HBM
+    # keep streaming every sweep, which is the point of this engine).
+    # On a remote link this is the difference between per-sweep cost
+    # ~bytes(A)/link_bw and ~0 (measured 72 s -> in-memory-class for
+    # pbmc3k 5 sweeps over the axon tunnel).
+    from ..utils.memory import check_dense_alloc
+    _cache_panels = check_dense_alloc(2 * m, n, where="device").fits
+    _panel_cache: dict = {}
+
+    def _put_panel(block, transposed: bool, col_start=None):
         """Pad a decoded host panel to mesh-divisible shape and place it
         with the canonical sharding (no-op placement when mesh=None)."""
+        key = (transposed, col_start)
+        if _cache_panels and col_start is not None:
+            hit = _panel_cache.get(key)
+            if hit is not None:
+                return hit
         if mesh is None:
-            return jnp.asarray(block)
-        rows_pad = n_pad if transposed else m_pad
-        pc = block.shape[1]
-        pc_pad = pc + (-pc) % (mesh_rows if transposed else mesh_cols)
-        if block.shape[0] != rows_pad or pc_pad != pc:
-            blk = np.zeros((rows_pad, pc_pad), np.float32)
-            blk[:block.shape[0], :pc] = block
+            out = jnp.asarray(block)
         else:
-            blk = np.ascontiguousarray(block, dtype=np.float32)
-        return jax.device_put(blk, s_trp if transposed else s_fwd)
+            rows_pad = n_pad if transposed else m_pad
+            pc = block.shape[1]
+            pc_pad = pc + (-pc) % (mesh_rows if transposed else mesh_cols)
+            if block.shape[0] != rows_pad or pc_pad != pc:
+                blk = np.zeros((rows_pad, pc_pad), np.float32)
+                blk[:block.shape[0], :pc] = block
+            else:
+                blk = np.ascontiguousarray(block, dtype=np.float32)
+            out = jax.device_put(blk, s_trp if transposed else s_fwd)
+        if _cache_panels and col_start is not None:
+            _panel_cache[key] = out
+        return out
 
     def _pad_cols(nc: int, transposed: bool) -> int:
         if mesh is None:
@@ -583,7 +604,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     f"{ch.col_start}..{ch.col_start + ch.num_cols}; "
                     "streaming cannot auto-mask NaN/Inf — clean the data "
                     "or fit in-memory with mask=")
-            A_panel = _put_panel(ch.data, False)
+            A_panel = _put_panel(ch.data, False, ch.col_start)
             X_warm = _warm_slice(H, ch.col_start, ch.num_cols, False)
             if cfg.projective:
                 H_parts[ch.col_start] = _unpad_x(jnp.dot(
@@ -638,7 +659,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         H_f = _pad_f(H, n_pad)
         pt = Prefetcher(loader, transpose=True)
         for ch in pt:
-            At_panel = _put_panel(ch.data, True)         # (n, pc) cols of A^T
+            At_panel = _put_panel(ch.data, True, ch.col_start)  # (n, pc) cols of A^T
             X_warm = _warm_slice(W_T, ch.col_start, ch.num_cols, True)
             if use_irls:
                 th_row = (_pad1(nb_vec, n_pad)
@@ -698,7 +719,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 th_col = (_pad1(nb_vec[cs:cs + nc],
                                 nc + _pad_cols(nc, False))
                           if (is_nb and per_col) else None)
-                A_panel = _put_panel(ch.data, False)
+                A_panel = _put_panel(ch.data, False, ch.col_start)
                 H_panel = _warm_slice(H, cs, nc, False)
                 if is_zi:
                     pi_b, r_b = _zi_bcast(cs, nc, False)
@@ -748,7 +769,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 out = _panel_cv_losses(
                     cfgs, W_T_l, d,
                     _warm_slice(H, cs, nc, False),
-                    _put_panel(ch.data, False), seed_pair,
+                    _put_panel(ch.data, False, ch.col_start), seed_pair,
                     jnp.uint32(cs), th_row, th_col,
                     _mask_panel(cs, nc, False),
                     inv_prob=inv_prob,
@@ -789,7 +810,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 cross += float(_panel_cross_term(
                     W_T_l, d,
                     _warm_slice(H, ch.col_start, ch.num_cols, False),
-                    _put_panel(ch.data, False)))
+                    _put_panel(ch.data, False, ch.col_start)))
             G_wt = linalg.gram(W_T)
             recon = float(jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w))
             loss = trAtA - 2.0 * cross + recon
