@@ -8,6 +8,35 @@ composable multi-layer factor-graph engine, and sharded multi-chip
 execution over a ``jax.sharding.Mesh``.
 """
 
+def _setup_compilation_cache():
+    """Enable JAX's persistent compilation cache unless the user already
+    configured one.  Remote-compile backends pay seconds per executable
+    per process (measured 7.9 s -> 0.7 s on a cache hit for one matmul);
+    the streaming engine's per-panel-shape executables make cold starts
+    expensive without this.  Compiles faster than jax's default
+    min-compile-time threshold are not cached (no churn from tiny ops)."""
+    import os as _os
+    import tempfile as _tempfile
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        return
+    try:
+        import jax as _jax
+        if _jax.config.jax_compilation_cache_dir:
+            return
+        path = _os.path.join(_tempfile.gettempdir(), "rcppml_tpu_jax_cache")
+        _os.makedirs(path, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", path)
+        # the streaming engine's per-panel executables each compile in
+        # 0.3-1 s on a remote compile service — below jax's default 1 s
+        # caching threshold; cache them too
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.25)
+    except Exception:                                    # noqa: BLE001
+        pass  # cache is an optimization; never block import
+
+
+_setup_compilation_cache()
+
 from .api import nmf, build_config
 from .config import (Dispersion, FactorConfig, Loss, NMFConfig, Norm, Solver,
                      SVDConfig, ZI)
