@@ -23,14 +23,27 @@ def _setup_compilation_cache():
         import jax as _jax
         if _jax.config.jax_compilation_cache_dir:
             return
-        path = _os.path.join(_tempfile.gettempdir(), "rcppml_tpu_jax_cache")
-        _os.makedirs(path, exist_ok=True)
+        # per-user, owner-only path: a fixed shared /tmp name would break
+        # on multi-user hosts (first owner wins) and let another local
+        # user pre-seed executables the victim would deserialize
+        uid = _os.getuid() if hasattr(_os, "getuid") else 0
+        path = _os.path.join(_tempfile.gettempdir(),
+                             f"rcppml_tpu_jax_cache_{uid}")
+        _os.makedirs(path, mode=0o700, exist_ok=True)
+        if hasattr(_os, "getuid") and _os.stat(path).st_uid != uid:
+            return  # someone else owns the path — don't trust it
         _jax.config.update("jax_compilation_cache_dir", path)
         # the streaming engine's per-panel executables each compile in
         # 0.3-1 s on a remote compile service — below jax's default 1 s
-        # caching threshold; cache them too
+        # caching threshold; cache them too.  Bound total size so /tmp
+        # (often RAM-backed) can't grow without limit across runs.
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            0.25)
+        try:
+            _jax.config.update("jax_compilation_cache_max_size",
+                               2 * 1024 ** 3)
+        except Exception:                                # noqa: BLE001
+            pass  # older jax without the size knob
     except Exception:                                    # noqa: BLE001
         pass  # cache is an optimization; never block import
 

@@ -31,7 +31,12 @@ class Chunk:
 
 
 class DataLoader:
-    """Interface: chunk iteration over A and A^T panels (loader.hpp:60)."""
+    """Interface: chunk iteration over A and A^T panels (loader.hpp:60).
+
+    Contract: chunk contents must be IDENTICAL across sweeps — consumers
+    (nmf_chunked's panel residency cache, streaming SVD passes) may reuse
+    a chunk read in an earlier sweep.  A loader over live/mutating data
+    must be fit with ``panel_cache=False``."""
 
     shape: Tuple[int, int]
 

@@ -9,7 +9,11 @@ TPU re-architecture of ``nmf/fit_chunked.hpp:71+`` and the streaming entry
     compute)  ->  gram(H)  ->  transpose panels: per-panel W_T updates  ->
     scaling  ->  Gram-trick loss accumulated panel-wise.
 
-  Memory: O(m k + n k + panel) — A never lives in device memory at once.
+  Memory: O(m k + n k + panel) — A never lives in device memory at
+  once — UNLESS the panel residency cache activates (data fits device
+  memory with headroom, or panel_cache=True): then forward+transpose
+  panel copies stay device-resident across sweeps for speed.  Pass
+  panel_cache=False to keep the strict O(panel) footprint.
 
 Panel solves are the standard batched Cholesky / CD primitives; each panel
 update is one jit-compiled call reused across panels and iterations.
@@ -252,8 +256,8 @@ def _panel_cross_term(W_T, d, H_panel, A_panel):
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 w_init=None, h_init=None, mask=None, graph_W=None,
                 graph_H=None, mesh=None, on_iteration=None,
-                checkpoint_path=None, checkpoint_every: int = 1
-                ) -> NMFResult:
+                checkpoint_path=None, checkpoint_every: int = 1,
+                panel_cache: Optional[bool] = None) -> NMFResult:
     """Streaming ALS over a DataLoader (nmf/fit_chunked.hpp:71).
 
     ``mask``: optional (m, n) bool, True = held out of training (the
@@ -315,9 +319,61 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     # On a remote link this is the difference between per-sweep cost
     # ~bytes(A)/link_bw and ~0 (measured 72 s -> in-memory-class for
     # pbmc3k 5 sweeps over the axon tunnel).
-    from ..utils.memory import check_dense_alloc
-    _cache_panels = check_dense_alloc(2 * m, n, where="device").fits
+    #
+    # Auto-gate rules (panel_cache=None): device memory must be KNOWN
+    # (an unknown limit means "proceed" for the allocation guard but must
+    # mean "don't pin the matrix" here — the opposite risk profile), and
+    # the footprint is per-device (sharded panels divide across the
+    # mesh).  panel_cache=False keeps the documented O(panel) device
+    # footprint unconditionally; True forces residency.
+    from ..utils.memory import check_dense_alloc, device_hbm_bytes
+    if panel_cache is None:
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None \
+            else 1
+        n_per = -(-n // n_dev)          # sharded panels divide per device
+        if device_hbm_bytes() > 0:
+            _cache_panels = check_dense_alloc(2 * m, n_per,
+                                              where="device").fits
+        else:
+            # device memory UNKNOWN (e.g. remote PJRT clients without
+            # memory_stats): check_dense_alloc's proceed-on-unknown is
+            # right for a guard but wrong for opt-in pinning — fall back
+            # to a conservative static bound (well under any TPU's HBM)
+            # so genuinely out-of-core inputs are never pinned blind
+            _cache_panels = (2.0 * m * n_per * 4) <= 4 * 1024 ** 3
+    else:
+        _cache_panels = bool(panel_cache)
     _panel_cache: dict = {}
+    _panel_meta: dict = {False: {}, True: {}}   # col_start -> num_cols
+
+    class _CachedChunk:
+        __slots__ = ("col_start", "num_cols", "data")
+
+        def __init__(self, cs, nc):
+            self.col_start = cs
+            self.num_cols = nc
+            self.data = None
+
+    def _panels(transposed: bool, prefetch: bool = True):
+        """Iterate panels; once the residency cache holds every panel of
+        a side, yield metadata-only chunks so later sweeps skip the host
+        decode entirely (the Prefetcher would otherwise decompress the
+        whole matrix per sweep even on full cache hits)."""
+        meta = _panel_meta[transposed]
+        if _cache_panels and meta and all(
+                (transposed, cs) in _panel_cache for cs in meta):
+            for cs in sorted(meta):
+                yield _CachedChunk(cs, meta[cs])
+            return
+        it = (Prefetcher(loader, transpose=transposed) if prefetch
+              else loader.iter_chunks(transpose=transposed))
+        try:
+            for ch in it:
+                meta[ch.col_start] = ch.num_cols
+                yield ch
+        finally:
+            if prefetch:
+                it.close()
 
     def _put_panel(block, transposed: bool, col_start=None):
         """Pad a decoded host panel to mesh-divisible shape and place it
@@ -593,8 +649,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             G_add_W = feat.tier2_gram_addition(W_T, cfg.W)
         H_parts = {}
         W_T_f = _pad_f(W_T, m_pad)
-        pf = Prefetcher(loader, transpose=False)
-        for ch in pf:
+        for ch in _panels(False):
             if it == 0 and not np.isfinite(ch.data).all():
                 # streamed panels (e.g. .spz) bypass the in-memory NaN
                 # auto-mask, so a corrupt/NaN file must fail loudly here
@@ -643,7 +698,6 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 H_parts[ch.col_start] = _unpad_x(
                     _panel_solve(cfg, "H", G, W_T_f, A_panel, X_warm, warm),
                     ch.num_cols)
-        pf.close()
         H = jnp.concatenate([H_parts[cs] for cs in sorted(H_parts)], axis=1)
         if cfg.H.angular > 0:
             H = feat.apply_angular_posthoc(H, cfg.H.angular)
@@ -657,8 +711,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             G2 = feat.apply_graph_reg(G2, graph_W, W_T, cfg.W.graph_lambda)
         W_parts = {}
         H_f = _pad_f(H, n_pad)
-        pt = Prefetcher(loader, transpose=True)
-        for ch in pt:
+        for ch in _panels(True):
             At_panel = _put_panel(ch.data, True, ch.col_start)  # (n, pc) cols of A^T
             X_warm = _warm_slice(W_T, ch.col_start, ch.num_cols, True)
             if use_irls:
@@ -692,7 +745,6 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 W_parts[ch.col_start] = _unpad_x(
                     _panel_solve(cfg, "W", G2, H_f, At_panel, X_warm, warm),
                     ch.num_cols)
-        pt.close()
         W_T = jnp.concatenate([W_parts[cs] for cs in sorted(W_parts)], axis=1)
         if cfg.W.angular > 0:
             W_T = feat.apply_angular_posthoc(W_T, cfg.W.angular)
@@ -712,7 +764,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 zs_col = np.zeros((n,), np.float64)
                 zn_row = np.zeros((m,), np.float64)
                 zn_col = np.zeros((n,), np.float64)
-            for ch in loader.iter_chunks(transpose=False):
+            for ch in _panels(False, prefetch=False):
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
                           if (is_nb and not per_col) else None)
@@ -759,7 +811,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         elif use_masked or use_irls:
             tr_sse = tr_n = te_sse = te_n = 0.0
-            for ch in loader.iter_chunks(transpose=False):
+            for ch in _panels(False, prefetch=False):
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
                           if (is_nb and not per_col) else None)
@@ -806,7 +858,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         else:
             cross = 0.0
-            for ch in loader.iter_chunks(transpose=False):
+            for ch in _panels(False, prefetch=False):
                 cross += float(_panel_cross_term(
                     W_T_l, d,
                     _warm_slice(H, ch.col_start, ch.num_cols, False),

@@ -292,3 +292,19 @@ def test_streaming_checkpoint_path_writes(sim, tmp_path):
     ck = str(tmp_path / "ck.npz")
     rt.nmf(sim["A"], 3, streaming=True, maxit=3, checkpoint_path=ck)
     assert os.path.exists(ck)
+
+
+def test_panel_cache_off_matches_on():
+    """panel_cache=False keeps the strict O(panel) device footprint and
+    must produce the same fit as the cached path (round-3 review)."""
+    import rcppml_tpu as rt
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    from rcppml_tpu.models.nmf_chunked import nmf_chunked
+    rs = np.random.RandomState(5)
+    A = np.abs(rs.rand(60, 90)).astype(np.float32)
+    cfg = rt.build_config(4, seed=2, maxit=5, tol=0.0, sort_model=False)
+    r_on = nmf_chunked(InMemoryLoader(A, chunk_cols=40), cfg,
+                       panel_cache=True)
+    r_off = nmf_chunked(InMemoryLoader(A, chunk_cols=40), cfg,
+                        panel_cache=False)
+    np.testing.assert_array_equal(np.asarray(r_on.W), np.asarray(r_off.W))
