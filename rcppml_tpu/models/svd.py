@@ -1295,20 +1295,53 @@ def pca(data, k=10, *, center: bool = True, scale: bool = False, **kw) -> SVDRes
 class _LoaderOp:
     """Chunked matvec/matmul operator: panels stream through the device,
     accumulating products — A itself never lives in device memory whole
-    (svd/streaming_matvec.hpp analog)."""
+    (svd/streaming_matvec.hpp analog).
 
-    def __init__(self, loader, center=None):
+    Streaming SVD drives DOZENS of matvecs (one mm + one rmm per GKB
+    step), so panels that fit device memory with headroom are cached
+    device-resident across calls, with decode skipped on full hits (the
+    same residency policy as nmf_chunked's panel cache; inputs larger
+    than the budget keep true per-call streaming)."""
+
+    def __init__(self, loader, center=None, panel_cache=None):
         self.loader = loader
         self.shape = loader.shape
         self.center = center
+        m, n = loader.shape
+        from ..utils.memory import check_dense_alloc, device_hbm_bytes
+        if panel_cache is None:
+            if device_hbm_bytes() > 0:
+                self._cache_ok = check_dense_alloc(2 * m, n,
+                                                   where="device").fits
+            else:
+                # device memory unknown: conservative static bound only
+                self._cache_ok = 2.0 * m * n * 4 <= 4 * 1024 ** 3
+        else:
+            self._cache_ok = bool(panel_cache)
+        self._cache: dict = {}
+        self._meta: dict = {False: {}, True: {}}
+
+    def _panels(self, transpose: bool):
+        meta = self._meta[transpose]
+        if self._cache_ok and meta and all(
+                (transpose, cs) in self._cache for cs in meta):
+            for cs in sorted(meta):
+                yield cs, meta[cs], self._cache[(transpose, cs)]
+            return
+        for ch in self.loader.iter_chunks(transpose=transpose):
+            meta[ch.col_start] = ch.num_cols
+            d = jnp.asarray(ch.data)
+            if self._cache_ok:
+                self._cache[(transpose, ch.col_start)] = d
+            yield ch.col_start, ch.num_cols, d
 
     def mm(self, X):                      # (n, b) -> (m, b)
         m, n = self.shape
         X = jnp.asarray(X)
         Y = jnp.zeros((m, X.shape[1]), jnp.float32)
-        for ch in self.loader.iter_chunks(transpose=False):
-            Xb = X[ch.col_start:ch.col_start + ch.num_cols]
-            Y = Y + jnp.dot(jnp.asarray(ch.data), Xb, precision=PREC)
+        for cs, nc, data in self._panels(False):
+            Xb = X[cs:cs + nc]
+            Y = Y + jnp.dot(data, Xb, precision=PREC)
         if self.center is not None:
             Y = Y - jnp.outer(self.center, jnp.sum(X, axis=0))
         return Y
@@ -1319,9 +1352,9 @@ class _LoaderOp:
         Y = jnp.zeros((n, X.shape[1]), jnp.float32)
         # transpose panels are (n, pc) column blocks of A^T; their columns
         # index the m axis, so each contributes panel @ X[rows-of-A block]
-        for ch in self.loader.iter_chunks(transpose=True):
-            Xb = X[ch.col_start:ch.col_start + ch.num_cols]
-            Y = Y + jnp.dot(jnp.asarray(ch.data), Xb, precision=PREC)
+        for cs, nc, data in self._panels(True):
+            Xb = X[cs:cs + nc]
+            Y = Y + jnp.dot(data, Xb, precision=PREC)
         if self.center is not None:
             Y = Y - jnp.outer(jnp.ones((n,), jnp.float32),
                               jnp.dot(self.center, X, precision=PREC))
@@ -1336,8 +1369,8 @@ class _LoaderOp:
     def row_means(self):
         m, n = self.shape
         s = jnp.zeros((m,), jnp.float32)
-        for ch in self.loader.iter_chunks(transpose=False):
-            s = s + jnp.sum(jnp.asarray(ch.data), axis=1)
+        for cs, nc, data in self._panels(False):
+            s = s + jnp.sum(data, axis=1)
         return s / n
 
 
