@@ -751,7 +751,12 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
             if (ncols == 0) nchunks = 0;
             descs.resize(nchunks);
             (void)nrows;
-            for (uint32_t c = 0; c < nchunks; ++c) {
+            // chunks are independent: encode payloads in a work-stealing
+            // pool (same pattern as spz_decode_mt), then one serial pass
+            // concatenates streams and assigns offsets
+            std::vector<std::vector<uint8_t>> gap_bufs(nchunks);
+            std::vector<std::vector<uint8_t>> val_bufs(nchunks);
+            auto encode_chunk = [&](uint32_t c) {
                 ChunkDesc& d = descs[c];
                 d.col_start = c * chunk_cols;
                 d.num_cols = std::min(chunk_cols, ncols - d.col_start);
@@ -760,7 +765,7 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                 d.nnz = static_cast<uint32_t>(hi - lo);
 
                 // gaps
-                std::vector<uint8_t> gap_stream;
+                std::vector<uint8_t>& gap_stream = gap_bufs[c];
                 {
                     std::vector<uint8_t> cc;
                     for (uint32_t j = 0; j < d.num_cols; ++j)
@@ -786,7 +791,7 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                 }
 
                 // values
-                std::vector<uint8_t> val_stream;
+                std::vector<uint8_t>& val_stream = val_bufs[c];
                 if (d.nnz) {
                     const float* vals = sx + lo;
                     switch (value_type) {
@@ -826,17 +831,57 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                     }
                 }
 
-                d.stream_offset[0] = static_cast<uint32_t>(data.size());
-                d.stream_size[0] = static_cast<uint32_t>(gap_stream.size());
-                data.insert(data.end(), gap_stream.begin(), gap_stream.end());
-                d.stream_offset[1] = static_cast<uint32_t>(data.size());
-                d.stream_size[1] = static_cast<uint32_t>(val_stream.size());
-                data.insert(data.end(), val_stream.begin(), val_stream.end());
                 // decoded allocation hints, as the reference writer fills
                 // them (sparsepress_v2.hpp:610-611)
                 d.decoded_gap_bytes = d.nnz * 4;
                 d.decoded_value_bytes =
                     d.nnz * static_cast<uint32_t>(vt_size(value_type));
+            };
+
+            int nt = static_cast<int>(std::thread::hardware_concurrency());
+            nt = std::max(1, std::min<int>(std::min(nt, 16),
+                                           static_cast<int>(nchunks ? nchunks
+                                                                    : 1)));
+            if (nt <= 1 || nchunks <= 1) {
+                for (uint32_t c = 0; c < nchunks; ++c) encode_chunk(c);
+            } else {
+                std::atomic<uint32_t> next{0};
+                std::mutex err_mu;
+                std::string err;
+                auto worker = [&]() {
+                    for (;;) {
+                        uint32_t c = next.fetch_add(1);
+                        if (c >= nchunks) return;
+                        try {
+                            encode_chunk(c);
+                        } catch (const std::exception& e) {
+                            std::lock_guard<std::mutex> g(err_mu);
+                            if (err.empty()) err = e.what();
+                            return;
+                        }
+                    }
+                };
+                std::vector<std::thread> pool;
+                for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+                for (auto& th : pool) th.join();
+                if (!err.empty()) throw std::runtime_error(err);
+            }
+
+            // serial assembly: offsets are prefix sums of the buffers
+            uint64_t total_bytes = 0;
+            for (uint32_t c = 0; c < nchunks; ++c)
+                total_bytes += gap_bufs[c].size() + val_bufs[c].size();
+            data.reserve(data.size() + total_bytes);
+            for (uint32_t c = 0; c < nchunks; ++c) {
+                ChunkDesc& d = descs[c];
+                d.stream_offset[0] = static_cast<uint32_t>(data.size());
+                d.stream_size[0] = static_cast<uint32_t>(gap_bufs[c].size());
+                data.insert(data.end(), gap_bufs[c].begin(),
+                            gap_bufs[c].end());
+                d.stream_offset[1] = static_cast<uint32_t>(data.size());
+                d.stream_size[1] = static_cast<uint32_t>(val_bufs[c].size());
+                data.insert(data.end(), val_bufs[c].begin(),
+                            val_bufs[c].end());
             }
         };
 

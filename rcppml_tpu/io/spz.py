@@ -144,16 +144,35 @@ def compress_to_spz_bytes(mat, *, value_type: str = "auto",
     pp = p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     ip = i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    size = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols,
-                          int(with_transpose), None, 0)
-    if size < 0:
-        raise ValueError(f"spz_encode: {_err(lib)}")
-    out = np.zeros(size, dtype=np.uint8)
+    # single-pass encode into a generous upper-bound buffer: the size
+    # query runs the FULL encode, so the two-pass protocol doubled the
+    # work.  Bound: headers + descriptors + per-chunk stream framing +
+    # rANS worst case (escape coding can exceed raw slightly; byteshuffle
+    # adds a few bytes/stream).  Falls back to size-query + exact
+    # allocation if the bound is ever insufficient.
+    nnz = int(p[n])
+    vt_bytes = {0: 1, 1: 2, 2: 4, 3: 4, 4: 2, 5: 1, 6: 8}[vt]
+    sides = 2 if with_transpose else 1
+    nchunks = sides * (-(-max(m, n) // max(chunk_cols, 1)) + 2)
+    bound = (256 + 48 * nchunks + 4096 * nchunks
+             + sides * int(nnz * (5.5 + 1.25 * vt_bytes) + (m + n) * 10))
+    out = np.zeros(bound, dtype=np.uint8)
     rc = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols, int(with_transpose),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                        size)
+                        bound)
     if rc < 0:
-        raise ValueError(f"spz_encode: {_err(lib)}")
+        # bound too small (or other error): retry with the exact size
+        size = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols,
+                              int(with_transpose), None, 0)
+        if size < 0:
+            raise ValueError(f"spz_encode: {_err(lib)}")
+        out = np.zeros(size, dtype=np.uint8)
+        rc = lib.spz_encode(m, n, pp, ip, xp, vt, chunk_cols,
+                            int(with_transpose),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            size)
+        if rc < 0:
+            raise ValueError(f"spz_encode: {_err(lib)}")
     return out[:rc].tobytes()
 
 
