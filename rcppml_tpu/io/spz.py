@@ -289,14 +289,27 @@ def compress_dense_to_spz_bytes(A, *, codec: str = "raw",
     col_major = np.asfortranarray(A).ravel(order="F")
     cp = col_major.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     cd = DENSE_CODECS[codec]
-    size = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
-                           None, 0)
-    if size < 0:
-        raise ValueError(f"spz3_encode: {_err(lib)}")
-    out = np.zeros(size, dtype=np.uint8)
+    # single-pass: the size query re-runs the whole encode; v3 sizes are
+    # deterministic (raw fp32 / fp16 panels + fixed framing), so bound
+    # exactly with slack and fall back only on error
+    sides = 2 if with_transpose else 1
+    per_val = 2 if codec == "fp16" else 4
+    nchunks = sides * (-(-max(m, n) // max(chunk_cols, 1)) + 2)
+    bound = 256 + 64 * nchunks + sides * (int(m) * int(n) * per_val) + 4096
+    out = np.zeros(bound, dtype=np.uint8)
     rc = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                         size)
+                         bound)
+    if rc < 0:
+        size = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
+                               None, 0)
+        if size < 0:
+            raise ValueError(f"spz3_encode: {_err(lib)}")
+        out = np.zeros(size, dtype=np.uint8)
+        rc = lib.spz3_encode(m, n, cp, cd, chunk_cols, int(with_transpose),
+                             out.ctypes.data_as(
+                                 ctypes.POINTER(ctypes.c_uint8)),
+                             size)
     if rc < 0:
         raise ValueError(f"spz3_encode: {_err(lib)}")
     return out[:rc].tobytes()
