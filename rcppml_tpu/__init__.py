@@ -27,8 +27,14 @@ def _setup_compilation_cache():
         # on multi-user hosts (first owner wins) and let another local
         # user pre-seed executables the victim would deserialize
         uid = _os.getuid() if hasattr(_os, "getuid") else 0
+        # partition by platform config: remote-compile backends (e.g. a
+        # TPU tunnel) produce CPU AOT artifacts with the REMOTE host's
+        # machine features — loading those in a local CPU-only process
+        # warns "could lead to SIGILL".  Separate pools per JAX_PLATFORMS
+        # keep remote-compiled and locally-compiled executables apart.
+        plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "-")
         path = _os.path.join(_tempfile.gettempdir(),
-                             f"rcppml_tpu_jax_cache_{uid}")
+                             f"rcppml_tpu_jax_cache_{uid}_{plat}")
         _os.makedirs(path, mode=0o700, exist_ok=True)
         if hasattr(_os, "getuid") and _os.stat(path).st_uid != uid:
             return  # someone else owns the path — don't trust it
