@@ -871,6 +871,14 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
             uint64_t total_bytes = 0;
             for (uint32_t c = 0; c < nchunks; ++c)
                 total_bytes += gap_bufs[c].size() + val_bufs[c].size();
+            // the v2 format stores per-chunk stream offsets as u32
+            // (header_v2.hpp ChunkDesc) — a >4 GiB payload side would
+            // silently wrap the casts below and corrupt the file
+            if (data.size() + total_bytes > 0xFFFFFFFFull)
+                throw std::runtime_error(
+                    "compressed payload exceeds the SparsePress v2 4 GiB "
+                    "per-side limit (u32 chunk offsets); write the matrix "
+                    "in column slices (st_slice_cols) or use v3");
             data.reserve(data.size() + total_bytes);
             for (uint32_t c = 0; c < nchunks; ++c) {
                 ChunkDesc& d = descs[c];
