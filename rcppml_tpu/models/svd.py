@@ -1320,20 +1320,24 @@ class _LoaderOp:
             self._cache_ok = bool(panel_cache)
         self._cache: dict = {}
         self._meta: dict = {False: {}, True: {}}
+        # a pass that raises (or is abandoned) mid-iteration must not
+        # leave a PARTIAL panel set that later hits would silently serve
+        self._complete = {False: False, True: False}
 
     def _panels(self, transpose: bool):
         meta = self._meta[transpose]
-        if self._cache_ok and meta and all(
-                (transpose, cs) in self._cache for cs in meta):
+        if self._cache_ok and self._complete[transpose]:
             for cs in sorted(meta):
                 yield cs, meta[cs], self._cache[(transpose, cs)]
             return
+        meta.clear()
         for ch in self.loader.iter_chunks(transpose=transpose):
             meta[ch.col_start] = ch.num_cols
             d = jnp.asarray(ch.data)
             if self._cache_ok:
                 self._cache[(transpose, ch.col_start)] = d
             yield ch.col_start, ch.num_cols, d
+        self._complete[transpose] = self._cache_ok
 
     def mm(self, X):                      # (n, b) -> (m, b)
         m, n = self.shape

@@ -308,3 +308,23 @@ def test_panel_cache_off_matches_on():
     r_off = nmf_chunked(InMemoryLoader(A, chunk_cols=40), cfg,
                         panel_cache=False)
     np.testing.assert_array_equal(np.asarray(r_on.W), np.asarray(r_off.W))
+
+
+def test_loaderop_interrupted_pass_not_cached_partial():
+    """An abandoned/failed panel pass must not leave a PARTIAL panel set
+    that later cache hits silently serve (round-3 session fix): a full
+    mm() after an interrupted pass must still see every panel."""
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    from rcppml_tpu.models.svd import _LoaderOp
+    rs = np.random.RandomState(7)
+    A = rs.rand(40, 70).astype(np.float32)
+    op = _LoaderOp(InMemoryLoader(A, chunk_cols=20), panel_cache=True)
+    it = op._panels(False)
+    next(it)          # consume ONE panel...
+    it.close()        # ...then abandon the pass
+    X = rs.rand(70, 3).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op.mm(X)), A @ X, rtol=2e-5,
+                               atol=2e-5)
+    # and the cache must now be complete + correct on the hit path
+    np.testing.assert_allclose(np.asarray(op.mm(X)), A @ X, rtol=2e-5,
+                               atol=2e-5)
