@@ -151,11 +151,14 @@ class NMFConfig:
     #     heuristic would silently change what a seed means;
     # (2) loss histories drive tol/patience stopping, so halved data
     #     precision shifts stopping iterations, not just trailing digits;
-    # (3) the win is shape-dependent: bandwidth-bound large fits gain
-    #     ~35% (BENCH_NOTES), while small fits LOSE to the cast overhead
-    #     (movielens k=50 measured slower under bf16 than fp32 once init
-    #     moved on-device).  tests/test_parameters.py pins bf16-vs-fp32
-    #     factor agreement.
+    # (3) the win is shape-dependent.  Slope-isolated device-loop
+    #     measurements (BENCH_NOTES "tunnel tax": end-to-end timings on a
+    #     remote link understate the device effect) put the bf16 loop at
+    #     ~6x fp32 on pbmc3k k=20 (430 -> 72 us/iter; the fp32 loop runs
+    #     at ~82% of v5e HBM peak, so halving bytes + single-pass MXU is
+    #     the only remaining lever) and ~1.6x on movielens k=50 — but the
+    #     accuracy contract ((1), (2)) still argues for explicit opt-in.
+    #     tests/test_parameters.py pins bf16-vs-fp32 factor agreement.
     bf16_data: bool = False
 
     # Presence flags for traced aux arrays (affect compiled program shape)
