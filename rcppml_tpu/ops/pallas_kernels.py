@@ -11,8 +11,9 @@ RHS+NNLS design (primitives/cpu/fused_nnls.hpp).
 
 Layouts (columns on the 128-lane axis):
   * shared-Gram:  G (k, k) whole in VMEM; B/X tiles (k, BC)
-  * batched-Gram: G_flat (k*k, n) tiled to (k*k, BC) — coordinate i's Gram
-    column for every lane occupies rows i*k .. i*k+k.
+  * batched-Gram: G_flat (k*ks, n) tiled to (k*ks, BC) — coordinate i's
+    Gram column for every lane occupies rows i*ks .. i*ks+k, with
+    ks = round_up(k, 8) so dynamic block starts are sublane-aligned.
 
 All state mutation goes through VMEM refs with ``pl.ds`` dynamic slices
 (value-level dynamic_slice does not lower on TPU Pallas).
@@ -41,15 +42,52 @@ def _pad_cols(X, bc):
     return X
 
 
+def _pick_bc(k: int, n: int, batched: bool) -> int:
+    """Columns per kernel instance (a multiple of the 128-lane width).
+
+    The per-coordinate CD chain is strictly sequential, so each link is a
+    handful of small VPU ops whose latency cannot be hidden within one
+    lane-tile; running SEVERAL independent lane-tiles per instance gives
+    the compiler parallel work per link.  Results are bitwise identical
+    for any width (each lane's freeze/trajectory depends only on its own
+    column) — measured on v5e: k=16, n=13714, 100 sweeps: 9.5 ms at
+    bc=128 -> 2.4 ms at bc=1024; n=2638: best at 512 (wider blocks
+    couple more lanes to one max-lane sweep count, so the early-exit
+    coarsens — hence the n-aware cap).
+
+    VMEM bound (batched): the (k*k, bc) Gram tile double-buffers, plus
+    four (k, bc) buffers — keep ~<6 MB so k=100 still compiles.
+    """
+    bc = 1024 if n >= 8192 else 512
+    if batched:
+        while bc > _LANE and (k * k + 4 * k) * bc * 4 * 2 > 6 * 1024 ** 2:
+            bc //= 2
+    # don't pad tiny column counts up to a huge block
+    n_tiles = -(-max(n, 1) // _LANE)
+    bc = min(bc, n_tiles * _LANE)
+    return max(bc, _LANE)
+
+
+def _gram_stride(k: int) -> int:
+    """Rows per coordinate block in the flattened Gram layout.
+
+    Dynamic (k, bc) VMEM loads need a start index Mosaic can prove is a
+    multiple of the 8-sublane tile, so coordinate i's Gram column starts
+    at i * round_up(k, 8) instead of i * k (zero-padded rows between)."""
+    return -(-k // 8) * 8
+
+
 def _make_cd_kernel(k: int, bc: int, nonneg: bool, maxit: int,
                     upper_bound: float, batched: bool):
     """Build the fused CD kernel body.
 
-    Refs: (l1, tol scalars in SMEM), g_ref — (k,k) shared or (k*k, bc)
-    batched — b_ref (k, bc), x_ref (k, bc), out_ref (k, bc), b_scratch.
+    Refs: (l1, tol scalars in SMEM), g_ref — (k*ks, 1) shared or
+    (k*ks, bc) batched with ks = _gram_stride(k) — b_ref (k, bc),
+    x_ref (k, bc), out_ref (k, bc), b_scratch.
     """
     inv_k = 1.0 / k
     abs_tol = constants.CD_ABS_TOL
+    ks = _gram_stride(k)
 
     def kernel(l1_ref, tol_ref, g_ref, b_ref, x_ref, out_ref, b_scr):
         L1 = l1_ref[0, 0]
@@ -60,9 +98,10 @@ def _make_cd_kernel(k: int, bc: int, nonneg: bool, maxit: int,
         def coord(i, carry):
             tol_sum, active = carry
             # g_ref holds flattened per-coordinate Gram columns: rows
-            # i*k..i*k+k are G[:, i] — (k*k, bc) batched / (k*k, 1) shared
-            g_col = g_ref[pl.ds(i * k, k), :]                  # (k, bc|1)
-            g_d = g_ref[pl.ds(i * k + i, 1), :]                # (1, bc|1)
+            # i*ks..i*ks+k are G[:, i] — (k*ks, bc) batched / (k*ks, 1)
+            # shared (ks-row stride keeps the block start 8-aligned)
+            g_col = g_ref[pl.ds(i * ks, k), :]                 # (k, bc|1)
+            g_d = g_ref[pl.ds(i * ks + i, 1), :]               # (1, bc|1)
             b_i = b_scr[pl.ds(i, 1), :]                        # (1, bc)
             x_i = out_ref[pl.ds(i, 1), :]
             # dead coordinates (g <= 0) are skipped entirely, L1 included
@@ -106,14 +145,16 @@ def cd_nnls_pallas_shared(G, B_res, X0, L1, cd_tol, *, nonneg: bool,
     """Shared-Gram CD NNLS: G (k, k), B_res/X0 (k, n) residual-form."""
     k, n = B_res.shape
     dtype = B_res.dtype
-    bc = _LANE
+    bc = _pick_bc(k, n, batched=False)
     B_p = _pad_cols(B_res, bc)
     X_p = _pad_cols(X0, bc)
     n_pad = B_p.shape[1]
     L1v = jnp.asarray(L1, dtype).reshape(1, 1)
     tolv = jnp.asarray(cd_tol, dtype).reshape(1, 1)
-    # flatten column-major: rows i*k..i*k+k hold G[:, i]
-    G_flat = G.T.reshape(k * k, 1)
+    # flatten column-major with an 8-aligned per-coordinate row stride:
+    # rows i*ks..i*ks+k hold G[:, i]
+    ks = _gram_stride(k)
+    G_flat = jnp.pad(G.T, ((0, 0), (0, ks - k))).reshape(k * ks, 1)
 
     kernel = _make_cd_kernel(k, bc, nonneg, maxit, upper_bound,
                              batched=False)
@@ -123,7 +164,7 @@ def cd_nnls_pallas_shared(G, B_res, X0, L1, cd_tol, *, nonneg: bool,
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k * k, 1), lambda j: (0, 0),
+            pl.BlockSpec((k * ks, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bc), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bc), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -143,10 +184,12 @@ def cd_nnls_pallas_batched(Gb, B_res, X0, L1, cd_tol, *, nonneg: bool,
     """Per-column-Gram CD NNLS: Gb (n, k, k), B_res/X0 (k, n)."""
     k, n = B_res.shape
     dtype = B_res.dtype
-    bc = _LANE
-    # flatten per-column Grams to (k*k, n): rows i*k..i*k+k hold coordinate
-    # i's Gram column for every lane
-    G_flat = jnp.transpose(Gb, (2, 1, 0)).reshape(k * k, n)
+    bc = _pick_bc(k, n, batched=True)
+    # flatten per-column Grams to (k*ks, n) with an 8-aligned row stride:
+    # rows i*ks..i*ks+k hold coordinate i's Gram column for every lane
+    ks = _gram_stride(k)
+    G_flat = jnp.pad(jnp.transpose(Gb, (2, 1, 0)),
+                     ((0, 0), (0, ks - k), (0, 0))).reshape(k * ks, n)
     G_p = _pad_cols(G_flat, bc)
     B_p = _pad_cols(B_res, bc)
     X_p = _pad_cols(X0, bc)
@@ -161,7 +204,7 @@ def cd_nnls_pallas_batched(Gb, B_res, X0, L1, cd_tol, *, nonneg: bool,
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k * k, bc), lambda j: (0, j),
+            pl.BlockSpec((k * ks, bc), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bc), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bc), lambda j: (0, j), memory_space=pltpu.VMEM),
