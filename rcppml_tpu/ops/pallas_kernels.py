@@ -55,12 +55,16 @@ def _pick_bc(k: int, n: int, batched: bool) -> int:
     couple more lanes to one max-lane sweep count, so the early-exit
     coarsens — hence the n-aware cap).
 
-    VMEM bound (batched): the (k*k, bc) Gram tile double-buffers, plus
-    four (k, bc) buffers — keep ~<6 MB so k=100 still compiles.
+    VMEM bound (batched): the (k*ks, bc) Gram tile double-buffers (the
+    four (k, bc) side buffers are counted once each with slack) — keep
+    under ~12 MB of the 16 MB VMEM.  Verified compiling on v5e at
+    k=16/bc=1024, k=50/bc=512, k=100/bc=128; k=100/bc=256 (~21 MB) is
+    the measured compile failure the bound must stay below.
     """
     bc = 1024 if n >= 8192 else 512
     if batched:
-        while bc > _LANE and (k * k + 4 * k) * bc * 4 * 2 > 6 * 1024 ** 2:
+        ks = _gram_stride(k)
+        while bc > _LANE and (k * ks * 2 + 8 * k) * bc * 4 > 12.5 * 1024 ** 2:
             bc //= 2
     # don't pad tiny column counts up to a huge block
     n_tiles = -(-max(n, 1) // _LANE)
