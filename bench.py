@@ -127,8 +127,11 @@ def main():
         "device": kind,
         "peaks_assumed": {"hbm_gbps": hbm_peak, "bf16_tflops": bf16_peak},
         "pbmc3k_k20_fp32": _roofline(*pb.shape, 20, 20, pb_s, 4, hbm_peak),
+        # slope can clamp to 0.0 under extreme link noise — skip rather
+        # than divide by zero (ADVICE r3)
         "pbmc3k_k20_fp32_device_loop": _roofline(*pb.shape, 20, 20,
-                                                 pb_loop_s, 4, hbm_peak),
+                                                 pb_loop_s, 4, hbm_peak)
+        if pb_loop_s else None,
         "movielens_k50_fp32": _roofline(*ml.shape, 50, res.iterations,
                                         ml_s, 4, hbm_peak),
         "movielens_k50_bf16": _roofline(*ml.shape, 50, res16.iterations,

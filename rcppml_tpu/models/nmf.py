@@ -266,6 +266,7 @@ def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
     converged = False
     final_tol = float("nan")
     it = 0
+    iters_done = 0            # explicit count — matches fused state.it exactly
 
     def timed(name, fn):
         t0 = _time.perf_counter()
@@ -284,6 +285,7 @@ def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
             cfg, "loss", A_dev, W_T, H, d, itj, aux, B_w, G_w, trAtA))
         loss = float(loss)
         hist.append(loss)
+        iters_done = it + 1
         if on_iteration is not None:
             on_iteration(it + 1, loss, float("nan"))
         if it > 0:
@@ -294,7 +296,6 @@ def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
                 if patience >= cfg.patience:
                     converged = True
                     prev_loss = loss
-                    it += 1
                     break
             else:
                 patience = 0
@@ -302,7 +303,7 @@ def fit_stepwise(A_dev, cfg: NMFConfig, W_T0, H0, d0, aux, *,
 
     res = NMFResult(
         W=np.asarray(W_T).T, d=np.asarray(d), H=np.asarray(H),
-        iterations=it if converged else it + 1,
+        iterations=iters_done,
         converged=converged, final_tol=final_tol,
         train_loss=float(prev_loss),
         loss_history=np.asarray(hist),

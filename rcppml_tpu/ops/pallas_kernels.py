@@ -66,6 +66,13 @@ def _pick_bc(k: int, n: int, batched: bool) -> int:
         ks = _gram_stride(k)
         while bc > _LANE and (k * ks * 2 + 8 * k) * bc * 4 > 12.5 * 1024 ** 2:
             bc //= 2
+    else:
+        # shared path: the (k*ks, 1) Gram is negligible, but the four
+        # (k, bc) side buffers double-buffer — bound them too so direct
+        # callers with large k stay within VMEM (the dispatch layer caps
+        # k at 100, but cd_nnls_pallas_shared is public; ADVICE r3)
+        while bc > _LANE and 8 * k * bc * 4 > 12.5 * 1024 ** 2:
+            bc //= 2
     # don't pad tiny column counts up to a huge block
     n_tiles = -(-max(n, 1) // _LANE)
     bc = min(bc, n_tiles * _LANE)

@@ -44,6 +44,36 @@ def test_profiled_matches_fused_bitwise(small_factors):
     assert r_prof.train_loss == r_fused.train_loss
 
 
+def test_stepwise_matches_fused_bitwise(small_factors):
+    """The callback path (fit_stepwise) shares make_updates with the fused
+    while_loop — at fixed maxit the trajectory, final factors, AND the
+    ``iterations`` accounting must agree exactly (VERDICT r3 #9)."""
+    A = small_factors["A"]
+    r_fused = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0, sort_model=False)
+    hist = []
+    r_step = rt.nmf(A, 4, seed=42, maxit=12, tol=0.0, sort_model=False,
+                    on_iteration=lambda i, tr, te: hist.append(tr))
+    np.testing.assert_array_equal(r_step.W, r_fused.W)
+    np.testing.assert_array_equal(r_step.H, r_fused.H)
+    np.testing.assert_array_equal(r_step.d, r_fused.d)
+    assert r_step.iterations == r_fused.iterations == 12
+    np.testing.assert_array_equal(np.asarray(hist, np.float32),
+                                  np.asarray(r_fused.loss_history))
+
+
+def test_stepwise_iteration_accounting_on_convergence(small_factors):
+    """Early-converged stepwise fit reports the same iteration count as the
+    fused loop (the it-vs-it+1 branch flagged in VERDICT r3 'weak' #7)."""
+    A = small_factors["A"]
+    # loose tol so both converge well before maxit
+    r_fused = rt.nmf(A, 4, seed=42, maxit=100, tol=1e-2, sort_model=False)
+    r_step = rt.nmf(A, 4, seed=42, maxit=100, tol=1e-2, sort_model=False,
+                    on_iteration=lambda i, tr, te: None)
+    assert r_fused.converged and r_step.converged
+    assert r_step.iterations == r_fused.iterations
+    assert r_step.train_loss == r_fused.train_loss
+
+
 def test_logger_as_callback(small_factors):
     A = small_factors["A"]
     log = training_logger()
