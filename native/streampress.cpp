@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -251,6 +252,21 @@ std::vector<uint8_t> encode_rans_escape(const uint32_t* vals, uint32_t count) {
     return out;
 }
 
+// quant8 layout: [table over 0..255][enc_sz u32][encoded] with NO overflow
+// section — byte-compatible with the reference's quant8 chunk writer
+// (sparsepress_v2.hpp:351-390; all symbols fit in [0,255] by construction)
+std::vector<uint8_t> encode_rans_quant8(const uint32_t* syms, uint32_t count) {
+    std::vector<uint64_t> counts(256, 0);
+    for (uint32_t i = 0; i < count; ++i) ++counts[syms[i]];
+    Table t;
+    t.build(counts);
+    auto enc = rans_encode(syms, count, t);
+    std::vector<uint8_t> out = t.serialize();
+    put_u32(static_cast<uint32_t>(enc.size()), out);
+    out.insert(out.end(), enc.begin(), enc.end());
+    return out;
+}
+
 std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
                                          uint32_t count) {
     std::vector<uint32_t> out(count, 0);
@@ -262,6 +278,12 @@ std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
     need(p, end, enc_sz, "truncated rANS payload");
     rans_decode(p, enc_sz, out.data(), count, t);
     p += enc_sz;
+    // the overflow section is OPTIONAL: the reference's quant8 encoder
+    // (sparsepress_v2.hpp:351-390) writes only [table][enc_sz][encoded]
+    // and its decoder (decode_rans_escape, :404-435) treats a stream
+    // ending here as "no escapes" — match that so reference-written
+    // quant8 chunks decode
+    if (static_cast<uint64_t>(end - p) < 4) return out;
     uint32_t ov_sz = get_u32_checked(p, end);
     need(p, end, ov_sz, "truncated overflow stream");
     if (ov_sz) {
@@ -582,6 +604,488 @@ void decode_values(const uint8_t* vp, size_t vsize, const ChunkDesc& d,
     }
 }
 
+// ---------------------------------------------------------------------------
+// v1 whole-matrix legacy format (reference streampress/sparsepress.hpp:39-732
+// and format/header.hpp).  72-byte header, one rANS-escape stream each for
+// structure (row-index gaps) and values, optional density/value predictors,
+// column-XOR-delta byte-shuffled f64 fallback; CRC32 over the payload.
+// ---------------------------------------------------------------------------
+namespace v1 {
+
+constexpr size_t kHeaderSize = 72;
+constexpr uint16_t kFlagDelta = 0x0001;
+constexpr uint16_t kFlagVPred = 0x0002;
+constexpr uint16_t kFlagInteger = 0x0004;
+
+// v1 value types (transform/value_map.hpp:20-26); distinct numbering from v2
+enum V1Type : uint8_t { V1_U8 = 0, V1_U16 = 1, V1_U32 = 2, V1_F64 = 3 };
+
+struct HeaderV1 {
+    uint16_t version = 1, flags = 0;
+    uint32_t m = 0, n = 0;
+    uint64_t nnz = 0;
+    uint32_t max_value = 0;
+    uint8_t value_type = 0;
+    uint16_t rice_block_size = 1024, density_blocks = 128;
+    uint64_t prng_seed = 0x5A434F4D50ULL;
+    uint32_t model_size = 0, struct_size = 0, values_size = 0;
+    uint32_t col_counts_size = 0, struct_k_size = 0, crc32 = 0;
+
+    std::vector<uint8_t> serialize() const {
+        std::vector<uint8_t> buf(kHeaderSize, 0);
+        uint8_t* p = buf.data();
+        std::memcpy(p, "SPRZ", 4); p += 4;
+        std::memcpy(p, &version, 2); p += 2;
+        std::memcpy(p, &flags, 2); p += 2;
+        std::memcpy(p, &m, 4); p += 4;
+        std::memcpy(p, &n, 4); p += 4;
+        std::memcpy(p, &nnz, 8); p += 8;
+        std::memcpy(p, &max_value, 4); p += 4;
+        *p++ = value_type;
+        std::memcpy(p, &rice_block_size, 2); p += 2;
+        std::memcpy(p, &density_blocks, 2); p += 2;
+        ++p;  // reserved1
+        std::memcpy(p, &prng_seed, 8); p += 8;
+        std::memcpy(p, &model_size, 4); p += 4;
+        std::memcpy(p, &struct_size, 4); p += 4;
+        std::memcpy(p, &values_size, 4); p += 4;
+        std::memcpy(p, &col_counts_size, 4); p += 4;
+        std::memcpy(p, &struct_k_size, 4); p += 4;
+        std::memcpy(p, &crc32, 4); p += 4;
+        return buf;
+    }
+
+    static HeaderV1 parse(const uint8_t* buf, uint64_t len) {
+        if (len < kHeaderSize) corrupt("buffer smaller than v1 header");
+        HeaderV1 h;
+        const uint8_t* p = buf;
+        if (std::memcmp(p, "SPRZ", 4) != 0) corrupt("bad magic");
+        p += 4;
+        std::memcpy(&h.version, p, 2); p += 2;
+        if (h.version != 1) corrupt("not a v1 stream");
+        std::memcpy(&h.flags, p, 2); p += 2;
+        std::memcpy(&h.m, p, 4); p += 4;
+        std::memcpy(&h.n, p, 4); p += 4;
+        std::memcpy(&h.nnz, p, 8); p += 8;
+        std::memcpy(&h.max_value, p, 4); p += 4;
+        h.value_type = *p++;
+        std::memcpy(&h.rice_block_size, p, 2); p += 2;
+        std::memcpy(&h.density_blocks, p, 2); p += 2;
+        ++p;  // reserved1
+        std::memcpy(&h.prng_seed, p, 8); p += 8;
+        std::memcpy(&h.model_size, p, 4); p += 4;
+        std::memcpy(&h.struct_size, p, 4); p += 4;
+        std::memcpy(&h.values_size, p, 4); p += 4;
+        std::memcpy(&h.col_counts_size, p, 4); p += 4;
+        std::memcpy(&h.struct_k_size, p, 4); p += 4;
+        std::memcpy(&h.crc32, p, 4); p += 4;
+        return h;
+    }
+};
+
+// Row-density block model (model/predictor.hpp:33-105): predicted gap at row
+// r is the geometric-expected (1-d)/d for the density of r's row block.
+struct DensityModel {
+    uint32_t n_blocks = 0, block_size = 1;
+    std::vector<uint16_t> q;  // density * 65535
+
+    void build(const std::vector<uint32_t>& row_nnz, uint32_t m, uint32_t n,
+               uint32_t hint) {
+        n_blocks = std::min(hint, m);
+        if (n_blocks == 0) n_blocks = 1;
+        block_size = (m + n_blocks - 1) / n_blocks;
+        q.resize(n_blocks);
+        for (uint32_t b = 0; b < n_blocks; ++b) {
+            uint32_t r0 = b * block_size;
+            uint32_t r1 = std::min(r0 + block_size, m);
+            uint64_t bn = 0;
+            for (uint32_t r = r0; r < r1; ++r) bn += row_nnz[r];
+            double d = static_cast<double>(bn) /
+                       (static_cast<double>(r1 - r0) * n);
+            d = std::min(std::max(d, 1.0 / 65535.0), 1.0);
+            q[b] = static_cast<uint16_t>(d * 65535.0 + 0.5);
+            if (q[b] == 0) q[b] = 1;
+        }
+    }
+
+    int32_t predict_gap(uint32_t row) const {
+        uint32_t b = row / block_size;
+        if (b >= n_blocks) b = n_blocks - 1;
+        double d = static_cast<double>(q[b]) / 65535.0;
+        return static_cast<int32_t>(std::lround((1.0 - d) / d));
+    }
+
+    void serialize(std::vector<uint8_t>& out) const {
+        varint_put(n_blocks, out);
+        varint_put(block_size, out);
+        for (uint32_t b = 0; b < n_blocks; ++b) {
+            out.push_back(static_cast<uint8_t>(q[b] & 0xFF));
+            out.push_back(static_cast<uint8_t>((q[b] >> 8) & 0xFF));
+        }
+    }
+
+    static DensityModel deserialize(const uint8_t*& p, const uint8_t* end) {
+        DensityModel dm;
+        dm.n_blocks = static_cast<uint32_t>(varint_get(p, end));
+        dm.block_size = static_cast<uint32_t>(varint_get(p, end));
+        if (dm.block_size == 0) corrupt("density model zero block size");
+        need(p, end, static_cast<uint64_t>(dm.n_blocks) * 2,
+             "truncated density model");
+        dm.q.resize(dm.n_blocks);
+        for (uint32_t b = 0; b < dm.n_blocks; ++b) {
+            dm.q[b] = static_cast<uint16_t>(p[0]) |
+                      (static_cast<uint16_t>(p[1]) << 8);
+            if (dm.q[b] == 0) corrupt("density model zero density");
+            p += 2;
+        }
+        if (dm.n_blocks == 0) corrupt("density model has no blocks");
+        return dm;
+    }
+};
+
+// Independence-model value predictor (model/predictor.hpp:116-196):
+// predicted = max(1, round(row_mean * col_nnz / global_col_mean)),
+// row means quantized x256, delta+zigzag serialized.
+struct ValuePredictor {
+    std::vector<uint16_t> row_mean_q;
+    double global_col_mean = 1.0;
+
+    void build(const std::vector<uint32_t>& row_nnz,
+               const std::vector<double>& row_sum,
+               const std::vector<uint32_t>& col_nnz, uint32_t m, uint32_t n) {
+        row_mean_q.resize(m);
+        for (uint32_t r = 0; r < m; ++r) {
+            double rm = row_nnz[r] ? row_sum[r] / row_nnz[r] : 1.0;
+            uint32_t qv = static_cast<uint32_t>(rm * 256.0 + 0.5);
+            row_mean_q[r] = static_cast<uint16_t>(std::min(qv, 65535u));
+        }
+        uint64_t total = 0;
+        for (uint32_t j = 0; j < n; ++j) total += col_nnz[j];
+        global_col_mean = n ? static_cast<double>(total) / n : 1.0;
+        if (global_col_mean < 1.0) global_col_mean = 1.0;
+        uint32_t gq = static_cast<uint32_t>(global_col_mean * 256.0 + 0.5);
+        global_col_mean = static_cast<double>(gq) / 256.0;
+    }
+
+    uint32_t predict(uint32_t row, uint32_t col_nnz) const {
+        double rm = static_cast<double>(row_mean_q[row]) / 256.0;
+        double ratio = static_cast<double>(col_nnz) / global_col_mean;
+        int32_t pred = static_cast<int32_t>(std::lround(rm * ratio));
+        return static_cast<uint32_t>(std::max(1, pred));
+    }
+
+    void serialize(std::vector<uint8_t>& out) const {
+        uint32_t m = static_cast<uint32_t>(row_mean_q.size());
+        varint_put(m, out);
+        uint32_t gq = static_cast<uint32_t>(global_col_mean * 256.0 + 0.5);
+        varint_put(gq, out);
+        int32_t prev = 0;
+        for (uint32_t r = 0; r < m; ++r) {
+            int64_t d = static_cast<int32_t>(row_mean_q[r]) - prev;
+            varint_put(static_cast<uint64_t>((d << 1) ^ (d >> 63)), out);
+            prev = static_cast<int32_t>(row_mean_q[r]);
+        }
+    }
+
+    static ValuePredictor deserialize(const uint8_t*& p, const uint8_t* end,
+                                      uint32_t expect_m) {
+        ValuePredictor vp;
+        uint32_t m = static_cast<uint32_t>(varint_get(p, end));
+        if (m != expect_m) corrupt("value predictor row count mismatch");
+        uint32_t gq = static_cast<uint32_t>(varint_get(p, end));
+        vp.global_col_mean = static_cast<double>(gq) / 256.0;
+        if (vp.global_col_mean < 1.0 / 256.0)
+            corrupt("value predictor zero column mean");
+        vp.row_mean_q.resize(m);
+        int32_t prev = 0;
+        for (uint32_t r = 0; r < m; ++r) {
+            uint64_t zz = varint_get(p, end);
+            int64_t d = static_cast<int64_t>(zz >> 1) ^
+                        -static_cast<int64_t>(zz & 1);
+            prev += static_cast<int32_t>(d);
+            vp.row_mean_q[r] = static_cast<uint16_t>(prev & 0xFFFF);
+        }
+        return vp;
+    }
+};
+
+// Full-matrix decode into caller-allocated CSC arrays.
+void decode(const uint8_t* buf, uint64_t len, int64_t* p_out, int32_t* i_out,
+            float* x_out) {
+    HeaderV1 h = HeaderV1::parse(buf, len);
+    if (len < kHeaderSize ||
+        crc32_bytes(buf + kHeaderSize, static_cast<size_t>(len - kHeaderSize))
+            != h.crc32)
+        corrupt("v1 CRC32 mismatch");
+
+    // section bounds (order: model, col_counts, struct_k, struct, values —
+    // sparsepress.hpp:383-386)
+    uint64_t avail = len - kHeaderSize;
+    uint64_t want = static_cast<uint64_t>(h.model_size) + h.col_counts_size +
+                    h.struct_k_size + h.struct_size + h.values_size;
+    if (want > avail) corrupt("v1 sections exceed buffer");
+    const uint8_t* model_p = buf + kHeaderSize;
+    const uint8_t* cc_p = model_p + h.model_size;
+    const uint8_t* struct_p = cc_p + h.col_counts_size + h.struct_k_size;
+    const uint8_t* values_p = struct_p + h.struct_size;
+
+    bool use_delta = (h.flags & kFlagDelta) != 0;
+    bool use_vpred = (h.flags & kFlagVPred) != 0;
+
+    DensityModel dm;
+    ValuePredictor vp;
+    {
+        const uint8_t* mp = model_p;
+        const uint8_t* mend = model_p + h.model_size;
+        if (use_delta) dm = DensityModel::deserialize(mp, mend);
+        if (use_vpred) vp = ValuePredictor::deserialize(mp, mend, h.m);
+    }
+
+    // column counts -> column pointers
+    {
+        const uint8_t* cp = cc_p;
+        const uint8_t* cend = cc_p + h.col_counts_size;
+        p_out[0] = 0;
+        uint64_t total = 0;
+        for (uint32_t j = 0; j < h.n; ++j) {
+            uint64_t c = varint_get(cp, cend);
+            total += c;
+            if (total > h.nnz) corrupt("v1 column counts exceed nnz");
+            p_out[j + 1] = static_cast<int64_t>(total);
+        }
+        if (total != h.nnz) corrupt("v1 column counts disagree with nnz");
+    }
+
+    if (h.nnz == 0) return;
+
+    // structure: rANS+escape gap stream -> row indices
+    {
+        auto syms = decode_rans_escape(struct_p, h.struct_size,
+                                       static_cast<uint32_t>(h.nnz));
+        for (uint32_t j = 0; j < h.n; ++j) {
+            int64_t c0 = p_out[j], c1 = p_out[j + 1];
+            if (use_delta) {
+                // reference reconstructs indices[0]=gap, indices[k]=
+                // prev+1+gap with the predictor's cursor cur += gap+1 from
+                // 0 — cur always equals prev_row+1, i.e. the next index is
+                // cur+gap (sparsepress.hpp:549-575, delta.hpp:38-45)
+                uint64_t cur = 0;
+                for (int64_t k = c0; k < c1; ++k) {
+                    uint32_t zz = syms[k];
+                    int32_t res = static_cast<int32_t>((zz >> 1) ^
+                                                       (-(zz & 1)));
+                    // cur <= h.m here (bounded by the r<m check below);
+                    // predict_gap clamps its block index internally
+                    int32_t gap = std::max(
+                        0, res + dm.predict_gap(static_cast<uint32_t>(cur)));
+                    uint64_t r = cur + static_cast<uint32_t>(gap);
+                    if (r >= h.m) corrupt("v1 row index out of range");
+                    i_out[k] = static_cast<int32_t>(r);
+                    cur = r + 1;
+                }
+            } else {
+                uint64_t prev = 0;
+                for (int64_t k = c0; k < c1; ++k) {
+                    uint64_t r = (k == c0)
+                        ? static_cast<uint64_t>(syms[k])
+                        : prev + 1 + syms[k];
+                    if (r >= h.m) corrupt("v1 row index out of range");
+                    i_out[k] = static_cast<int32_t>(r);
+                    prev = r;
+                }
+            }
+        }
+    }
+
+    // values
+    if (h.value_type != V1_F64) {
+        auto syms = decode_rans_escape(values_p, h.values_size,
+                                       static_cast<uint32_t>(h.nnz));
+        if (use_vpred) {
+            for (uint32_t j = 0; j < h.n; ++j) {
+                int64_t c0 = p_out[j], c1 = p_out[j + 1];
+                uint32_t cn = static_cast<uint32_t>(c1 - c0);
+                for (int64_t k = c0; k < c1; ++k) {
+                    uint32_t zz = syms[k];
+                    int32_t res = static_cast<int32_t>((zz >> 1) ^
+                                                       (~(zz & 1) + 1));
+                    int32_t actual = res + static_cast<int32_t>(vp.predict(
+                        static_cast<uint32_t>(i_out[k]), cn));
+                    x_out[k] = static_cast<float>(std::max(0, actual));
+                }
+            }
+        } else {
+            for (uint64_t k = 0; k < h.nnz; ++k)
+                x_out[k] = static_cast<float>(syms[k]);
+        }
+    } else {
+        // f64 path: byte-shuffled streams of column-XOR-delta'd doubles
+        std::vector<uint64_t> xv(h.nnz);
+        decode_byteshuffle(values_p, h.values_size,
+                           static_cast<uint32_t>(h.nnz),
+                           reinterpret_cast<uint8_t*>(xv.data()), 8);
+        for (uint32_t j = 0; j < h.n; ++j) {
+            int64_t c0 = p_out[j], c1 = p_out[j + 1];
+            uint64_t acc = 0;
+            for (int64_t k = c0; k < c1; ++k) {
+                acc = (k == c0) ? xv[k] : (xv[k] ^ acc);
+                double d;
+                std::memcpy(&d, &acc, 8);
+                x_out[k] = static_cast<float>(d);
+            }
+        }
+    }
+}
+
+// Encode CSC (float32 values) into a v1 buffer; mirrors the reference
+// compressor's phases (sparsepress.hpp:38-425) so reference decoders read
+// the output.  use_delta/use_vpred match R st defaults (streampress.R:70).
+std::vector<uint8_t> encode(uint32_t m, uint32_t n, const int64_t* p,
+                            const int32_t* i, const float* x, int use_delta,
+                            int use_vpred) {
+    uint64_t nnz = static_cast<uint64_t>(p[n]);
+
+    // analyze (model/analyzer.hpp essentials)
+    std::vector<uint32_t> row_nnz(m, 0), col_nnz(n, 0);
+    std::vector<double> row_sum(m, 0.0);
+    bool all_int = true, all_nonneg = true;
+    double max_val = 0;
+    for (uint32_t j = 0; j < n; ++j) {
+        col_nnz[j] = static_cast<uint32_t>(p[j + 1] - p[j]);
+        for (int64_t k = p[j]; k < p[j + 1]; ++k) {
+            double v = static_cast<double>(x[k]);
+            ++row_nnz[static_cast<uint32_t>(i[k])];
+            row_sum[static_cast<uint32_t>(i[k])] += v;
+            if (v < 0) all_nonneg = false;
+            if (v != std::floor(v)) all_int = false;
+            max_val = std::max(max_val, v);
+        }
+    }
+    bool int_path = all_int && all_nonneg && max_val <= 4294967295.0;
+    uint32_t max_value = int_path ? static_cast<uint32_t>(max_val) : 0;
+
+    bool delta_on = use_delta && nnz > 0;
+    bool vpred_on = use_vpred && int_path && nnz > 0;
+
+    HeaderV1 h;
+    h.m = m; h.n = n; h.nnz = nnz;
+    h.max_value = max_value;
+    if (!int_path) h.value_type = V1_F64;
+    else if (max_value <= 255) h.value_type = V1_U8;
+    else if (max_value <= 65535) h.value_type = V1_U16;
+    else h.value_type = V1_U32;
+    if (delta_on) h.flags |= kFlagDelta;
+    if (vpred_on) h.flags |= kFlagVPred;
+    if (all_int && all_nonneg) h.flags |= kFlagInteger;
+
+    DensityModel dm;
+    ValuePredictor vp;
+    std::vector<uint8_t> model;
+    if (delta_on) {
+        dm.build(row_nnz, m, n, h.density_blocks);
+        dm.serialize(model);
+    }
+    if (vpred_on) {
+        vp.build(row_nnz, row_sum, col_nnz, m, n);
+        vp.serialize(model);
+    }
+
+    std::vector<uint8_t> cc;
+    for (uint32_t j = 0; j < n; ++j)
+        varint_put(static_cast<uint64_t>(p[j + 1] - p[j]), cc);
+
+    // structure symbols: per-column gaps, optionally residual vs predictor
+    std::vector<uint8_t> struct_enc;
+    if (nnz > 0) {
+        std::vector<uint32_t> syms(nnz);
+        for (uint32_t j = 0; j < n; ++j) {
+            uint32_t prev = 0, cur = 0;
+            for (int64_t k = p[j]; k < p[j + 1]; ++k) {
+                uint32_t row = static_cast<uint32_t>(i[k]);
+                uint32_t gap = row - prev;
+                prev = row + 1;
+                if (delta_on) {
+                    int32_t res = static_cast<int32_t>(gap) -
+                                  dm.predict_gap(cur);
+                    syms[k] = static_cast<uint32_t>((res << 1) ^ (res >> 31));
+                    cur += gap + 1;
+                } else {
+                    syms[k] = gap;
+                }
+            }
+        }
+        struct_enc = encode_rans_escape(syms.data(),
+                                        static_cast<uint32_t>(nnz));
+    }
+
+    // values
+    std::vector<uint8_t> val_enc;
+    if (nnz > 0 && int_path) {
+        std::vector<uint32_t> syms(nnz);
+        for (uint32_t j = 0; j < n; ++j) {
+            uint32_t cn = static_cast<uint32_t>(p[j + 1] - p[j]);
+            for (int64_t k = p[j]; k < p[j + 1]; ++k) {
+                uint32_t iv = static_cast<uint32_t>(
+                    static_cast<double>(x[k]));
+                if (vpred_on) {
+                    int32_t res = static_cast<int32_t>(iv) -
+                                  static_cast<int32_t>(vp.predict(
+                                      static_cast<uint32_t>(i[k]), cn));
+                    syms[k] = static_cast<uint32_t>((res << 1) ^ (res >> 31));
+                } else {
+                    syms[k] = iv;
+                }
+            }
+        }
+        val_enc = encode_rans_escape(syms.data(), static_cast<uint32_t>(nnz));
+    } else if (nnz > 0) {
+        std::vector<uint64_t> xv(nnz);
+        for (uint32_t j = 0; j < n; ++j) {
+            uint64_t prev = 0;
+            for (int64_t k = p[j]; k < p[j + 1]; ++k) {
+                double d = static_cast<double>(x[k]);
+                uint64_t raw;
+                std::memcpy(&raw, &d, 8);
+                xv[k] = (k == p[j]) ? raw : (raw ^ prev);
+                prev = raw;
+            }
+        }
+        val_enc = encode_byteshuffle(
+            reinterpret_cast<const uint8_t*>(xv.data()),
+            static_cast<uint32_t>(nnz), 8);
+    }
+
+    h.model_size = static_cast<uint32_t>(model.size());
+    h.col_counts_size = static_cast<uint32_t>(cc.size());
+    h.struct_k_size = 0;
+    h.struct_size = static_cast<uint32_t>(struct_enc.size());
+    h.values_size = static_cast<uint32_t>(val_enc.size());
+
+    std::vector<uint8_t> out;
+    out.reserve(kHeaderSize + model.size() + cc.size() + struct_enc.size() +
+                val_enc.size());
+    auto hb = h.serialize();
+    out.insert(out.end(), hb.begin(), hb.end());
+    out.insert(out.end(), model.begin(), model.end());
+    out.insert(out.end(), cc.begin(), cc.end());
+    out.insert(out.end(), struct_enc.begin(), struct_enc.end());
+    out.insert(out.end(), val_enc.begin(), val_enc.end());
+    h.crc32 = crc32_bytes(out.data() + kHeaderSize, out.size() - kHeaderSize);
+    hb = h.serialize();
+    std::memcpy(out.data(), hb.data(), kHeaderSize);
+    return out;
+}
+
+}  // namespace v1
+
+// peek the container version without full validation: "SPRZ" + u16
+int peek_version(const uint8_t* buf, uint64_t len) {
+    if (len < 6 || std::memcmp(buf, "SPRZ", 4) != 0) return -1;
+    uint16_t v;
+    std::memcpy(&v, buf + 4, 2);
+    return static_cast<int>(v);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -592,11 +1096,44 @@ extern "C" {
 
 const char* spz_last_error() { return g_error.c_str(); }
 
+// (spz_version — "SPRZ" + u16 container version peek — is defined once,
+// next to the v3 entry points below.)
+
+// v1 whole-matrix encode: returns encoded size, or -1 on error. Call with
+// out=nullptr to size, then again with a buffer of at least that size.
+// use_delta/use_vpred toggle the density-model gap predictor and the
+// independence value predictor (reference sparsepress.hpp:38-425 defaults).
+int64_t spz_encode_v1(uint32_t m, uint32_t n, const int64_t* p,
+                      const int32_t* i, const float* x, int use_delta,
+                      int use_vpred, uint8_t* out, uint64_t out_cap) {
+    try {
+        auto buf = v1::encode(m, n, p, i, x, use_delta, use_vpred);
+        if (out) {
+            if (buf.size() > out_cap) corrupt("v1 output buffer too small");
+            std::memcpy(out, buf.data(), buf.size());
+        }
+        return static_cast<int64_t>(buf.size());
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
+}
+
 // Parse header: returns 0 on success, fills m, n, nnz, value_type,
-// has_transpose (0/1).
+// has_transpose (0/1).  v1 value types are reported in the v2 numbering
+// (u8/16/32 map directly; v1 FLOAT64 -> 6).
 int spz_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
              uint64_t* nnz, uint8_t* value_type, uint8_t* has_transpose) {
     try {
+        if (peek_version(buf, len) == 1) {
+            v1::HeaderV1 h = v1::HeaderV1::parse(buf, len);
+            *m = h.m; *n = h.n; *nnz = h.nnz;
+            *value_type = (h.value_type == v1::V1_F64)
+                              ? static_cast<uint8_t>(VT_F64)
+                              : h.value_type;
+            *has_transpose = 0;  // v1 has no transpose stream
+            return 0;
+        }
         Header h = read_header_v2(buf, len);
         *m = h.m; *n = h.n; *nnz = h.nnz;
         *value_type = h.value_type;
@@ -615,6 +1152,11 @@ int spz_info(const uint8_t* buf, uint64_t len, uint32_t* m, uint32_t* n,
 int spz_decode(const uint8_t* buf, uint64_t len, int transpose,
                int64_t* p_out, int32_t* i_out, float* x_out) {
     try {
+        if (peek_version(buf, len) == 1) {
+            if (transpose) corrupt("v1 has no transpose stream");
+            v1::decode(buf, len, p_out, i_out, x_out);
+            return 0;
+        }
         Header h = read_header_v2(buf, len);
         StreamView v = resolve_stream(h, buf, len, transpose);
 
@@ -657,6 +1199,12 @@ int spz_decode_mt(const uint8_t* buf, uint64_t len, int transpose,
                   int64_t* p_out, int32_t* i_out, float* x_out,
                   int n_threads) {
     try {
+        if (peek_version(buf, len) == 1) {
+            // v1 is one whole-matrix stream — no chunk parallelism
+            if (transpose) corrupt("v1 has no transpose stream");
+            v1::decode(buf, len, p_out, i_out, x_out);
+            return 0;
+        }
         Header h = read_header_v2(buf, len);
         StreamView v = resolve_stream(h, buf, len, transpose);
 
@@ -824,6 +1372,28 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                             val_stream = encode_byteshuffle(
                                 reinterpret_cast<const uint8_t*>(dv.data()),
                                 d.nnz, 8);
+                            break;
+                        }
+                        case VT_Q8: {
+                            // per-chunk affine quantization to [0,255]
+                            // (header_v2.hpp:53,234; quant params live in
+                            // the chunk descriptor)
+                            float vmin = vals[0], vmax = vals[0];
+                            for (uint32_t k = 1; k < d.nnz; ++k) {
+                                vmin = std::min(vmin, vals[k]);
+                                vmax = std::max(vmax, vals[k]);
+                            }
+                            d.quant_offset = vmin;
+                            d.quant_scale =
+                                (vmax > vmin) ? (vmax - vmin) / 255.0f : 1.0f;
+                            std::vector<uint32_t> q(d.nnz);
+                            for (uint32_t k = 0; k < d.nnz; ++k) {
+                                float qv = (vals[k] - d.quant_offset) /
+                                           d.quant_scale;
+                                q[k] = static_cast<uint32_t>(std::min(
+                                    255.0f, std::max(0.0f, qv + 0.5f)));
+                            }
+                            val_stream = encode_rans_quant8(q.data(), d.nnz);
                             break;
                         }
                         default:

@@ -53,6 +53,7 @@ def _load_lib():
     lib.spz_num_chunks.restype = ctypes.c_int
     lib.spz_chunk_info.restype = ctypes.c_int
     lib.spz_decode_chunk.restype = ctypes.c_int
+    lib.spz_encode_v1.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -81,13 +82,47 @@ def spz_info_bytes(data: bytes) -> dict:
     if lib.spz_info(buf, len(data), ctypes.byref(m), ctypes.byref(n),
                     ctypes.byref(nnz), ctypes.byref(vt), ctypes.byref(ht)):
         raise ValueError(f"spz_info: {_err(lib)}")
+    ver = int(lib.spz_version(buf, min(len(data), 16)))
     return {"m": m.value, "n": n.value, "nnz": nnz.value,
             "value_type": VALUE_TYPE_NAMES.get(vt.value, vt.value),
-            "has_transpose": bool(ht.value), "version": 2}
+            "has_transpose": bool(ht.value), "version": ver}
+
+
+def compress_to_spz_v1_bytes(mat, *, use_delta: bool = True,
+                             use_vpred: bool = True) -> bytes:
+    """Encode into the LEGACY v1 whole-matrix format (reference
+    streampress/sparsepress.hpp:38-425): density-model gap prediction +
+    independence value predictor + rANS-escape streams; f64 XOR-delta
+    byte-shuffle fallback for non-integer values.  v1 has no chunking and
+    no transpose stream — kept for compat with reference-written files."""
+    import scipy.sparse as sp
+    if not sp.issparse(mat):
+        mat = sp.csc_matrix(np.asarray(mat))
+    mat = mat.tocsc()
+    mat.sort_indices()
+    lib = _load_lib()
+    m, n = mat.shape
+    p = np.asarray(mat.indptr, dtype=np.int64)
+    i = np.asarray(mat.indices, dtype=np.int32)
+    x = np.asarray(mat.data, dtype=np.float32)
+    pp = p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    ip = i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    size = lib.spz_encode_v1(m, n, pp, ip, xp, int(use_delta),
+                             int(use_vpred), None, 0)
+    if size < 0:
+        raise ValueError(f"spz_encode_v1: {_err(lib)}")
+    out = np.zeros(size, dtype=np.uint8)
+    rc = lib.spz_encode_v1(m, n, pp, ip, xp, int(use_delta), int(use_vpred),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           size)
+    if rc < 0:
+        raise ValueError(f"spz_encode_v1: {_err(lib)}")
+    return out[:rc].tobytes()
 
 
 def decompress_spz_bytes(data: bytes, transpose: bool = False):
-    """Decode a full .spz v2 buffer into a scipy CSC matrix."""
+    """Decode a full .spz sparse buffer (v1 or v2) into a scipy CSC matrix."""
     import scipy.sparse as sp
     lib = _load_lib()
     info = spz_info_bytes(data)
@@ -356,7 +391,7 @@ def st_read_auto(path: str):
     with open(path, "rb") as f:
         data = f.read()
     ver = spz_version_bytes(data)
-    if ver == 2:
+    if ver in (1, 2):
         return decompress_spz_bytes(data)
     if ver == 3:
         return decompress_dense_spz_bytes(data)

@@ -1,0 +1,198 @@
+"""v1 legacy whole-matrix codec + v2 quant8 value type.
+
+Closes the codec compat matrix: the reference reads/writes .spz v1
+(streampress/sparsepress.hpp:38-640, format/header.hpp) and v2 quant8
+chunks (sparsepress_v2.hpp:351-390, header_v2.hpp:53).  Encode-side byte
+layout is pinned structurally against the published v1 spec (72-byte
+header field order, section order model|col_counts|struct_k|struct|values,
+CRC32 over the payload) so a writer regression cannot hide behind a
+matching in-repo decoder.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+
+from rcppml_tpu.io.spz import (compress_to_spz_bytes, compress_to_spz_v1_bytes,
+                               decompress_spz_bytes, spz_info_bytes,
+                               spz_version_bytes, st_read_auto)
+
+V1_HEADER_FMT = "<4sHHIIQIBHHBQIIIIII"   # 72 bytes (format/header.hpp:28-46)
+
+
+def _parse_v1_header(buf):
+    f = struct.unpack_from(V1_HEADER_FMT, buf, 0)
+    return dict(magic=f[0], version=f[1], flags=f[2], m=f[3], n=f[4],
+                nnz=f[5], max_value=f[6], value_type=f[7],
+                rice_block_size=f[8], density_blocks=f[9], reserved1=f[10],
+                prng_seed=f[11], model_size=f[12], struct_size=f[13],
+                values_size=f[14], col_counts_size=f[15],
+                struct_k_size=f[16], crc32=f[17])
+
+
+def _int_matrix(m=180, n=120, density=0.07, seed=3, scale=30):
+    rs = np.random.RandomState(seed)
+    A = scipy_sparse.random(m, n, density=density, random_state=rs,
+                            format="csc")
+    A.data[:] = np.ceil(A.data * scale)
+    A.eliminate_zeros()
+    A.sort_indices()
+    return A.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# v1 round-trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_delta,use_vpred", [(True, True), (True, False),
+                                                 (False, True), (False, False)])
+def test_v1_integer_roundtrip(use_delta, use_vpred):
+    A = _int_matrix()
+    buf = compress_to_spz_v1_bytes(A, use_delta=use_delta,
+                                   use_vpred=use_vpred)
+    B = decompress_spz_bytes(buf)
+    assert B.shape == A.shape
+    assert (B != A).nnz == 0
+
+
+def test_v1_float_roundtrip():
+    # non-integer values take the f64 XOR-delta byte-shuffle path
+    # (sparsepress.hpp:262-346)
+    rs = np.random.RandomState(11)
+    A = scipy_sparse.random(90, 70, density=0.1, random_state=rs,
+                            format="csc").astype(np.float32)
+    buf = compress_to_spz_v1_bytes(A)
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(B.toarray(), A.toarray(), rtol=0, atol=0)
+
+
+def test_v1_value_type_widths():
+    # u8 / u16 / u32 selection by max value (transform/value_map.hpp)
+    for scale, vt in [(200, "uint8"), (40_000, "uint16"), (80_000, "uint32")]:
+        A = _int_matrix(m=60, n=40, density=0.15, seed=5, scale=scale)
+        buf = compress_to_spz_v1_bytes(A)
+        info = spz_info_bytes(buf)
+        assert info["version"] == 1
+        assert info["value_type"] == vt
+        assert (decompress_spz_bytes(buf) != A).nnz == 0
+
+
+def test_v1_empty_and_degenerate():
+    Z = scipy_sparse.csc_matrix((10, 8), dtype=np.float32)
+    buf = compress_to_spz_v1_bytes(Z)
+    B = decompress_spz_bytes(buf)
+    assert B.nnz == 0 and B.shape == (10, 8)
+    # single entry
+    S = scipy_sparse.csc_matrix(([3.0], ([4], [2])), shape=(9, 6),
+                                dtype=np.float32)
+    buf = compress_to_spz_v1_bytes(S)
+    assert (decompress_spz_bytes(buf) != S).nnz == 0
+
+
+def test_v1_header_layout_pinned():
+    A = _int_matrix(seed=9)
+    buf = compress_to_spz_v1_bytes(A)
+    h = _parse_v1_header(buf)
+    assert h["magic"] == b"SPRZ"
+    assert h["version"] == 1
+    assert h["m"] == A.shape[0] and h["n"] == A.shape[1]
+    assert h["nnz"] == A.nnz
+    assert h["max_value"] == int(A.data.max())
+    # FLAG_DELTA_PREDICTION | FLAG_VALUE_PREDICTION | FLAG_INTEGER_VALUES
+    assert h["flags"] == 0x7
+    # section sizes tile the buffer exactly
+    total = 72 + h["model_size"] + h["col_counts_size"] + \
+        h["struct_k_size"] + h["struct_size"] + h["values_size"]
+    assert total == len(buf)
+    # CRC32 (zlib polynomial) over everything after the header
+    assert h["crc32"] == zlib.crc32(buf[72:]) & 0xFFFFFFFF
+
+
+def test_v1_detects_corruption():
+    A = _int_matrix(seed=13)
+    buf = bytearray(compress_to_spz_v1_bytes(A))
+    buf[100] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32"):
+        decompress_spz_bytes(bytes(buf))
+    # truncation
+    with pytest.raises(ValueError):
+        decompress_spz_bytes(bytes(buf[:50]))
+
+
+def test_v1_no_transpose_stream():
+    A = _int_matrix(seed=17)
+    buf = compress_to_spz_v1_bytes(A)
+    info = spz_info_bytes(buf)
+    assert not info["has_transpose"]
+    with pytest.raises(ValueError, match="transpose"):
+        decompress_spz_bytes(buf, transpose=True)
+
+
+def test_st_read_auto_handles_v1(tmp_path):
+    A = _int_matrix(seed=21)
+    p = tmp_path / "legacy.spz"
+    p.write_bytes(compress_to_spz_v1_bytes(A))
+    B = st_read_auto(str(p))
+    assert (B != A).nnz == 0
+    assert spz_version_bytes(p.read_bytes()) == 1
+
+
+# ---------------------------------------------------------------------------
+# v2 quant8 value type
+# ---------------------------------------------------------------------------
+
+def test_quant8_roundtrip_within_step():
+    rs = np.random.RandomState(2)
+    A = scipy_sparse.random(150, 110, density=0.09, random_state=rs,
+                            format="csc").astype(np.float32)
+    buf = compress_to_spz_bytes(A, value_type="quant8")
+    info = spz_info_bytes(buf)
+    assert info["value_type"] == "quant8"
+    B = decompress_spz_bytes(buf)
+    assert (B.indptr == A.indptr).all() and (B.indices == A.indices).all()
+    # per-chunk affine uint8: error bounded by half a quantization step
+    step = (A.data.max() - A.data.min()) / 255.0
+    assert np.abs(B.data - A.data).max() <= step * 0.5 + 1e-6
+
+
+def test_quant8_transpose_stream():
+    rs = np.random.RandomState(4)
+    A = scipy_sparse.random(80, 60, density=0.12, random_state=rs,
+                            format="csc").astype(np.float32)
+    buf = compress_to_spz_bytes(A, value_type="quant8", with_transpose=True)
+    Bt = decompress_spz_bytes(buf, transpose=True)
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(Bt.toarray(), B.toarray().T, rtol=0,
+                               atol=1e-6)
+
+
+def test_quant8_constant_values():
+    # vmax == vmin -> scale falls back to 1.0 (sparsepress_v2.hpp:366)
+    A = scipy_sparse.random(40, 30, density=0.2, random_state=1,
+                            format="csc").astype(np.float32)
+    A.data[:] = 2.5
+    buf = compress_to_spz_bytes(A, value_type="quant8")
+    B = decompress_spz_bytes(buf)
+    np.testing.assert_allclose(B.data, 2.5, rtol=0, atol=1e-6)
+
+
+def test_quant8_chunked_quantization_is_per_chunk():
+    # two chunks with disjoint ranges: per-chunk params keep the error
+    # bounded by each CHUNK's range, not the global one
+    rs = np.random.RandomState(6)
+    left = scipy_sparse.random(100, 64, density=0.2, random_state=rs,
+                               format="csc").astype(np.float32)
+    right = scipy_sparse.random(100, 64, density=0.2, random_state=rs,
+                                format="csc").astype(np.float32)
+    right.data = right.data * 1000.0 + 5000.0
+    A = scipy_sparse.hstack([left, right], format="csc")
+    buf = compress_to_spz_bytes(A, value_type="quant8", chunk_cols=64,
+                                with_transpose=False)
+    B = decompress_spz_bytes(buf).toarray()
+    Ad = A.toarray()
+    lstep = (left.data.max() - left.data.min()) / 255.0
+    assert np.abs(B[:, :64] - Ad[:, :64]).max() <= lstep * 0.5 + 1e-6
