@@ -44,10 +44,14 @@ def _emit(gate: int, name: str, passed: bool, **fields):
 
 
 def gate1():
-    """aml dense 824x135, k=6 Gaussian, seed=42 — recon-quality + bitwise
-    reproducibility (README quick-start workload)."""
+    """aml dense 824x135, k=6 Gaussian, seed=42 — recon quality vs the
+    LAPACK rank-6 floor, planted-truth factor recovery at the reference's
+    own tolerance, and bitwise reproducibility."""
     import rcppml_tpu as rt
     from rcppml_tpu import datasets
+    from rcppml_tpu.models.clustering import bipartite_match
+    from rcppml_tpu.utils.simulate import simulate_nmf
+
     A = np.asarray(datasets.aml(), dtype=np.float32)
     r1 = rt.nmf(A, 6, seed=42, tol=1e-5)
     r2 = rt.nmf(A, 6, seed=42, tol=1e-5)
@@ -55,14 +59,50 @@ def gate1():
     var = float(np.var(A))
     bitwise = (np.array_equal(np.asarray(r1.W), np.asarray(r2.W))
                and np.array_equal(np.asarray(r1.H), np.asarray(r2.H)))
-    # k=6 NMF explains the bulk of aml's variance (README quick-start);
-    # evar > 0.8 is the quality bar, bitwise repro the determinism bar
     evar = 1.0 - mse / var
-    return _emit(1, "aml_k6_gaussian", evar > 0.8 and bitwise,
+
+    # ANCHOR A (external, falsifiable): the unconstrained rank-6 SVD
+    # truncation error is the information-theoretic floor for ANY rank-6
+    # reconstruction; a correct nonneg ALS on this nonneg matrix must land
+    # within a few % of it.  Measured 1.031x; bar 1.10x (a broken solver
+    # shows up as 1.5-10x).
+    s = np.linalg.svd(A, compute_uv=False)
+    svd_floor = float((s[6:] ** 2).sum() / A.size)
+    floor_ratio = mse / svd_floor
+
+    # ANCHOR B (reference recipe, reference tolerance): the reference's
+    # own ground-truth recovery gate — simulateNMF 40x30 k=3 noise=0,
+    # 5-restart best, Hungarian-aligned factor correlation > 0.90
+    # (tests/testthat/test_ground_truth_recovery.R:49-76,
+    # helper-test-utils.R:27-78).
+    sim = simulate_nmf(m=40, n=30, k=3, noise=0.0, seed=123)
+    Ag, Wt, Ht = sim["A"].astype(np.float32), sim["W"], sim["H"]
+    best_cor = -1.0
+    for seed in (456, 789, 101, 202, 303):
+        mdl = rt.nmf(Ag, 3, seed=seed, tol=1e-8, maxit=300)
+        W, H = np.asarray(mdl.W), np.asarray(mdl.H)
+        C = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(3):
+                C[i, j] = 1 - abs(np.corrcoef(W[:, i], Wt[:, j])[0, 1])
+        perm = bipartite_match(C)["pairs"][:, 1]
+        wc = np.mean([np.corrcoef(W[:, perm][:, i], Wt[:, i])[0, 1]
+                      for i in range(3)])
+        hc = np.mean([np.corrcoef(H[perm][i], Ht[i])[0, 1]
+                      for i in range(3)])
+        best_cor = max(best_cor, float(min(wc, hc)))
+
+    passed = (evar > 0.8 and bitwise and floor_ratio < 1.10
+              and best_cor > 0.90)
+    return _emit(1, "aml_k6_gaussian", passed,
                  per_entry_mse=round(mse, 6), evar=round(evar, 4),
                  bitwise_reproducible=bitwise,
-                 anchor="internal: evar>0.8 + same-seed bitwise equality "
-                        "(no R runtime for direct recon comparison)")
+                 svd_rank6_floor_ratio=round(float(floor_ratio), 4),
+                 planted_recovery_cor=round(best_cor, 4),
+                 anchor="LAPACK rank-6 truncation floor (ratio<1.10; "
+                        "measured 1.03) + reference ground-truth recovery "
+                        "recipe at its own 0.90 tolerance "
+                        "(test_ground_truth_recovery.R:75) + bitwise repro")
 
 
 def gate2():
@@ -126,26 +166,118 @@ def gate2():
 
 
 def gate3():
-    """pbmc3k k=20 NB-IRLS zi='row': dispersion + test-error sanity."""
+    """pbmc3k k=20 NB-IRLS zi='row': planted-truth dispersion/pi recovery
+    at pbmc3k scale (reference test_nb_nmf.R / test_gp_nmf.R recipes and
+    tolerances) + an independent numpy MoM cross-check of the per-gene r
+    on the real data."""
     import rcppml_tpu as rt
     from rcppml_tpu import datasets
-    pb = datasets.pbmc3k()
-    res = rt.nmf(pb, 20, loss="nb", zi="row", maxit=5, seed=1,
-                 test_fraction=0.1, cv_seed=1)
+
+    M, N, K = 13714, 2638, 20   # pbmc3k dims
+    rs = np.random.RandomState(99)
+    W = np.abs(rs.normal(1, 0.5, (M, K))).astype(np.float32)
+    H = np.abs(rs.normal(1, 0.5, (K, N))).astype(np.float32)
+    mu = W @ H   # ~20 mean count — the reference's unnormalized recipe
+                 # (test_nb_nmf.R:6-27) scaled to pbmc3k shape
+
+    def nb_sample(r):
+        return rs.negative_binomial(r, r / (r + mu)).astype(np.float32)
+
+    # --- ANCHOR A: NB global size recovery, r_true = 5 (reference band
+    # [0.1x, 10x], test_nb_nmf.R:33-57; measured 5.07 -> assert [0.5x,2x])
+    r5 = rt.nmf(nb_sample(5.0), K, loss="nb", dispersion="global",
+                maxit=30, tol=1e-8, seed=42)
+    r5_est = float(np.median(np.asarray(r5.theta)))
+    nb_ok = 2.5 < r5_est < 10.0
+
+    # --- ANCHOR B: high vs low overdispersion ordering (r=1 vs r=50,
+    # test_nb_nmf.R:60-81) with both recovered within 2x
+    rhi = rt.nmf(nb_sample(1.0), K, loss="nb", dispersion="global",
+                 maxit=30, tol=1e-8, seed=42)
+    rlo = rt.nmf(nb_sample(50.0), K, loss="nb", dispersion="global",
+                 maxit=30, tol=1e-8, seed=42)
+    rhi_est = float(np.median(np.asarray(rhi.theta)))
+    rlo_est = float(np.median(np.asarray(rlo.theta)))
+    order_ok = (rhi_est < rlo_est and 0.5 < rhi_est < 2.0
+                and 25.0 < rlo_est < 100.0)
+
+    # --- ANCHOR C: ZI-NB row — planted per-row dropout pi ~ U(0.1, 0.5)
+    # must be recovered entry-wise (VERDICT r3: "ZI pi estimates match
+    # dropout rates"; reference asserts only pi>0.01, test_zi_modes.R:32)
+    pi_true = rs.uniform(0.1, 0.5, M).astype(np.float32)
+    A_zi = np.where(rs.random_sample((M, N)) < pi_true[:, None], 0.0,
+                    nb_sample(5.0)).astype(np.float32)
+    rzi = rt.nmf(A_zi, K, loss="nb", zi="row", dispersion="global",
+                 maxit=30, tol=1e-8, seed=42)
+    pi_est = np.asarray(rzi.pi_row)
+    pi_corr = float(np.corrcoef(pi_est, pi_true)[0, 1])
+    pi_mae = float(np.abs(pi_est - pi_true).mean())
+    rzi_est = float(np.median(np.asarray(rzi.theta)))
+    zi_ok = (pi_corr > 0.95 and pi_mae < 0.05
+             and 0.5 < rzi_est < 50.0)   # reference 10x band under ZI
+
+    # --- ANCHOR D: GP theta recovery, theta_true = 1.5 via the
+    # reference's own NB approximation (test_gp_nmf.R:7-30), its band
+    # 0 < est < 3x (test_gp_nmf.R:50-55)
+    th_true = 1.5
+    size = np.maximum(mu / th_true, 0.1)
+    Ag = rs.negative_binomial(size, size / (size + mu)).astype(np.float32)
+    rgp = rt.nmf(Ag, K, loss="gp", dispersion="global", maxit=30,
+                 tol=1e-8, seed=42)
+    gp_est = float(np.median(np.asarray(rgp.theta)))
+    gp_ok = 0.0 < gp_est < 3.0 * th_true
+
+    # --- ANCHOR E: real pbmc3k — independent numpy MoM cross-check of the
+    # fitted per-gene r (the traced nb_size_update recomputed host-side
+    # from the final model; a broken in-trace MoM cannot pass this)
+    pb = np.asarray(datasets.pbmc3k().todense(), dtype=np.float32)
+    rfit = rt.nmf(pb, 20, loss="nb", dispersion="per_row", maxit=10,
+                  seed=1, sort_model=False)
+    r_fit = np.asarray(rfit.theta, dtype=np.float64)
+    Wd = np.asarray(rfit.W, np.float64) * np.asarray(rfit.d, np.float64)
+    S = np.maximum(Wd @ np.asarray(rfit.H, np.float64), 1e-10)
+    sum_mu_sq = (S * S).sum(1)
+    sum_excess = ((pb - S) ** 2 - S).sum(1)
+    r_np = np.clip(sum_mu_sq / np.maximum(sum_excess, 1e-30), 1e-3, 1e6)
+    r_np = np.where((sum_excess > 1e-10) & (sum_mu_sq > 1e-10)
+                    & np.isfinite(r_np), r_np, 1e6)
+    cap_fit = r_fit >= 1e6 * 0.999
+    cap_np = r_np >= 1e6 * 0.999
+    cap_agree = float((cap_fit == cap_np).mean())
+    off = ~cap_fit & ~cap_np
+    rel_med = float(np.median(np.abs(r_fit[off] - r_np[off]) / r_np[off]))
+    mom_ok = cap_agree > 0.999 and rel_med < 1e-3
+    # theta-at-cap explanation (PARITY.md "NB dispersion on pbmc3k"):
+    # genes whose residual variance given the fitted mean is <= Poisson
+    # — r -> cap is the CORRECT MoM answer for them, not a bug
+    pct_poisson_like = float((sum_excess <= 1e-10).mean())
+
+    # --- real-data ZI fit sanity (the original gate content) ---
+    res = rt.nmf(datasets.pbmc3k(), 20, loss="nb", zi="row", maxit=5,
+                 seed=1, test_fraction=0.1, cv_seed=1)
     pi = np.asarray(res.pi_row)
-    th = np.asarray(res.theta) if res.theta is not None else None
-    pi_ok = bool(np.all((pi >= 0) & (pi <= 1)) and 0.001 < pi.mean() < 0.999)
-    th_ok = bool(th is not None and np.all(np.isfinite(th))
-                 and np.all(th > 0))
-    loss_ok = bool(np.isfinite(res.train_loss)
-                   and np.isfinite(res.test_loss))
-    return _emit(3, "pbmc3k_nb_zi_row", pi_ok and th_ok and loss_ok,
-                 pi_mean=round(float(pi.mean()), 4),
-                 theta_median=round(float(np.median(th)), 4),
+    sane = bool(np.all((pi >= 0) & (pi <= 1))
+                and np.isfinite(res.train_loss)
+                and np.isfinite(res.test_loss))
+
+    passed = nb_ok and order_ok and zi_ok and gp_ok and mom_ok and sane
+    return _emit(3, "pbmc3k_nb_zi_row", passed,
+                 nb_r5_est=round(r5_est, 3),
+                 nb_order=[round(rhi_est, 3), round(rlo_est, 3)],
+                 zi_pi_corr=round(pi_corr, 4), zi_pi_mae=round(pi_mae, 4),
+                 zi_r_est=round(rzi_est, 3),
+                 gp_theta_est=round(gp_est, 3),
+                 mom_cap_agreement=round(cap_agree, 5),
+                 mom_offcap_rel_err_median=rel_med,
+                 pct_genes_poisson_like=round(pct_poisson_like, 4),
                  train_loss=round(float(res.train_loss), 2),
                  test_loss=round(float(res.test_loss), 4),
-                 anchor="internal: pi in (0,1), theta>0 finite, finite "
-                        "CV losses (reference dispersion values need R)")
+                 anchor="planted-truth recovery at pbmc3k scale within "
+                        "reference tolerances (test_nb_nmf.R:33-81, "
+                        "test_gp_nmf.R:36-55) tightened to measured bands;"
+                        " per-gene r == independent numpy MoM on real "
+                        "pbmc3k (cap sets identical, off-cap rel err "
+                        "<1e-3)")
 
 
 def gate4():
