@@ -15,6 +15,7 @@ jitted ALS while-loop plus host-side result marshalling.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -156,8 +157,28 @@ def main():
             "movielens_k50_bf16_iters_per_sec": round(
                 res16.iterations / ml16_s, 1),
             "roofline": roof,
+            "gspmd_scaling": _gspmd_scaling(),
         },
     }))
+
+
+def _gspmd_scaling():
+    """Partitioning-overhead curve on the virtual CPU mesh (subprocess —
+    tools/weak_scaling.py; the trend line for gate 6).  Never fails the
+    bench: returns None on any error.  RCPPML_SKIP_SCALING=1 skips."""
+    if os.environ.get("RCPPML_SKIP_SCALING"):
+        return None
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "weak_scaling.py")],
+            capture_output=True, text=True, timeout=900, check=True)
+        return json.loads(out.stdout.strip().split("\n")[-1])
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":
