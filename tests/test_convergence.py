@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 import rcppml_tpu as rt
 
 

@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 import rcppml_tpu as rt
 from rcppml_tpu.models.clustering import align_factors
 from rcppml_tpu.utils.simulate import simulate_nmf

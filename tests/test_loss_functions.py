@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 import scipy.stats as st
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,10 @@ def test_nb_nll_matches_scipy():
     p = r / (r + mu)
     ref = -st.nbinom.logpmf(y, r, p)
     const = np.array([__import__("math").lgamma(v + 1) for v in y])
-    np.testing.assert_allclose(ours, ref - const, rtol=1e-5, atol=1e-5)
+    # atol: TPU fp32 lgamma/log are a few hundred ulps off glibc's
+    # fp64-backed ones (measured <=5e-4 abs on these values); a wrong
+    # TERM in the NLL shifts results by O(0.1+)
+    np.testing.assert_allclose(ours, ref - const, rtol=1e-4, atol=1e-3)
 
 
 def test_kl_poisson_limit_of_gp():
@@ -40,10 +45,11 @@ def test_kl_poisson_limit_of_gp():
     ours = np.asarray(losses.loss_gp(jnp.asarray(y), jnp.asarray(mu), 0.0))
     ref = -st.poisson.logpmf(y.astype(int), mu)
     const = np.array([__import__("math").lgamma(v + 1) for v in y])
-    np.testing.assert_allclose(ours, ref - const, rtol=1e-5, atol=1e-5)
+    # atol: TPU fp32 transcendental ulps (see test_nb_nll_matches_scipy)
+    np.testing.assert_allclose(ours, ref - const, rtol=1e-4, atol=1e-3)
     # the y=0 quirk: loss = s - log(s), not s
     q = float(losses.loss_gp(jnp.asarray(0.0), jnp.asarray(0.7), 0.0))
-    np.testing.assert_allclose(q, 0.7 - np.log(0.7), rtol=1e-5)
+    np.testing.assert_allclose(q, 0.7 - np.log(0.7), rtol=1e-4)
 
 
 def test_gamma_deviance_properties():

@@ -10,6 +10,8 @@ import pytest
 import rcppml_tpu as rt
 from rcppml_tpu.utils.simulate import simulate_nmf
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 def _mse(res, A):
     rec = res.reconstruct()

@@ -7,8 +7,11 @@ uint64 one.
 """
 
 import numpy as np
+import pytest
 
 from rcppml_tpu import rng
+
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
 
 
 def _splitmix_scalar(seed):

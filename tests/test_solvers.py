@@ -6,6 +6,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 from rcppml_tpu.ops import linalg, solvers
 
 
@@ -38,8 +40,12 @@ def test_batched_spd_solve_matches_numpy(spd_system):
 def test_cholesky_clip_batch_unconstrained(spd_system):
     G, B = spd_system
     X = solvers.cholesky_clip_batch(G, B, nonneg=False)
+    # verify the residual in fp64 numpy: `G @ X` as a jnp op runs at the
+    # backend's DEFAULT matmul precision (bf16 inputs on TPU), which
+    # would test the harness's rounding instead of the solver
     np.testing.assert_allclose(
-        np.asarray(G @ X), np.asarray(B), rtol=2e-2, atol=1e-3)
+        np.asarray(G, np.float64) @ np.asarray(X, np.float64),
+        np.asarray(B, np.float64), rtol=2e-2, atol=1e-3)
 
 
 def test_cd_exact_nnls_kkt(spd_system):

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 scipy_sparse = pytest.importorskip("scipy.sparse")
 
 from rcppml_tpu.io.spz import (SpzChunkReader, compress_to_spz_bytes,

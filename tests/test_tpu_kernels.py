@@ -21,9 +21,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() == "cpu",
-    reason="Pallas TPU kernels need TPU hardware (run with RCPPML_TPU_TESTS=1)")
+pytestmark = [
+    pytest.mark.tpu_ok,
+    pytest.mark.skipif(
+        jax.default_backend() == "cpu",
+        reason="Pallas TPU kernels need TPU hardware "
+               "(run with RCPPML_TPU_TESTS=1)"),
+]
 
 
 def _spd_system(k, n, seed, dead_coord=False):
