@@ -328,3 +328,67 @@ def test_loaderop_interrupted_pass_not_cached_partial():
     # and the cache must now be complete + correct on the hit path
     np.testing.assert_allclose(np.asarray(op.mm(X)), A @ X, rtol=2e-5,
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sparse device panels (nnz-proportional ingest — VERDICT r4)
+# ---------------------------------------------------------------------------
+
+def test_sparse_panels_bitwise_equals_dense():
+    """COO upload + on-device scatter densify must produce the SAME dense
+    panel as host densification — fits are bitwise identical."""
+    import scipy.sparse as sp
+    from rcppml_tpu.models.nmf_chunked import nmf_chunked
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    rs = np.random.RandomState(5)
+    A = sp.random(180, 140, density=0.08, random_state=rs,
+                  format="csc").astype(np.float32)
+    cfg = rt.build_config(5, seed=3, maxit=8, tol=0.0, sort_model=False)
+    r_d = nmf_chunked(InMemoryLoader(A, chunk_cols=48), cfg,
+                      sparse_panels=False, panel_cache=False)
+    r_s = nmf_chunked(InMemoryLoader(A, chunk_cols=48), cfg,
+                      sparse_panels=True, panel_cache=False)
+    assert np.array_equal(r_d.W, r_s.W)
+    assert np.array_equal(r_d.H, r_s.H)
+    assert r_d.train_loss == r_s.train_loss
+
+
+def test_sparse_panels_auto_by_density():
+    """Auto mode: sparse for low-density sparse loaders, dense otherwise;
+    explicit sparse_panels=True on a dense loader raises."""
+    import scipy.sparse as sp
+    from rcppml_tpu.models.nmf_chunked import nmf_chunked
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    rs = np.random.RandomState(6)
+    A = sp.random(120, 90, density=0.05, random_state=rs,
+                  format="csc").astype(np.float32)
+    cfg = rt.build_config(4, seed=1, maxit=4, tol=0.0, sort_model=False)
+    # auto (None) on 5% density must match the explicit sparse fit bitwise
+    r_auto = nmf_chunked(InMemoryLoader(A, chunk_cols=40), cfg,
+                         panel_cache=False)
+    r_sp = nmf_chunked(InMemoryLoader(A, chunk_cols=40), cfg,
+                       sparse_panels=True, panel_cache=False)
+    assert np.array_equal(r_auto.W, r_sp.W)
+    with pytest.raises((ValueError, NotImplementedError)):
+        nmf_chunked(InMemoryLoader(np.abs(rs.rand(30, 20)), chunk_cols=10),
+                    cfg, sparse_panels=True)
+
+
+def test_sparse_panels_irls_and_cv_paths():
+    """Sparse panels compose with the IRLS and CV panel solvers."""
+    import scipy.sparse as sp
+    from rcppml_tpu.models.nmf_chunked import nmf_chunked
+    from rcppml_tpu.io.loaders import InMemoryLoader
+    rs = np.random.RandomState(7)
+    A = sp.random(100, 80, density=0.1, random_state=rs,
+                  format="csc").astype(np.float32)
+    A.data[:] = np.ceil(A.data * 9)
+    for kw in (dict(loss="nb", dispersion="per_row"),
+               dict(test_fraction=0.1, cv_seed=2)):
+        cfg = rt.build_config(4, seed=1, maxit=5, tol=0.0,
+                              sort_model=False, **kw)
+        r_d = nmf_chunked(InMemoryLoader(A, chunk_cols=32), cfg,
+                          sparse_panels=False, panel_cache=False)
+        r_s = nmf_chunked(InMemoryLoader(A, chunk_cols=32), cfg,
+                          sparse_panels=True, panel_cache=False)
+        assert np.array_equal(r_d.W, r_s.W), kw
