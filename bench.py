@@ -158,8 +158,25 @@ def main():
                 res16.iterations / ml16_s, 1),
             "roofline": roof,
             "gspmd_scaling": _gspmd_scaling(),
+            "flagship_streaming": _flagship(),
         },
     }))
+
+
+def _flagship():
+    """Embed the committed flagship streaming-scale measurement
+    (tools/flagship_streaming.py — 38,606x278,676, 554M nnz, the
+    streampress.Rmd:347 workload).  The run takes ~30 min end-to-end
+    (synthesis + compress + 3 sweeps), so it is executed once per round
+    and its artifact embedded here; re-run with
+    ``python tools/flagship_streaming.py --gen --fit``."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "FLAGSHIP_r04.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def _gspmd_scaling():

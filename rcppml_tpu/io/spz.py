@@ -276,6 +276,29 @@ class SpzChunkReader:
             raise ValueError(_err(self.lib))
         return cs.value, nc.value, nz.value
 
+    def chunk_arrays(self, idx: int, transpose: bool = False):
+        """Decode chunk ``idx`` -> (col_start, indptr, indices, values)
+        raw CSC arrays — no scipy object construction (the streaming
+        engine's hot path; scipy's csc_matrix validation is pure-Python
+        GIL-held work the Prefetcher workers would serialize on)."""
+        cs = ctypes.c_uint32()
+        nc = ctypes.c_uint32()
+        nz = ctypes.c_uint32()
+        if self.lib.spz_chunk_info(self._buf, len(self.data), int(transpose),
+                                   idx, ctypes.byref(cs), ctypes.byref(nc),
+                                   ctypes.byref(nz)):
+            raise ValueError(_err(self.lib))
+        p = np.zeros(nc.value + 1, dtype=np.int64)
+        i = np.zeros(nz.value, dtype=np.int32)
+        x = np.zeros(nz.value, dtype=np.float32)
+        if self.lib.spz_decode_chunk(
+                self._buf, len(self.data), int(transpose), idx,
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+            raise ValueError(_err(self.lib))
+        return cs.value, p, i, x
+
     def chunk(self, idx: int, transpose: bool = False):
         """Decode chunk ``idx`` -> (col_start, csc_submatrix)."""
         import scipy.sparse as sp

@@ -41,14 +41,59 @@ from .nmf import init_factors
 
 
 @partial(jax.jit, static_argnames=("nrows", "ncols"))
-def _coo_densify(rows, cols, vals, *, nrows: int, ncols: int):
-    """Dense (nrows, ncols) panel from device-resident COO triples.
+def _coo_densify(rows, counts, vals, *, nrows: int, ncols: int):
+    """Dense (nrows, ncols) panel from compact device-resident CSC-ish
+    triples: ``rows`` (uint16 when nrows < 65536, else int32), per-column
+    ``counts`` (int32, length ncols+1 — the last entry counts the bucket
+    padding), ``vals`` (uint8/uint16 when integral, else f32).
 
-    Pad entries carry rows == nrows (one past the end) and are dropped by
-    the out-of-bounds mode; duplicate coordinates accumulate, matching
-    scipy's COO -> CSC semantics."""
+    Column ids are EXPANDED ON DEVICE from the counts (repeat), so they
+    never cross the link; padding entries expand to column id == ncols,
+    which the scatter's out-of-bounds mode drops.  Minimal wire format:
+    ~3 bytes/nnz for uint16-row/uint8-value panels vs 4 bytes/ELEMENT
+    dense — the ingest-bandwidth lever of the streaming engine."""
+    bucket = rows.shape[0]
+    cols = jnp.repeat(jnp.arange(ncols + 1, dtype=jnp.int32), counts,
+                      total_repeat_length=bucket)
     Z = jnp.zeros((nrows, ncols), jnp.float32)
-    return Z.at[rows, cols].add(vals, mode="drop")
+    return Z.at[rows.astype(jnp.int32), cols].add(
+        vals.astype(jnp.float32), mode="drop")
+
+
+class _CompactChunk:
+    """Wire-ready sparse panel: padded/bucketed arrays with compact
+    dtypes, produced OFF the consumer's critical path (in the Prefetcher
+    worker) by :func:`_compact_sparse`."""
+
+    __slots__ = ("col_start", "num_cols", "nnz", "rows", "counts", "vals")
+
+    def __init__(self, col_start, num_cols, nnz, rows, counts, vals):
+        self.col_start = col_start
+        self.num_cols = num_cols
+        self.nnz = nnz
+        self.rows = rows
+        self.counts = counts
+        self.vals = vals
+
+
+def _compact_sparse(ch: SparseChunk, rows_dim: int) -> _CompactChunk:
+    """SparseChunk -> wire format: pow2 nnz bucket (bounds recompiles),
+    uint16 rows when they fit, integral nonneg values in uint8/uint16
+    (exact), per-column counts instead of explicit column ids."""
+    bucket = max(1 << 12, 1 << int(ch.nnz - 1).bit_length()) \
+        if ch.nnz else 1 << 12
+    pad = bucket - ch.nnz
+    rows_a = np.pad(ch.rows, (0, pad))
+    if rows_dim < (1 << 16):
+        rows_a = rows_a.astype(np.uint16)
+    counts_a = np.append(ch.counts, np.int32(pad))
+    vals_a = np.pad(ch.vals, (0, pad))
+    vmax = float(vals_a.max(initial=0.0))
+    if (vals_a >= 0).all() and np.array_equal(
+            vals_a, np.floor(vals_a)) and vmax < (1 << 16):
+        vals_a = vals_a.astype(np.uint8 if vmax < 256 else np.uint16)
+    return _CompactChunk(ch.col_start, ch.num_cols, ch.nnz, rows_a,
+                         counts_a, vals_a)
 
 
 @partial(jax.jit, static_argnames=("cfg", "side"))
@@ -397,10 +442,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 yield _CachedChunk(cs, meta[cs])
             return
         if prefetch:
-            it = Prefetcher(loader, transpose=transposed,
-                            sparse=_sparse_mode)
+            rows_dim = (n if transposed else m)
+            it = Prefetcher(
+                loader, transpose=transposed, sparse=_sparse_mode,
+                transform=((lambda ch: _compact_sparse(ch, rows_dim))
+                           if _sparse_mode else None))
         elif _sparse_mode:
-            it = (loader.chunk_coo(c, transposed)
+            rows_dim = (n if transposed else m)
+            it = (_compact_sparse(loader.chunk_coo(c, transposed),
+                                  rows_dim)
                   for c in range(loader.num_chunks(transposed)))
         else:
             it = loader.iter_chunks(transpose=transposed)
@@ -413,7 +463,10 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 it.close()
 
     def _chunk_finite(ch) -> bool:
-        vals = ch.vals if isinstance(ch, SparseChunk) else ch.data
+        vals = ch.vals if isinstance(ch, (SparseChunk, _CompactChunk)) \
+            else ch.data
+        if vals.dtype.kind == "u":      # compacted integral values
+            return True
         return bool(np.isfinite(vals).all())
 
     def _put_panel(ch, transposed: bool):
@@ -429,19 +482,13 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             hit = _panel_cache.get(key)
             if hit is not None:
                 return hit
-        if isinstance(ch, SparseChunk):
+        if isinstance(ch, (SparseChunk, _CompactChunk)):
             rows_dim = (n if transposed else m)
-            # pow2 nnz buckets bound recompiles to ~log2(max nnz) shapes;
-            # pad entries point one past the last row and are dropped by
-            # the scatter's out-of-bounds mode
-            bucket = max(1 << 12, 1 << int(ch.nnz - 1).bit_length()) \
-                if ch.nnz else 1 << 12
-            pad = bucket - ch.nnz
-            rows_a = np.pad(ch.rows, (0, pad), constant_values=rows_dim)
-            cols_a = np.pad(ch.cols, (0, pad))
-            vals_a = np.pad(ch.vals, (0, pad))
-            out = _coo_densify(jnp.asarray(rows_a), jnp.asarray(cols_a),
-                               jnp.asarray(vals_a), nrows=rows_dim,
+            if isinstance(ch, SparseChunk):     # non-prefetch direct use
+                ch = _compact_sparse(ch, rows_dim)
+            out = _coo_densify(jnp.asarray(ch.rows),
+                               jnp.asarray(ch.counts),
+                               jnp.asarray(ch.vals), nrows=rows_dim,
                                ncols=ch.num_cols)
         elif mesh is None:
             out = jnp.asarray(ch.data)
