@@ -121,6 +121,31 @@ def main():
     ml16_s, res16 = _time_best_of(lambda: nmf_fit(ml, cfg16,
                                                   device_A=ml_dev))
 
+    # --- movielens slope-isolated device loop (VERDICT r3 #8) ---
+    # The end-to-end 300-iter call spreads the fixed per-call tunnel cost
+    # (~90 ms) over 300 iterations, which round-3 misread as "301 us/iter,
+    # 8.7% of HBM peak".  The slope between maxit=20 and maxit=1020
+    # cancels every fixed term: measured 60.6 us/iter fp32 (43% of HBM
+    # peak) / 31.7 us/iter bf16 on the v5e (BENCH_NOTES.md decomposition).
+    cfg_ml_lo = cfg_ml.replace(max_iter=20)
+    cfg_ml_hi = cfg_ml.replace(max_iter=1020)
+    nmf_fit(ml, cfg_ml_lo, device_A=ml_dev)
+    nmf_fit(ml, cfg_ml_hi, device_A=ml_dev)
+    ml_lo5, _ = _time_best_of(lambda: nmf_fit(ml, cfg_ml_lo,
+                                              device_A=ml_dev), reps=5)
+    ml_hi5, _ = _time_best_of(lambda: nmf_fit(ml, cfg_ml_hi,
+                                              device_A=ml_dev), reps=5)
+    ml_loop_us = max(ml_hi5 - ml_lo5, 0.0) / (1020 - 20) * 1e6
+    cfg16_lo = cfg16.replace(max_iter=20)
+    cfg16_hi = cfg16.replace(max_iter=1020)
+    nmf_fit(ml, cfg16_lo, device_A=ml_dev)
+    nmf_fit(ml, cfg16_hi, device_A=ml_dev)
+    ml16_lo5, _ = _time_best_of(lambda: nmf_fit(ml, cfg16_lo,
+                                                device_A=ml_dev), reps=5)
+    ml16_hi5, _ = _time_best_of(lambda: nmf_fit(ml, cfg16_hi,
+                                                device_A=ml_dev), reps=5)
+    ml16_loop_us = max(ml16_hi5 - ml16_lo5, 0.0) / (1020 - 20) * 1e6
+
     import jax
     kind = jax.devices()[0].device_kind
     hbm_peak, bf16_peak = _DEVICE_PEAKS.get(kind, (None, None))
@@ -137,6 +162,12 @@ def main():
                                         ml_s, 4, hbm_peak),
         "movielens_k50_bf16": _roofline(*ml.shape, 50, res16.iterations,
                                         ml16_s, 2, hbm_peak),
+        "movielens_k50_fp32_device_loop": _roofline(
+            *ml.shape, 50, 1, ml_loop_us / 1e6, 4, hbm_peak)
+        if ml_loop_us else None,
+        "movielens_k50_bf16_device_loop": _roofline(
+            *ml.shape, 50, 1, ml16_loop_us / 1e6, 2, hbm_peak)
+        if ml16_loop_us else None,
     }
 
     print(json.dumps({
@@ -156,6 +187,8 @@ def main():
             "movielens_k50_als_iters_per_sec": round(res.iterations / ml_s, 1),
             "movielens_k50_bf16_iters_per_sec": round(
                 res16.iterations / ml16_s, 1),
+            "movielens_k50_device_us_per_iter": round(ml_loop_us, 1),
+            "movielens_k50_bf16_device_us_per_iter": round(ml16_loop_us, 1),
             "roofline": roof,
             "gspmd_scaling": _gspmd_scaling(),
             "flagship_streaming": _flagship(),

@@ -453,24 +453,44 @@ def _rhs_trp_kernel(h_ref, a_ref, o_ref):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _pick_bm(kp: int, np_: int, want: int = 1024) -> int:
+    """Largest 8-multiple m-block whose working set (A block
+    double-buffered + resident output + F block double-buffered) stays
+    under ~12 MB of VMEM."""
+    bm = want
+    while bm > 8 and (2 * bm * np_ + kp * np_ + 2 * kp * bm) * 4 > \
+            12 * 1024 ** 2:
+        bm //= 2
+    return max(bm, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("bm",))
-def rhs_tall_pallas(F, A, *, bm: int = 1024):
+def rhs_tall_pallas(F, A, *, bm: int = 0):
     """B = F @ A with A read from HBM EXACTLY once.
 
-    XLA's fp32 dot for a tall-skinny contraction ((k, m) @ (m, n),
-    k ~ 50) re-reads A once per k-row-block of the output (measured
-    ~94 MB/iter on movielens = ~7x the matrix — BENCH_NOTES "fused
-    whole-fit" study), putting the ALS loop at 8.7% of HBM peak.  This
-    kernel makes the m-axis the GRID, keeps the whole (k, n) output
-    resident in VMEM across grid steps (same-block revisiting), and
-    accumulates F_blk @ A_blk per step — each A element crosses HBM
-    once.  VMEM: bm*n_pad*4 (A block, double-buffered) + k*n_pad*4
-    (output) — for movielens (n_pad 640, bm 1024) ~5.4 MB.
+    HYPOTHESIS (round 3): XLA's fp32 dot for a tall-skinny contraction
+    ((k, m) @ (m, n), k ~ 50) re-reads A per k-row-block, explaining the
+    "8.7% of HBM peak" movielens roofline.  MEASURED OUTCOME (round 4,
+    v5e, in-jit fori_loop slope timing): the hypothesis was FALSE — the
+    8.7% figure was the fixed per-call tunnel cost spread over 300
+    iterations, and XLA's dot is already effectively single-pass at both
+    bench shapes (movielens k=50 3867x610: XLA 14.9 us vs 11.5 us
+    one-A-pass floor; pbmc3k k=20 13714x2638: XLA 200.8 us vs 176 us
+    floor).  This kernel TIES XLA at the pbmc3k shape (203.3 us) and
+    LOSES at the movielens shape (21.0 us) where grid/dispatch overhead
+    dominates.  NOT DISPATCHED — kept as the measured record for why.
+
+    Mechanics: the m-axis is the GRID, the whole (k, n) output stays
+    resident in VMEM across grid steps (same-block revisiting), each
+    step accumulates F_blk @ A_blk — each A element crosses HBM once.
+    VMEM: 2*bm*n_pad*4 (A block, double-buffered) + k*n_pad*4 (output).
     """
     k, m = F.shape
     n = A.shape[1]
     kp = -(-k // 8) * 8
     np_ = -(-n // _LANE) * _LANE
+    if not bm:
+        bm = _pick_bm(kp, np_)
     mp = -(-m // bm) * bm
     F_p = jnp.pad(F, ((0, kp - k), (0, mp - m)))
     A_p = jnp.pad(A, ((0, mp - m), (0, np_ - n)))
@@ -491,7 +511,7 @@ def rhs_tall_pallas(F, A, *, bm: int = 1024):
 
 
 @functools.partial(jax.jit, static_argnames=("bm",))
-def rhs_tall_t_pallas(H, A, *, bm: int = 1024):
+def rhs_tall_t_pallas(H, A, *, bm: int = 0):
     """B = H @ A^T with A (m, n) read once; grid over m OUTPUT blocks.
 
     The W-side mirror of :func:`rhs_tall_pallas`: H (k, n) stays fully
@@ -503,6 +523,8 @@ def rhs_tall_t_pallas(H, A, *, bm: int = 1024):
     m = A.shape[0]
     kp = -(-k // 8) * 8
     np_ = -(-n // _LANE) * _LANE
+    if not bm:
+        bm = _pick_bm(kp, np_)
     mp = -(-m // bm) * bm
     H_p = jnp.pad(H, ((0, kp - k), (0, np_ - n)))
     A_p = jnp.pad(A, ((0, mp - m), (0, np_ - n)))
