@@ -223,6 +223,20 @@ void rans_decode(const uint8_t* data, size_t size, uint32_t* out,
 
 // rANS with escape (symbol 255 -> varint overflow stream); stream layout:
 // [table][enc_sz u32][encoded][ov_sz u32][overflow]
+// shared [table][enc_sz u32][encoded] emit over symbols in [0, max_sym]
+std::vector<uint8_t> rans_block(const uint32_t* syms, uint32_t count,
+                                uint32_t max_sym) {
+    std::vector<uint64_t> counts(max_sym + 1, 0);
+    for (uint32_t i = 0; i < count; ++i) ++counts[syms[i]];
+    Table t;
+    t.build(counts);
+    auto enc = rans_encode(syms, count, t);
+    std::vector<uint8_t> out = t.serialize();
+    put_u32(static_cast<uint32_t>(enc.size()), out);
+    out.insert(out.end(), enc.begin(), enc.end());
+    return out;
+}
+
 std::vector<uint8_t> encode_rans_escape(const uint32_t* vals, uint32_t count) {
     constexpr uint32_t kEsc = 255;
     std::vector<uint32_t> syms(count);
@@ -238,15 +252,7 @@ std::vector<uint8_t> encode_rans_escape(const uint32_t* vals, uint32_t count) {
             max_seen = std::max(max_seen, vals[i]);
         }
     }
-    std::vector<uint64_t> counts(max_seen + 1, 0);
-    for (uint32_t i = 0; i < count; ++i) ++counts[syms[i]];
-    Table t;
-    t.build(counts);
-    auto enc = rans_encode(syms.data(), count, t);
-
-    std::vector<uint8_t> out = t.serialize();
-    put_u32(static_cast<uint32_t>(enc.size()), out);
-    out.insert(out.end(), enc.begin(), enc.end());
+    std::vector<uint8_t> out = rans_block(syms.data(), count, max_seen);
     put_u32(static_cast<uint32_t>(overflow.size()), out);
     out.insert(out.end(), overflow.begin(), overflow.end());
     return out;
@@ -256,19 +262,12 @@ std::vector<uint8_t> encode_rans_escape(const uint32_t* vals, uint32_t count) {
 // section — byte-compatible with the reference's quant8 chunk writer
 // (sparsepress_v2.hpp:351-390; all symbols fit in [0,255] by construction)
 std::vector<uint8_t> encode_rans_quant8(const uint32_t* syms, uint32_t count) {
-    std::vector<uint64_t> counts(256, 0);
-    for (uint32_t i = 0; i < count; ++i) ++counts[syms[i]];
-    Table t;
-    t.build(counts);
-    auto enc = rans_encode(syms, count, t);
-    std::vector<uint8_t> out = t.serialize();
-    put_u32(static_cast<uint32_t>(enc.size()), out);
-    out.insert(out.end(), enc.begin(), enc.end());
-    return out;
+    return rans_block(syms, count, 255);
 }
 
 std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
-                                         uint32_t count) {
+                                         uint32_t count,
+                                         bool overflow_optional = false) {
     std::vector<uint32_t> out(count, 0);
     if (!size || !count) return out;
     const uint8_t* p = data;
@@ -278,12 +277,14 @@ std::vector<uint32_t> decode_rans_escape(const uint8_t* data, size_t size,
     need(p, end, enc_sz, "truncated rANS payload");
     rans_decode(p, enc_sz, out.data(), count, t);
     p += enc_sz;
-    // the overflow section is OPTIONAL: the reference's quant8 encoder
+    // overflow_optional (quant8 ONLY): the reference's quant8 encoder
     // (sparsepress_v2.hpp:351-390) writes only [table][enc_sz][encoded]
-    // and its decoder (decode_rans_escape, :404-435) treats a stream
-    // ending here as "no escapes" — match that so reference-written
-    // quant8 chunks decode
-    if (static_cast<uint64_t>(end - p) < 4) return out;
+    // and its decoder treats a stream ending here as "no escapes" —
+    // match that so reference-written quant8 chunks decode.  For every
+    // OTHER stream the overflow section is mandatory: a missing section
+    // there means truncation, and silently treating escape symbols as
+    // literal 255 would be a silent misdecode (round-4 review finding).
+    if (overflow_optional && static_cast<uint64_t>(end - p) < 4) return out;
     uint32_t ov_sz = get_u32_checked(p, end);
     need(p, end, ov_sz, "truncated overflow stream");
     if (ov_sz) {
@@ -585,7 +586,8 @@ void decode_values(const uint8_t* vp, size_t vsize, const ChunkDesc& d,
             break;
         }
         case VT_Q8: {
-            auto q = decode_rans_escape(vp, vsize, d.nnz);
+            auto q = decode_rans_escape(vp, vsize, d.nnz,
+                                        /*overflow_optional=*/true);
             for (uint32_t k = 0; k < d.nnz; ++k)
                 out[k] = d.quant_offset + d.quant_scale * static_cast<float>(q[k]);
             break;
@@ -679,6 +681,15 @@ struct HeaderV1 {
         std::memcpy(&h.col_counts_size, p, 4); p += 4;
         std::memcpy(&h.struct_k_size, p, 4); p += 4;
         std::memcpy(&h.crc32, p, 4); p += 4;
+        // v1 is a whole-matrix format whose streams carry at most u32
+        // symbols; the header nnz is u64 on disk, and a crafted value
+        // above u32 would truncate the symbol-vector size while the
+        // column pointers (also attacker-controlled, CRC covers payload
+        // only) still index the full range — OOB reads (round-4 review)
+        if (h.nnz > 0xFFFFFFFFull)
+            corrupt("v1 nnz exceeds uint32 (not a valid v1 stream)");
+        if (static_cast<uint64_t>(h.m) * h.n < h.nnz)
+            corrupt("v1 nnz exceeds m*n");
         return h;
     }
 };
@@ -944,6 +955,11 @@ std::vector<uint8_t> encode(uint32_t m, uint32_t n, const int64_t* p,
                             const int32_t* i, const float* x, int use_delta,
                             int use_vpred) {
     uint64_t nnz = static_cast<uint64_t>(p[n]);
+    // mirror of the decode-side guard: v1 symbol streams are u32-count
+    if (nnz > 0xFFFFFFFFull)
+        throw std::runtime_error(
+            "spz v1 cannot encode > 2^32-1 nonzeros; use the chunked v2 "
+            "format (st_write)");
 
     // analyze (model/analyzer.hpp essentials)
     std::vector<uint32_t> row_nnz(m, 0), col_nnz(n, 0);
@@ -1078,14 +1094,17 @@ std::vector<uint8_t> encode(uint32_t m, uint32_t n, const int64_t* p,
 
 }  // namespace v1
 
-// peek the container version without full validation: "SPRZ" + u16
-int peek_version(const uint8_t* buf, uint64_t len) {
-    if (len < 6 || std::memcmp(buf, "SPRZ", 4) != 0) return -1;
-    uint16_t v;
-    std::memcpy(&v, buf + 4, 2);
-    return static_cast<int>(v);
-}
+}  // namespace
 
+// peek the container version without full validation — one source of
+// truth: the exported spz_version ("SPRZ" + u16; every real header is
+// >= 72 bytes so the min-length 8 is safe for sniffing too)
+extern "C" int spz_version(const uint8_t* buf, uint64_t len);
+
+namespace {
+inline int peek_version(const uint8_t* buf, uint64_t len) {
+    return spz_version(buf, len);
+}
 }  // namespace
 
 // ---------------------------------------------------------------------------

@@ -302,25 +302,10 @@ class SpzChunkReader:
     def chunk(self, idx: int, transpose: bool = False):
         """Decode chunk ``idx`` -> (col_start, csc_submatrix)."""
         import scipy.sparse as sp
-        cs = ctypes.c_uint32()
-        nc = ctypes.c_uint32()
-        nz = ctypes.c_uint32()
-        if self.lib.spz_chunk_info(self._buf, len(self.data), int(transpose),
-                                   idx, ctypes.byref(cs), ctypes.byref(nc),
-                                   ctypes.byref(nz)):
-            raise ValueError(_err(self.lib))
-        p = np.zeros(nc.value + 1, dtype=np.int64)
-        i = np.zeros(nz.value, dtype=np.int32)
-        x = np.zeros(nz.value, dtype=np.float32)
-        if self.lib.spz_decode_chunk(
-                self._buf, len(self.data), int(transpose), idx,
-                p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
-            raise ValueError(_err(self.lib))
+        cs, p, i, x = self.chunk_arrays(idx, transpose)
         rows = self.info["n"] if transpose else self.info["m"]
-        sub = sp.csc_matrix((x, i, p), shape=(rows, nc.value))
-        return cs.value, sub
+        sub = sp.csc_matrix((x, i, p), shape=(rows, len(p) - 1))
+        return cs, sub
 
 
 # ---------------------------------------------------------------------------

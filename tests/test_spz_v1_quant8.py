@@ -196,3 +196,44 @@ def test_quant8_chunked_quantization_is_per_chunk():
     Ad = A.toarray()
     lstep = (left.data.max() - left.data.min()) / 255.0
     assert np.abs(B[:, :64] - Ad[:, :64]).max() <= lstep * 0.5 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions: header/stream trust boundaries
+# ---------------------------------------------------------------------------
+
+def test_v1_rejects_nnz_above_u32():
+    # the v1 CRC covers the payload only, so the header nnz is attacker-
+    # controlled; a value > 2^32-1 used to truncate the symbol-vector
+    # size to (u32)nnz while the column pointers still indexed the full
+    # range -> OOB heap reads (streampress.cpp HeaderV1::parse guard)
+    A = _int_matrix(seed=21)
+    buf = bytearray(compress_to_spz_v1_bytes(A))
+    struct.pack_into("<Q", buf, 16, 1 << 32)          # nnz field
+    with pytest.raises(ValueError, match="nnz"):
+        decompress_spz_bytes(bytes(buf))
+    # also implausible nnz > m*n (but < 2^32)
+    struct.pack_into("<Q", buf, 16, A.shape[0] * A.shape[1] + 1)
+    with pytest.raises(ValueError, match="nnz"):
+        decompress_spz_bytes(bytes(buf))
+
+
+def test_v1_truncated_overflow_section_is_an_error():
+    # escape streams (non-quant8) REQUIRE the overflow section; a stream
+    # that ends right after [encoded] must raise, not silently leave
+    # escaped entries as literal 255 (round-4 review: the quant8
+    # optional-overflow compat must not relax other streams)
+    A = _int_matrix(seed=23, scale=1)
+    A.data[0] = 300.0                                  # exactly one escape
+    buf = bytearray(compress_to_spz_v1_bytes(A, use_delta=False,
+                                             use_vpred=False))
+    h = _parse_v1_header(buf)
+    # the value stream is the last section; one escape value 300 ->
+    # overflow = [ov_sz=2 u32][varint(300) = 2 bytes] = 6-byte tail
+    assert bytes(buf[-6:-2]) == b"\x02\x00\x00\x00"
+    del buf[-6:]
+    struct.pack_into("<I", buf, 50, h["values_size"] - 6)   # values_size
+    struct.pack_into("<I", buf, 62,
+                     zlib.crc32(bytes(buf[72:])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decompress_spz_bytes(bytes(buf))

@@ -142,18 +142,23 @@ def gate2():
     # the first iteration, which is why the r03 gate saw best_iter=0).
     best_iters = {}
     th = None
+    hist_ok = True
     for k in (10, 25, 50):
         cfg_es = rt.build_config(k, seed=1, maxit=100, tol=0.0,
                                  test_fraction=0.1, cv_seed=1,
                                  L1=(0.0, 0.01), sort_model=False)
         res_es = fit_cv_or_masked(ml_dev, cfg_es)
+        # histories are sliced to executed iterations (nmf_cv.py:643-644),
+        # so EVERY entry must be finite — no pre-filtering (a NaN in the
+        # trajectory is exactly what this gate exists to catch)
         t = np.asarray(res_es.test_loss_history, dtype=float)
-        t = t[np.isfinite(t)]
+        hist_ok = hist_ok and t.size > 0 and bool(np.isfinite(t).all())
         best_iters[k] = int(res_es.best_iter)
         if k == 50:
             th = t
     sweep_ok = (best_iters[10] > 0
-                and best_iters[10] >= best_iters[25] >= best_iters[50])
+                and best_iters[10] >= best_iters[25] >= best_iters[50]
+                and all(b >= 0 for b in best_iters.values()))
 
     # planted-structure control at movielens scale: when the data HAS
     # recoverable structure at the fitted rank, best_iter must be > 0
@@ -173,7 +178,7 @@ def gate2():
         planted[k] = int(res_p.best_iter)
     planted_ok = planted[12] > 0 and planted[50] > 0
 
-    test_ok = bool(np.isfinite(th).all() and th.min() <= th[0]
+    test_ok = bool(hist_ok and th.min() <= th[0]
                    and sweep_ok and planted_ok)
 
     # CPU anchor derivation (documented; reference CPU can't run here):
@@ -424,18 +429,51 @@ def gate5():
 
 def gate6():
     """Scaling >=80% efficiency to 2+ hosts — unmeasurable on single-chip
-    hardware; reports the multi-chip dryrun + 2-process jax.distributed
-    test as the available evidence."""
-    dry = os.path.exists(os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "MULTICHIP_r02.json"))
+    hardware; reports the multi-chip dryrun, the 2-process
+    jax.distributed test, and the GSPMD partitioning-overhead trend
+    (tools/weak_scaling.py, fresh run) as the available evidence."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dry = sorted(glob.glob(os.path.join(repo, "MULTICHIP_r0*.json")))
+    trend = None
+    try:
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "weak_scaling.py")],
+            capture_output=True, text=True, timeout=900, check=True)
+        trend = json.loads(out.stdout.strip().split("\n")[-1])
+    except Exception:                                        # noqa: BLE001
+        pass
     return _emit(6, "multihost_scaling", True,
                  measured=False,
                  evidence="8-device dryrun (driver MULTICHIP json) + "
                           "tests/test_parallel.py 2-process "
-                          "jax.distributed test; real >=2-host efficiency "
-                          "needs pod hardware this environment lacks",
-                 dryrun_artifact_present=bool(dry))
+                          "jax.distributed test + GSPMD overhead curve "
+                          "on the virtual mesh (layout-regression alarm); "
+                          "real >=2-host efficiency needs pod hardware "
+                          "this environment lacks",
+                 dryrun_artifact_present=bool(dry),
+                 latest_dryrun=os.path.basename(dry[-1]) if dry else None,
+                 gspmd_overhead_trend=trend)
+
+
+def tpu_suite_entry():
+    """Embed the latest per-round TPU suite artifact (tools/
+    run_tpu_suite.py — the `tpu_ok` numerics-critical subset re-run on
+    the real chip) so the gates artifact carries the hardware-suite
+    evidence the round-3 verdict asked for."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "TPU_SUITE_r0*.json")))
+    if not arts:
+        print(json.dumps({"tpu_suite": None,
+                          "note": "no TPU_SUITE artifact found — run "
+                                  "tools/run_tpu_suite.py on the chip"}))
+        return False
+    with open(arts[-1]) as f:
+        art = json.load(f)
+    print(json.dumps({"tpu_suite": os.path.basename(arts[-1]), **art}))
+    return art.get("exit_code", 1) == 0
 
 
 def main():
@@ -451,6 +489,11 @@ def main():
         except Exception as e:                               # noqa: BLE001
             _emit(g, fns[g].__name__, False, error=repr(e)[:300])
             ok = False
+    try:
+        ok = tpu_suite_entry() and ok
+    except Exception as e:                                   # noqa: BLE001
+        print(json.dumps({"tpu_suite": None, "error": repr(e)[:300]}))
+        ok = False
     sys.exit(0 if ok else 1)
 
 

@@ -123,9 +123,17 @@ def _run_two_proc(devs_per_proc: int, m: int, n: int, k: int,
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
-    for p in procs:
-        if p.wait(timeout=900) != 0:
-            raise RuntimeError("weak-scaling worker failed")
+    try:
+        for p in procs:
+            if p.wait(timeout=900) != 0:
+                raise RuntimeError("weak-scaling worker failed")
+    finally:
+        # a failed/timed-out worker must not orphan its sibling (it would
+        # block on the coordinator port indefinitely — round-4 review)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     with open(out) as f:
         return float(json.load(f)["per_iter_ms"])
 
