@@ -146,6 +146,21 @@ def main():
                                                 device_A=ml_dev), reps=5)
     ml16_loop_us = max(ml16_hi5 - ml16_lo5, 0.0) / (1020 - 20) * 1e6
 
+    # --- fused_vmem whole-fit kernel on the same workload (opt-in
+    # VMEM-resident path, round-4 promotion) — slope over the same spans
+    fv_us = {}
+    for label, extra in (("fp32", {}), ("bf16", {"bf16_data": True})):
+        cfg_lo = rt.build_config(50, seed=1, maxit=20, tol=0.0,
+                                 sort_model=False, fused_vmem=True, **extra)
+        cfg_hi = cfg_lo.replace(max_iter=1020)
+        nmf_fit(ml, cfg_lo, device_A=ml_dev)
+        nmf_fit(ml, cfg_hi, device_A=ml_dev)
+        lo5, _ = _time_best_of(lambda: nmf_fit(ml, cfg_lo,
+                                               device_A=ml_dev), reps=5)
+        hi5, _ = _time_best_of(lambda: nmf_fit(ml, cfg_hi,
+                                               device_A=ml_dev), reps=5)
+        fv_us[label] = max(hi5 - lo5, 0.0) / (1020 - 20) * 1e6
+
     import jax
     kind = jax.devices()[0].device_kind
     hbm_peak, bf16_peak = _DEVICE_PEAKS.get(kind, (None, None))
@@ -189,6 +204,9 @@ def main():
                 res16.iterations / ml16_s, 1),
             "movielens_k50_device_us_per_iter": round(ml_loop_us, 1),
             "movielens_k50_bf16_device_us_per_iter": round(ml16_loop_us, 1),
+            "movielens_k50_fused_vmem_us_per_iter": round(fv_us["fp32"], 1),
+            "movielens_k50_fused_vmem_bf16_us_per_iter": round(
+                fv_us["bf16"], 1),
             "roofline": roof,
             "gspmd_scaling": _gspmd_scaling(),
             "flagship_streaming": _flagship(),

@@ -168,6 +168,7 @@ def build_config(
     verbose: bool = False,
     profile: bool = False,
     bf16_data: bool = False,
+    fused_vmem: bool = False,
     has_mask: bool = False,
     has_graph_W: bool = False,
     has_graph_H: bool = False,
@@ -252,7 +253,7 @@ def build_config(
         nb_size_init=float(nb_size_init), gamma_phi_init=float(gamma_phi_init),
         zi=ZI(zi), zi_em_iters=int(zi_em_iters),
         track_loss_history=bool(track_train_loss),
-        bf16_data=bool(bf16_data),
+        bf16_data=bool(bf16_data), fused_vmem=bool(fused_vmem),
         solver=solver_e, cd_max_iter=int(cd_maxit), cd_tol=float(cd_tol),
         irls_max_iter=int(irls_max_iter), irls_tol=float(irls_tol),
         seed=seed_int, init_mode=init_mode, norm=Norm(norm),
@@ -426,6 +427,7 @@ def nmf(data, k, *, mask=None, graph_W=None, graph_H=None, target_H=None,
                     and not cfg0.requires_irls() and not cfg0.is_cv()
                     and not cfg0.mask_zeros and cfg0.init_mode == 0
                     and not cfg0.enable_profiling and not cfg0.bf16_data
+                    and not cfg0.fused_vmem
                     and not cfg0.projective and not cfg0.symmetric
                     and check_dense_alloc(data.shape[0], data.shape[1],
                                           where="device").fits):

@@ -161,6 +161,21 @@ class NMFConfig:
     #     tests/test_parameters.py pins bf16-vs-fp32 factor agreement.
     bf16_data: bool = False
 
+    # Opt-in whole-fit VMEM-resident fast path (ops/pallas_kernels.py
+    # fused_als_vmem): the ENTIRE fixed-iteration ALS runs in one Pallas
+    # program with A pinned in VMEM, the k x k Gram inverted by
+    # warm-started Newton-Schulz (MXU matmuls only) instead of a
+    # Cholesky solve.  2-4x the fused XLA loop on VMEM-sized dense MSE
+    # fits (movielens k=50: 60.6 -> ~30 us/iter fp32, ~15 with
+    # bf16_data).  Same ALS fixed point to ~1e-3 relative, different
+    # trailing digits -> opt-in, never auto (the bf16_data contract).
+    # Plain dense MSE only: fixed maxit (tol=0), L1 norm, nonneg, no
+    # penalties/CV/mask/IRLS/projective/symmetric.  On non-TPU backends
+    # the same algorithm runs as a plain XLA loop (models/nmf.py
+    # _ns_als_xla) so results are backend-portable in the usual
+    # same-program sense.
+    fused_vmem: bool = False
+
     # Presence flags for traced aux arrays (affect compiled program shape)
     has_mask: bool = False
     has_graph_W: bool = False
@@ -246,6 +261,29 @@ class NMFConfig:
             raise ValueError(
                 "bf16_data is supported for the plain MSE fit only (no "
                 "IRLS losses, CV, or masks)")
+        if self.fused_vmem:
+            blockers = []
+            if self.requires_irls():
+                blockers.append("non-MSE/robust losses")
+            if self.is_cv() or self.has_mask:
+                blockers.append("CV/masks")
+            if self.projective or self.symmetric:
+                blockers.append("projective/symmetric variants")
+            if self.tol != 0.0:
+                blockers.append("tol-based early stopping (set tol=0.0; "
+                                "the kernel runs a fixed max_iter)")
+            if self.norm != Norm.L1:
+                blockers.append("norms other than L1")
+            for side, fc in (("W", self.W), ("H", self.H)):
+                if (fc.L1 or fc.L2 or fc.L21 or fc.angular or fc.upper_bound
+                        or fc.graph_lambda or fc.target_lambda
+                        or not fc.nonneg):
+                    blockers.append(f"penalties/bounds/targets on {side} "
+                                    "(and nonneg must stay on)")
+            if blockers:
+                raise ValueError(
+                    "fused_vmem supports the plain dense nonneg MSE fit "
+                    "only; unsupported here: " + "; ".join(blockers))
 
 
 @dataclass(frozen=True)

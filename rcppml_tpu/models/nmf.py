@@ -226,6 +226,116 @@ def _fit_mse_seg(cfg: NMFConfig, A, state: FitState, aux, seg_end):
 
 
 # ---------------------------------------------------------------------------
+# fused_vmem — whole-fit VMEM-resident fast path (opt-in)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16", "ns_steps"))
+def _ns_als_xla(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
+                a_bf16: bool = False, ns_steps: int = 7):
+    """Backend-portable twin of :func:`ops.pallas_kernels.fused_als_vmem`:
+    the same Newton-Schulz ALS as a plain XLA loop (A in HBM).  Used as
+    the ``fused_vmem`` implementation on non-TPU backends and as the
+    cross-implementation test oracle for the Pallas kernel."""
+    k = W_T0.shape[0]
+    f32 = jnp.float32
+    eye = jnp.eye(k, dtype=f32)
+    PH = lax.Precision.HIGHEST
+
+    def mm(X, Y):
+        return jnp.dot(X, Y, precision=PH, preferred_element_type=f32)
+
+    def ridge_of(G):
+        return (1e-6 / k) * jnp.trace(G)
+
+    def seed_inverse(G):
+        n1 = jnp.max(jnp.sum(jnp.abs(G), axis=0))
+        ninf = jnp.max(jnp.sum(jnp.abs(G), axis=1))
+        return G.T / (n1 * ninf)
+
+    def ns_refine(G, X):
+        M = mm(G, X)
+        n1 = jnp.max(jnp.sum(jnp.abs(M), axis=0))
+        ninf = jnp.max(jnp.sum(jnp.abs(M), axis=1))
+        X = X * (1.0 / jnp.sqrt(n1 * ninf))
+        for _ in range(ns_steps):
+            X = mm(X, 2.0 * eye - mm(G, X))
+        return X
+
+    trata = jnp.sum(A * A, dtype=f32)
+    A_mm = A.astype(jnp.bfloat16) if a_bf16 else A
+    G0 = mm(W_T0, W_T0.T)
+    gh0 = ns_refine(G0 + ridge_of(G0) * eye, seed_inverse(G0))
+    Gw0 = mm(H0, H0.T)
+    gw0 = ns_refine(Gw0 + ridge_of(Gw0) * eye, seed_inverse(Gw0))
+
+    def body(it, carry):
+        W, H, d, gh, gw, hist = carry
+        G = mm(W, W.T)
+        G = G + ridge_of(G) * eye
+        Ginv = ns_refine(G, gh)
+        B = jnp.dot(W.astype(A_mm.dtype) if a_bf16 else W, A_mm,
+                    precision=None if a_bf16 else PH,
+                    preferred_element_type=f32)
+        Hn = mm(Ginv, B)
+        if nonneg:
+            Hn = jnp.maximum(Hn, 0.0)
+        hs = jnp.maximum(jnp.sum(Hn, axis=1, keepdims=True), 1e-15)
+        Hn = Hn / hs
+        Gw = mm(Hn, Hn.T)
+        Gw = Gw + ridge_of(Gw) * eye
+        Gwinv = ns_refine(Gw, gw)
+        Bw = lax.dot_general(Hn.astype(A_mm.dtype) if a_bf16 else Hn, A_mm,
+                             (((1,), (1,)), ((), ())),
+                             precision=None if a_bf16 else PH,
+                             preferred_element_type=f32)
+        Wn = mm(Gwinv, Bw)
+        if nonneg:
+            Wn = jnp.maximum(Wn, 0.0)
+        ws = jnp.maximum(jnp.sum(Wn, axis=1, keepdims=True), 1e-15)
+        Wn = Wn / ws
+        dn = ws[:, 0]
+        cross = jnp.sum(ws * Wn * Bw)
+        loss = trata - 2.0 * cross + jnp.sum((ws * ws.T) * mm(Wn, Wn.T) * Gw)
+        return (Wn, Hn, dn, Ginv, Gwinv, hist.at[it].set(loss))
+
+    hist0 = jnp.full((maxit,), jnp.nan, f32)
+    W, H, d, _, _, hist = lax.fori_loop(
+        0, maxit, body, (W_T0, H0, jnp.ones((k,), f32), gh0, gw0, hist0))
+    return W, H, d, hist
+
+
+def _fit_fused_vmem(cfg: NMFConfig, A_dev, W_T0, H0) -> "NMFResult":
+    """Driver for the opt-in ``fused_vmem`` path: Pallas whole-fit kernel
+    on TPU when A fits in VMEM, the XLA twin elsewhere.  cfg.validate()
+    has already constrained this to the plain dense nonneg MSE fit with
+    tol=0 (fixed max_iter)."""
+    from ..ops import pallas_kernels as pk
+    m, n = A_dev.shape
+    kw = dict(maxit=cfg.max_iter, nonneg=True, a_bf16=cfg.bf16_data)
+    if pk.pallas_available():
+        if not pk.fused_vmem_fits(m, n, cfg.rank, cfg.bf16_data,
+                                  cfg.max_iter):
+            need = pk.fused_vmem_bytes(m, n, cfg.rank, cfg.bf16_data,
+                                       cfg.max_iter)
+            raise ValueError(
+                f"fused_vmem: {m}x{n} k={cfg.rank} needs ~{need >> 20} MB "
+                f"of VMEM (limit {pk._FUSED_VMEM_LIMIT >> 20} MB); drop "
+                "the knob (or set bf16_data=True to halve the A bytes)")
+        W_T, H, d, hist = pk.fused_als_vmem(A_dev, jnp.asarray(W_T0),
+                                            jnp.asarray(H0), **kw)
+    else:
+        W_T, H, d, hist = _ns_als_xla(A_dev, jnp.asarray(W_T0),
+                                      jnp.asarray(H0), **kw)
+    prev = hist[-2] if cfg.max_iter > 1 else hist[-1]
+    final_tol = jnp.abs(prev - hist[-1]) / (jnp.abs(prev) + 1e-15)
+    state = FitState(W_T=W_T, H=H, d=d, it=jnp.int32(cfg.max_iter),
+                     prev_loss=hist[-1], patience_ctr=jnp.int32(0),
+                     converged=jnp.bool_(False), final_tol=final_tol,
+                     loss_hist=hist)
+    return finalize_result(cfg, state)
+
+
+# ---------------------------------------------------------------------------
 # Step mode — per-iteration host loop with callbacks + section profiling
 # ---------------------------------------------------------------------------
 
@@ -547,6 +657,13 @@ def nmf_fit(A, cfg: NMFConfig, *, w_init=None, h_init=None,
         from .nmf_irls import fit_irls
         return fit_irls(A_dev, cfg, W_T0, H0, d0, aux_dev,
                         sparse_zeros=sparse_zeros)
+
+    if cfg.fused_vmem:
+        if on_iteration is not None or cfg.enable_profiling:
+            raise ValueError("fused_vmem runs the whole fit in one device "
+                             "program — callbacks/profiling need the "
+                             "step-mode loop (drop the knob)")
+        return _fit_fused_vmem(cfg, A_dev, W_T0, H0)
 
     if on_iteration is not None:
         return fit_stepwise(A_dev, cfg, W_T0, H0, d0, aux_dev,

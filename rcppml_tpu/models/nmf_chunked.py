@@ -348,6 +348,9 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     m, n = loader.shape
     k = cfg.rank
     cfg.validate()
+    if cfg.fused_vmem:
+        raise ValueError("fused_vmem pins the WHOLE matrix in VMEM — "
+                         "incompatible with the chunked/streaming engine")
 
     # ---- sharded ingest setup (mesh mode) ----
     # Factor tables are replicated (k-scaled, tiny); every panel is the

@@ -244,191 +244,25 @@ def _chol_inverse_refs(k, l_scr, lt_scr, y_scr):
     return y_scr[:, :k]                                  # L^-1
 
 
-def _make_fused_als_kernel(k: int, mp: int, np_: int, maxit: int,
-                           nonneg: bool, ns_steps: int = 7,
-                           ridge_rel: float = 1e-6, a_bf16: bool = True):
-    """Whole-fit ALS kernel: A pinned in VMEM, solves via Newton-Schulz.
-
-    Two walls this removes (measured on movielens k=50):
-      * the XLA loop is HBM-bound — each W^T A / H A^T matmul re-reads A
-        per output tile (~94 MB/iter -> ~140 us/iter just for matmuls);
-        here A is VMEM-resident in bf16.
-      * fine-grained in-kernel triangular factorization/substitution costs
-        ~1.5 us of Mosaic overhead PER unrolled step (~300 us/iter);
-        Newton-Schulz inverts the k x k Gram with ~2*ns_steps MXU matmuls
-        instead, warm-started from the previous ALS iteration's inverse
-        (G drifts slowly, so the quadratic iteration stays converged).
-    """
-    f32 = jnp.float32
-
-    def kernel(trata_ref, a_ref, w0_ref, h0_ref, w_out, h_out, d_out,
-               hist_ref, ginv_h_scr, ginv_w_scr):
-        w_out[:] = w0_ref[:]
-        h_out[:] = h0_ref[:]
-        eye_r = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        eye_c = lax.broadcasted_iota(jnp.int32, (1, k), 1)
-        eye = (eye_r == eye_c).astype(f32)
-        trata = trata_ref[0, 0]
-        PH = lax.Precision.HIGHEST
-
-        def mm(X, Y):
-            return jnp.dot(X, Y, precision=PH, preferred_element_type=f32)
-
-        def gram(F):
-            return mm(F, F.T)
-
-        def ridge_of(G):
-            return (ridge_rel / k) * jnp.sum(G * eye)
-
-        def seed_inverse(G):
-            # safe NS seed: G^T / (||G||_1 ||G||_inf) guarantees
-            # ||I - G X0|| < 1 for SPD G
-            n1 = jnp.max(jnp.sum(jnp.abs(G), axis=0))
-            ninf = jnp.max(jnp.sum(jnp.abs(G), axis=1))
-            return G.T / (n1 * ninf)
-
-        def ns_refine(G, X):
-            # rescale the warm start so NS is ALWAYS contractive:
-            # alpha = 1/sqrt(||GX||_1 ||GX||_inf) bounds the spectrum of
-            # alpha*G*X into (0, 1]; when X is already the inverse,
-            # GX = I and alpha = 1 — a converged warm start is preserved
-            # exactly (handles the Gram-scale jump at the first
-            # normalization without a divergent iteration)
-            M = mm(G, X)
-            n1 = jnp.max(jnp.sum(jnp.abs(M), axis=0))
-            ninf = jnp.max(jnp.sum(jnp.abs(M), axis=1))
-            X = X * (1.0 / jnp.sqrt(n1 * ninf))
-            for _ in range(ns_steps):
-                X = mm(X, 2.0 * eye - mm(G, X))
-            return X
-
-        # seed both inverses from the initial factors
-        G0 = gram(w0_ref[:])
-        G0 = G0 + ridge_of(G0) * eye
-        ginv_h_scr[:] = ns_refine(G0, seed_inverse(G0))
-        Gw0 = gram(h0_ref[:])
-        Gw0 = Gw0 + ridge_of(Gw0) * eye
-        ginv_w_scr[:] = ns_refine(Gw0, seed_inverse(Gw0))
-
-        def iteration(it, carry):
-            A = a_ref[:]
-            # ---- H update ----
-            W = w_out[:]
-            G = gram(W)
-            G = G + ridge_of(G) * eye
-            Ginv = ns_refine(G, ginv_h_scr[:])
-            ginv_h_scr[:] = Ginv
-            B = jnp.dot(W.astype(A.dtype) if a_bf16 else W, A,
-                        precision=None if a_bf16 else lax.Precision.HIGHEST,
-                        preferred_element_type=f32)            # (k, np_)
-            Hn = mm(Ginv, B)
-            if nonneg:
-                Hn = jnp.maximum(Hn, 0.0)
-            hs = jnp.sum(Hn, axis=1, keepdims=True)            # (k, 1)
-            Hn = Hn / jnp.maximum(hs, 1e-15)
-            h_out[:] = Hn
-            # ---- W update ----
-            Gw = gram(Hn)
-            Gw = Gw + ridge_of(Gw) * eye
-            Gwinv = ns_refine(Gw, ginv_w_scr[:])
-            ginv_w_scr[:] = Gwinv
-            Bw = lax.dot_general(Hn.astype(A.dtype) if a_bf16 else Hn, A,
-                                 (((1,), (1,)), ((), ())),
-                                 precision=None if a_bf16
-                                 else lax.Precision.HIGHEST,
-                                 preferred_element_type=f32)   # (k, mp)
-            Wn = mm(Gwinv, Bw)
-            if nonneg:
-                Wn = jnp.maximum(Wn, 0.0)
-            ws = jnp.sum(Wn, axis=1, keepdims=True)
-            Wn = Wn / jnp.maximum(ws, 1e-15)
-            w_out[:] = Wn
-            d = ws[:, 0:1]                                     # (k, 1)
-            d_out[:] = d
-            # ---- saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753) ----
-            cross = jnp.sum(d * Wn * Bw)
-            Gwt = gram(Wn)
-            recon = jnp.sum((d * d.T) * Gwt * Gw)
-            loss = trata - 2.0 * cross + recon
-            hist_ref[pl.ds(it, 1), :] = loss.reshape(1, 1)
-            return carry
-
-        lax.fori_loop(0, maxit, iteration, jnp.int32(0))
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16",
-                                             "ns_steps"))
-def fused_als_pallas(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
-                     a_bf16: bool = True, ns_steps: int = 7):
-    """Run an ENTIRE dense MSE ALS fit (fixed iteration count, L1 norm)
-    in one Pallas program with A resident in VMEM.
-
-    NOT DISPATCHED — experiment record (movielens k=50, maxit=300, v5e):
-      * XLA while-loop baseline: ~155-230 us/iter, HBM-bound (A re-read
-        per matmul output tile, ~94 MB/iter).
-      * this kernel, ns_steps=7 (accurate, sse matches the exact-ALS
-        optimum): ~220 us/iter — no win; Mosaic hits a cost cliff when
-        the NS chain exceeds ~2 steps (13 us/iter at ns=1 vs ~220 at
-        ns>=3, consistent with a VMEM-pressure/serialization threshold).
-      * ns_steps=1: 11-13 us/iter (the VMEM-resident dream number) but
-        the bf16 RHS matmuls leave the warm-started inverse too inexact
-        to converge (sse 963k vs 510k) — fp64/fp32 numpy replicas of the
-        same algorithm DO converge at ns=1, isolating the bf16 B as the
-        accuracy gap.
-      * fp32-A compiles once vmem_limit_bytes is raised to 100 MB and
-        also hits 11 us/iter at ns=1 — but STILL converges to sse ~912k
-        (vs 510k), while fp32 numpy replicas of the identical algorithm
-        converge at ns=1; the in-kernel discrepancy is unresolved.
-      * per-config timings fluctuate up to ~30x between runs through the
-        axon tunnel — a dedicated/stable TPU is needed to finish this.
-    Future angle: debug the ns=1 in-kernel accuracy gap (scratch
-    round-trip through VMEM refs?), then bf16x2 split-precision RHS.
-
-    A (m, n) with m*n*2 bytes (bf16) <= ~11 MB; returns
-    (W_T, H, d, loss_hist).
-    """
-    m, n = A.shape
-    k = W_T0.shape[0]
-    mp = ((m + _LANE - 1) // _LANE) * _LANE
-    np_ = ((n + _LANE - 1) // _LANE) * _LANE
-    A_p = jnp.pad(A, ((0, mp - m), (0, np_ - n))).astype(
-        jnp.bfloat16 if a_bf16 else jnp.float32)
-    W_p = jnp.pad(W_T0, ((0, 0), (0, mp - m)))
-    H_p = jnp.pad(H0, ((0, 0), (0, np_ - n)))
-    trata = jnp.sum(A * A, dtype=jnp.float32).reshape(1, 1)
-
-    kernel = _make_fused_als_kernel(k, mp, np_, maxit, nonneg,
-                                    ns_steps=ns_steps, a_bf16=a_bf16)
-    W_T, H, d, hist = pl.pallas_call(
-        kernel,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((mp, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((k, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((maxit, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, mp), jnp.float32),
-            jax.ShapeDtypeStruct((k, np_), jnp.float32),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
-            jax.ShapeDtypeStruct((maxit, 1), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32),
-                        pltpu.VMEM((k, k), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(trata, A_p, W_p, H_p)
-    return W_T[:, :m], H[:, :n], d[:, 0], hist[:, 0]
+# PROMOTED (round 4): the whole-fit fused ALS kernel now DISPATCHES as the
+# opt-in ``fused_vmem`` config knob — implementation in
+# ops/pallas_kernels.py (fused_als_vmem), XLA twin in models/nmf.py
+# (_ns_als_xla), driver _fit_fused_vmem.  The round-3 experiment record
+# that kept it benched here was re-measured on a quiet chip and
+# OVERTURNED (BENCH_NOTES.md "fused_vmem promotion"):
+#   * "Mosaic cost cliff at ns_steps >= 3" — false; ns=2 and ns=7 both
+#     run ~30 us/iter fp32 on movielens k=50 (the 220 us reading was
+#     tunnel link noise; timings must force a host fetch of the result,
+#     plain block_until_ready on this backend returns at dispatch).
+#   * "numpy replicas of the same algorithm converge at ns=1" — false;
+#     a jnp replica stalls identically (sse 943k vs exact-ALS 510k).
+#     The ns=1 failure is algorithmic: one warm-started Newton-Schulz
+#     step cannot track the per-iteration Gram drift (error recurrence
+#     e' = (e+delta)^2), so the coupled factors/inverse iteration finds
+#     a different fixed point.  ns>=5 converges (510.2k fp32 / 509.9k
+#     bf16-A vs 509.8k exact) — the dispatched default is ns=7.
+#   * measured promoted speed: ~30 us/iter fp32 / ~15 us/iter bf16-A vs
+#     the Cholesky XLA loop's slope-isolated 60.6 us/iter.
 
 
 # ---------------------------------------------------------------------------

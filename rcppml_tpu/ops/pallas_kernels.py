@@ -234,3 +234,203 @@ def pallas_available() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Whole-fit VMEM-resident ALS (opt-in ``fused_vmem`` fast path)
+# ---------------------------------------------------------------------------
+#
+# Promoted from ops/pallas_experiments.py in round 4 after the blocking
+# claims from the round-3 record were re-measured and overturned on a
+# quiet chip (BENCH_NOTES.md "fused_vmem promotion"):
+#   * ns_steps >= 3 has NO Mosaic cost cliff — ns=2 and ns=7 both run
+#     ~30 us/iter fp32 (movielens k=50; the old 220 us reading was
+#     link-noise through the tunnel);
+#   * the ns=1 non-convergence is ALGORITHMIC, not a kernel bug: a pure
+#     jnp replica of the same scheme also stalls at ns<=3 (sse 943k vs
+#     the exact-ALS 510k; one warm-started Newton-Schulz step cannot
+#     track the per-iteration Gram drift — the error recurrence
+#     e' = (e+delta)^2 only contracts once (e+delta)^(2^ns) does);
+#   * ns=7 converges to the exact-ALS fixed point (sse 510.2k fp32 /
+#     509.9k bf16-A vs 509.8k for jnp.linalg.inv) at ~30 us/iter fp32 /
+#     ~15 us/iter bf16-A — 2-4x the dispatched Cholesky loop's
+#     slope-isolated 60.6 us/iter on the same workload.
+#
+# The algorithm is the engine's standard ALS (models/nmf.py make_updates;
+# fit_cpu.hpp:172-1855 semantics: solve, clip, L1-row-normalize, saved-
+# matrix Gram-trick loss) with ONE substitution: the k x k Gram is
+# inverted by warm-started Newton-Schulz (MXU matmuls only) instead of a
+# Cholesky solve, because fine-grained triangular substitution inside a
+# Pallas kernel costs ~1.5 us of Mosaic overhead per unrolled step.  Same
+# fixed point to ~1e-3 relative; trailing digits differ — hence opt-in,
+# never auto (same contract as ``bf16_data``).
+
+def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
+                                nonneg: bool, ns_steps: int = 7,
+                                ridge_rel: float = 1e-6,
+                                a_bf16: bool = False):
+    f32 = jnp.float32
+
+    def kernel(trata_ref, a_ref, w0_ref, h0_ref, w_out, h_out, d_out,
+               hist_ref, ginv_h_scr, ginv_w_scr):
+        w_out[:] = w0_ref[:]
+        h_out[:] = h0_ref[:]
+        eye_r = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        eye_c = lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        eye = (eye_r == eye_c).astype(f32)
+        trata = trata_ref[0, 0]
+        PH = lax.Precision.HIGHEST
+
+        def mm(X, Y):
+            return jnp.dot(X, Y, precision=PH, preferred_element_type=f32)
+
+        def gram(F):
+            return mm(F, F.T)
+
+        def ridge_of(G):
+            return (ridge_rel / k) * jnp.sum(G * eye)
+
+        def seed_inverse(G):
+            # safe NS seed: G^T / (||G||_1 ||G||_inf) guarantees
+            # ||I - G X0|| < 1 for SPD G
+            n1 = jnp.max(jnp.sum(jnp.abs(G), axis=0))
+            ninf = jnp.max(jnp.sum(jnp.abs(G), axis=1))
+            return G.T / (n1 * ninf)
+
+        def ns_refine(G, X):
+            # rescale the warm start so NS is ALWAYS contractive; a
+            # converged warm start (GX = I) has alpha = 1 and is
+            # preserved exactly
+            M = mm(G, X)
+            n1 = jnp.max(jnp.sum(jnp.abs(M), axis=0))
+            ninf = jnp.max(jnp.sum(jnp.abs(M), axis=1))
+            X = X * (1.0 / jnp.sqrt(n1 * ninf))
+            for _ in range(ns_steps):
+                X = mm(X, 2.0 * eye - mm(G, X))
+            return X
+
+        G0 = gram(w0_ref[:])
+        G0 = G0 + ridge_of(G0) * eye
+        ginv_h_scr[:] = ns_refine(G0, seed_inverse(G0))
+        Gw0 = gram(h0_ref[:])
+        Gw0 = Gw0 + ridge_of(Gw0) * eye
+        ginv_w_scr[:] = ns_refine(Gw0, seed_inverse(Gw0))
+
+        def iteration(it, carry):
+            A = a_ref[:]
+            # ---- H update (solve, clip, L1-row-normalize) ----
+            W = w_out[:]
+            G = gram(W)
+            G = G + ridge_of(G) * eye
+            Ginv = ns_refine(G, ginv_h_scr[:])
+            ginv_h_scr[:] = Ginv
+            B = jnp.dot(W.astype(A.dtype) if a_bf16 else W, A,
+                        precision=None if a_bf16 else lax.Precision.HIGHEST,
+                        preferred_element_type=f32)            # (k, np_)
+            Hn = mm(Ginv, B)
+            if nonneg:
+                Hn = jnp.maximum(Hn, 0.0)
+            hs = jnp.sum(Hn, axis=1, keepdims=True)            # (k, 1)
+            Hn = Hn / jnp.maximum(hs, 1e-15)
+            h_out[:] = Hn
+            # ---- W update ----
+            Gw = gram(Hn)
+            Gw = Gw + ridge_of(Gw) * eye
+            Gwinv = ns_refine(Gw, ginv_w_scr[:])
+            ginv_w_scr[:] = Gwinv
+            Bw = lax.dot_general(Hn.astype(A.dtype) if a_bf16 else Hn, A,
+                                 (((1,), (1,)), ((), ())),
+                                 precision=None if a_bf16
+                                 else lax.Precision.HIGHEST,
+                                 preferred_element_type=f32)   # (k, mp)
+            Wn = mm(Gwinv, Bw)
+            if nonneg:
+                Wn = jnp.maximum(Wn, 0.0)
+            ws = jnp.sum(Wn, axis=1, keepdims=True)
+            Wn = Wn / jnp.maximum(ws, 1e-15)
+            w_out[:] = Wn
+            d = ws[:, 0:1]                                     # (k, 1)
+            d_out[:] = d
+            # ---- saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753) ----
+            cross = jnp.sum(d * Wn * Bw)
+            Gwt = gram(Wn)
+            recon = jnp.sum((d * d.T) * Gwt * Gw)
+            loss = trata - 2.0 * cross + recon
+            hist_ref[pl.ds(it, 1), :] = loss.reshape(1, 1)
+            return carry
+
+        lax.fori_loop(0, maxit, iteration, jnp.int32(0))
+
+    return kernel
+
+
+_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def fused_vmem_bytes(m: int, n: int, k: int, a_bf16: bool,
+                     maxit: int) -> int:
+    """Resident VMEM bytes of the whole-fit kernel: padded A + both
+    factor copies (in + out) + d + loss history + 2 k x k scratch."""
+    mp = -(-m // _LANE) * _LANE
+    np_ = -(-n // _LANE) * _LANE
+    a_bytes = mp * np_ * (2 if a_bf16 else 4)
+    factors = 2 * (k * mp + k * np_) * 4 + k * 4
+    return a_bytes + factors + maxit * 4 + 2 * k * k * 4
+
+
+def fused_vmem_fits(m: int, n: int, k: int, a_bf16: bool,
+                    maxit: int) -> bool:
+    return fused_vmem_bytes(m, n, k, a_bf16, maxit) <= _FUSED_VMEM_LIMIT
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16",
+                                             "ns_steps"))
+def fused_als_vmem(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
+                   a_bf16: bool = False, ns_steps: int = 7):
+    """Run an ENTIRE dense MSE ALS fit (fixed iteration count, L1 norm)
+    in one Pallas program with A resident in VMEM.
+
+    Returns (W_T (k, m), H (k, n), d (k,), loss_hist (maxit,)).  Gate
+    with :func:`fused_vmem_fits` first; the caller owns the host-side
+    result shaping (models/nmf.py _fit_fused_vmem).
+    """
+    m, n = A.shape
+    k = W_T0.shape[0]
+    mp = -(-m // _LANE) * _LANE
+    np_ = -(-n // _LANE) * _LANE
+    A_p = jnp.pad(A, ((0, mp - m), (0, np_ - n))).astype(
+        jnp.bfloat16 if a_bf16 else jnp.float32)
+    W_p = jnp.pad(W_T0, ((0, 0), (0, mp - m)))
+    H_p = jnp.pad(H0, ((0, 0), (0, np_ - n)))
+    trata = jnp.sum(A * A, dtype=jnp.float32).reshape(1, 1)
+
+    kernel = _make_fused_als_vmem_kernel(k, mp, np_, maxit, nonneg,
+                                         ns_steps=ns_steps, a_bf16=a_bf16)
+    W_T, H, d, hist = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((mp, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((maxit, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, mp), jnp.float32),
+            jax.ShapeDtypeStruct((k, np_), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+            jax.ShapeDtypeStruct((maxit, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32),
+                        pltpu.VMEM((k, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT + 8 * 1024 * 1024),
+    )(trata, A_p, W_p, H_p)
+    return W_T[:, :m], H[:, :n], d[:, 0], hist[:, 0]

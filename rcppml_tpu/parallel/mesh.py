@@ -156,6 +156,9 @@ def fit_sharded(A, cfg: NMFConfig, mesh: Optional[Mesh] = None, *,
     from ..models import nmf as nmf_mod
 
     mesh = mesh or default_mesh()
+    if cfg.fused_vmem:
+        raise ValueError("fused_vmem is a single-chip VMEM-resident path — "
+                         "incompatible with a sharded mesh fit")
     # an already-sharded global jax.Array (e.g. multihost.shard_host_data)
     # must NOT be pulled to host — in multi-process mode no host holds it
     device_in = isinstance(A, jax.Array)

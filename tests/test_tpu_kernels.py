@@ -135,8 +135,8 @@ def test_cholesky_clip_pallas_correct():
     np.testing.assert_allclose(X_k, X_ref, rtol=5e-3, atol=5e-4)
 
 
-def test_fused_als_pallas_runs_and_reconstructs():
-    from rcppml_tpu.ops.pallas_experiments import fused_als_pallas
+def test_fused_als_vmem_runs_and_reconstructs():
+    from rcppml_tpu.ops.pallas_kernels import fused_als_vmem
     from rcppml_tpu.models.nmf import init_factors
     import rcppml_tpu as rt
     rs = np.random.RandomState(4)
@@ -145,11 +145,47 @@ def test_fused_als_pallas_runs_and_reconstructs():
     A = (W @ H).astype(np.float32)
     cfg = rt.build_config(4, seed=7, maxit=60, sort_model=False)
     W_T0, H0, _ = init_factors(cfg, A.shape[0], A.shape[1], A=A)
-    W_T, Hk, d, hist = fused_als_pallas(
+    W_T, Hk, d, hist = fused_als_vmem(
         jnp.asarray(A), jnp.asarray(W_T0), jnp.asarray(H0), maxit=60)
     rec = np.asarray(W_T).T @ np.diag(np.asarray(d)) @ np.asarray(Hk)
     rel = np.linalg.norm(A - rec) / np.linalg.norm(A)
     assert np.isfinite(rel) and rel < 0.05, f"fused ALS rel err {rel}"
+
+
+def test_fused_als_vmem_matches_xla_twin():
+    """The Pallas kernel and the backend-portable XLA twin run the SAME
+    Newton-Schulz ALS — converged losses must agree closely (they are
+    separate lowerings, so allclose not array_equal)."""
+    from rcppml_tpu.models.nmf import _ns_als_xla, init_factors
+    from rcppml_tpu.ops.pallas_kernels import fused_als_vmem
+    import rcppml_tpu as rt
+    rs = np.random.RandomState(11)
+    W = np.abs(rs.normal(size=(256, 6))).astype(np.float32)
+    H = np.abs(rs.normal(size=(6, 200))).astype(np.float32)
+    A = (W @ H + 0.3 * rs.rand(256, 200)).astype(np.float32)
+    cfg = rt.build_config(6, seed=3, maxit=120, tol=0.0, sort_model=False)
+    W_T0, H0, _ = init_factors(cfg, 256, 200, A=A)
+    args = (jnp.asarray(A), jnp.asarray(W_T0), jnp.asarray(H0))
+    _, _, _, hist_k = fused_als_vmem(*args, maxit=120)
+    _, _, _, hist_x = _ns_als_xla(*args, maxit=120)
+    lk, lx = float(np.asarray(hist_k)[-1]), float(np.asarray(hist_x)[-1])
+    assert abs(lk - lx) / abs(lx) < 1e-3, (lk, lx)
+
+
+def test_fused_vmem_end_to_end_dispatch():
+    """rt.nmf(..., fused_vmem=True) on the TPU routes through the Pallas
+    kernel and reaches the Cholesky loop's converged loss (movielens-class
+    check at reduced size for suite budget)."""
+    import rcppml_tpu as rt
+    rs = np.random.RandomState(2)
+    W = np.abs(rs.normal(size=(384, 8))).astype(np.float32)
+    H = np.abs(rs.normal(size=(8, 256))).astype(np.float32)
+    A = np.maximum(W @ H + 0.3 * rs.rand(384, 256), 0).astype(np.float32)
+    base = rt.nmf(A, 8, seed=7, maxit=200, tol=0.0, sort_model=False)
+    fv = rt.nmf(A, 8, seed=7, maxit=200, tol=0.0, sort_model=False,
+                fused_vmem=True)
+    b, f = base.loss_history[-1], fv.loss_history[-1]
+    assert abs(b - f) / abs(b) < 1e-2, (b, f)
 
 
 def test_fill_uniform_traced_bit_parity_tpu():
