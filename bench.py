@@ -108,6 +108,18 @@ def main():
                                                  device_A=pb_dev), reps=5)
     pb16_loop_s = max(pb16_hi_s - pb16_s, 0.0) / (1020 - 20) * 20
 
+    # fused_vmem on the headline workload (bf16 A = 74 MB, VMEM-resident;
+    # fp32 at 148 MB cannot fit and is gate-rejected)
+    cfg_pbfv = cfg_pb16.replace(fused_vmem=True)
+    cfg_pbfv_hi = cfg_pbfv.replace(max_iter=1020)
+    nmf_fit(pb, cfg_pbfv, device_A=pb_dev)
+    nmf_fit(pb, cfg_pbfv_hi, device_A=pb_dev)
+    pbfv_s, _ = _time_best_of(lambda: nmf_fit(pb, cfg_pbfv,
+                                              device_A=pb_dev), reps=5)
+    pbfv_hi_s, _ = _time_best_of(lambda: nmf_fit(pb, cfg_pbfv_hi,
+                                                 device_A=pb_dev), reps=5)
+    pbfv_loop_s = max(pbfv_hi_s - pbfv_s, 0.0) / (1020 - 20) * 20
+
     # --- continuity metric: movielens k=50 ALS iters/s ---
     ml = np.asarray(datasets.movielens().todense(), dtype=np.float32)
     ml_dev = jnp.asarray(ml)
@@ -199,6 +211,11 @@ def main():
                 PUBLISHED_PBMC_K20_H100_S / pb_loop_s, 2) if pb_loop_s
             else None,
             "pbmc3k_k20_bf16_device_loop_seconds": round(pb16_loop_s, 4),
+            "pbmc3k_k20_fused_vmem_bf16_device_loop_seconds": round(
+                pbfv_loop_s, 4),
+            "pbmc3k_fused_vmem_device_loop_vs_h100": round(
+                PUBLISHED_PBMC_K20_H100_S / pbfv_loop_s, 2) if pbfv_loop_s
+            else None,
             "movielens_k50_als_iters_per_sec": round(res.iterations / ml_s, 1),
             "movielens_k50_bf16_iters_per_sec": round(
                 res16.iterations / ml16_s, 1),

@@ -265,11 +265,32 @@ def pallas_available() -> bool:
 # fixed point to ~1e-3 relative; trailing digits differ — hence opt-in,
 # never auto (same contract as ``bf16_data``).
 
+def _chunk_spans(total: int, abytes_per_slice: int,
+                 budget: int = 8 * 1024 * 1024, align: int = 128):
+    """Static (start, size) spans covering ``total`` such that each span's
+    loaded bytes (size * abytes_per_slice) stay under ``budget``.  Loading
+    A through bounded spans keeps the VALUE liveness small — a whole
+    ``a_ref[:]`` load makes the register allocator spill a second full
+    copy of A (measured: pbmc3k bf16 needed 143.7M of 128M VMEM)."""
+    chunk = max(budget // max(abytes_per_slice, 1), align)
+    chunk = (chunk // align) * align
+    spans = []
+    start = 0
+    while start < total:
+        size = min(chunk, total - start)
+        spans.append((start, size))
+        start += size
+    return spans
+
+
 def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
                                 nonneg: bool, ns_steps: int = 7,
                                 ridge_rel: float = 1e-6,
                                 a_bf16: bool = False):
     f32 = jnp.float32
+    abytes = 2 if a_bf16 else 4
+    col_spans = _chunk_spans(np_, mp * abytes)      # for B = W @ A
+    row_spans = _chunk_spans(mp, np_ * abytes)      # for Bw = H @ A^T
 
     def kernel(trata_ref, a_ref, w0_ref, h0_ref, w_out, h_out, d_out,
                hist_ref, ginv_h_scr, ginv_w_scr):
@@ -316,17 +337,37 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
         Gw0 = Gw0 + ridge_of(Gw0) * eye
         ginv_w_scr[:] = ns_refine(Gw0, seed_inverse(Gw0))
 
+        def rhs_fwd(W):
+            # B = W @ A (k, np_): A read through bounded column spans so
+            # only one span's bytes are ever live as a value
+            Wc = W.astype(jnp.bfloat16) if a_bf16 else W
+            outs = []
+            for c0, csz in col_spans:
+                outs.append(jnp.dot(
+                    Wc, a_ref[:, c0:c0 + csz],
+                    precision=None if a_bf16 else lax.Precision.HIGHEST,
+                    preferred_element_type=f32))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 1)
+
+        def rhs_trp(H):
+            # Bw = H @ A^T (k, mp): bounded row spans of A
+            Hc = H.astype(jnp.bfloat16) if a_bf16 else H
+            outs = []
+            for r0, rsz in row_spans:
+                outs.append(lax.dot_general(
+                    Hc, a_ref[r0:r0 + rsz, :], (((1,), (1,)), ((), ())),
+                    precision=None if a_bf16 else lax.Precision.HIGHEST,
+                    preferred_element_type=f32))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 1)
+
         def iteration(it, carry):
-            A = a_ref[:]
             # ---- H update (solve, clip, L1-row-normalize) ----
             W = w_out[:]
             G = gram(W)
             G = G + ridge_of(G) * eye
             Ginv = ns_refine(G, ginv_h_scr[:])
             ginv_h_scr[:] = Ginv
-            B = jnp.dot(W.astype(A.dtype) if a_bf16 else W, A,
-                        precision=None if a_bf16 else lax.Precision.HIGHEST,
-                        preferred_element_type=f32)            # (k, np_)
+            B = rhs_fwd(W)                                     # (k, np_)
             Hn = mm(Ginv, B)
             if nonneg:
                 Hn = jnp.maximum(Hn, 0.0)
@@ -338,11 +379,7 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
             Gw = Gw + ridge_of(Gw) * eye
             Gwinv = ns_refine(Gw, ginv_w_scr[:])
             ginv_w_scr[:] = Gwinv
-            Bw = lax.dot_general(Hn.astype(A.dtype) if a_bf16 else Hn, A,
-                                 (((1,), (1,)), ((), ())),
-                                 precision=None if a_bf16
-                                 else lax.Precision.HIGHEST,
-                                 preferred_element_type=f32)   # (k, mp)
+            Bw = rhs_trp(Hn)                                   # (k, mp)
             Wn = mm(Gwinv, Bw)
             if nonneg:
                 Wn = jnp.maximum(Wn, 0.0)
