@@ -116,3 +116,50 @@ def test_fused_vmem_rejects_callbacks():
     with pytest.raises(ValueError, match="callback"):
         rt.nmf(A, 5, fused_vmem=True, tol=0.0,
                on_iteration=lambda *a: None)
+
+
+def test_fused_vmem_odd_shapes_and_wide():
+    # non-multiple-of-128 dims, wide (n > m), k not a multiple of 8
+    rs = np.random.RandomState(8)
+    W = np.abs(rs.normal(size=(97, 7))).astype(np.float32)
+    H = np.abs(rs.normal(size=(7, 301))).astype(np.float32)
+    A = np.maximum(W @ H + 0.1 * rs.rand(97, 301), 0).astype(np.float32)
+    res = rt.nmf(A, 7, seed=2, maxit=150, tol=0.0, sort_model=False,
+                 fused_vmem=True)
+    rec = res.W @ np.diag(res.d) @ res.H
+    rel = np.linalg.norm(A - rec) / np.linalg.norm(A)
+    assert rel < 0.1, rel
+
+
+def test_fused_vmem_zero_columns_stay_finite():
+    A = _planted(seed=4).copy()
+    A[:, :10] = 0.0
+    res = rt.nmf(A, 5, seed=2, maxit=60, tol=0.0, sort_model=False,
+                 fused_vmem=True)
+    assert np.all(np.isfinite(res.W)) and np.all(np.isfinite(res.H))
+    assert np.all(np.isfinite(res.loss_history))
+
+
+def test_fused_vmem_sparse_input_densifies():
+    import scipy.sparse as sp
+    A = _planted(seed=6)
+    A[A < np.percentile(A, 60)] = 0.0
+    res_s = rt.nmf(sp.csc_matrix(A), 5, seed=3, maxit=50, tol=0.0,
+                   sort_model=False, fused_vmem=True)
+    res_d = rt.nmf(A, 5, seed=3, maxit=50, tol=0.0, sort_model=False,
+                   fused_vmem=True)
+    np.testing.assert_array_equal(res_s.W, res_d.W)
+
+
+def test_fused_vmem_size_gate_accounting():
+    from rcppml_tpu.ops.pallas_kernels import (fused_vmem_bytes,
+                                               fused_vmem_fits)
+    # pbmc3k-shaped: bf16 fits (~74 MB), fp32 does not (~148 MB)
+    assert fused_vmem_fits(13714, 2638, 20, True, 1020)
+    assert not fused_vmem_fits(13714, 2638, 20, False, 1020)
+    # bytes are monotone in every argument
+    b0 = fused_vmem_bytes(1000, 1000, 10, False, 100)
+    assert fused_vmem_bytes(2000, 1000, 10, False, 100) > b0
+    assert fused_vmem_bytes(1000, 2000, 10, False, 100) > b0
+    assert fused_vmem_bytes(1000, 1000, 20, False, 100) > b0
+    assert fused_vmem_bytes(1000, 1000, 10, True, 100) < b0
