@@ -82,6 +82,12 @@ def main():
     rec("nmf_mse_k50_movielens", el, iters=r.iterations,
         iters_per_sec=round(r.iterations / el, 1))
 
+    # 2b. same workload on the fused_vmem whole-fit kernel (opt-in)
+    cfg = cfg.replace(fused_vmem=True)
+    r, el = timed(nmf_fit, ml, cfg, device_A=ml)
+    rec("nmf_mse_k50_movielens_fused_vmem", el, iters=r.iterations,
+        iters_per_sec=round(r.iterations / el, 1))
+
     # 3. KL (GP dispersion none) k=16 pbmc3k (ref: CPU 23.37 GPU 1.98)
     cfg = rt.build_config(16, loss="gp", dispersion="none", seed=1,
                           maxit=iters, tol=0.0, sort_model=False, solver="cd")
