@@ -255,7 +255,7 @@ class NMFConfig:
                 "PROJ_ADV target regularization (negative target_lambda) "
                 "requires the MSE loss.")
         if self.bf16_data and (self.requires_irls() or self.is_cv()
-                               or self.has_mask):
+                               or self.has_mask or self.mask_zeros):
             # only the fused MSE loop honors the bf16 data path — reject
             # rather than silently ignore the knob elsewhere
             raise ValueError(
@@ -265,7 +265,7 @@ class NMFConfig:
             blockers = []
             if self.requires_irls():
                 blockers.append("non-MSE/robust losses")
-            if self.is_cv() or self.has_mask:
+            if self.is_cv() or self.has_mask or self.mask_zeros:
                 blockers.append("CV/masks")
             if self.projective or self.symmetric:
                 blockers.append("projective/symmetric variants")

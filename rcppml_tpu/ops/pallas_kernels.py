@@ -229,9 +229,15 @@ def cd_nnls_pallas_batched(Gb, B_res, X0, L1, cd_tol, *, nonneg: bool,
 
 
 def pallas_available() -> bool:
-    """Pallas TPU kernels only run on real TPU backends."""
+    """Pallas TPU kernels only run on real TPU devices.
+
+    Checked by device_kind (``"TPU v5 lite"`` etc.), not backend name:
+    the axon tunnel backend is named ``axon`` yet drives a TPU, while a
+    CUDA backend is non-cpu but must NOT receive pltpu kernels (the
+    callers fall back to the XLA implementations there)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        devs = jax.devices()
+        return bool(devs) and "TPU" in getattr(devs[0], "device_kind", "")
     except Exception:
         return False
 
@@ -383,8 +389,11 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
             Wn = mm(Gwinv, Bw)
             if nonneg:
                 Wn = jnp.maximum(Wn, 0.0)
-            ws = jnp.sum(Wn, axis=1, keepdims=True)
-            Wn = Wn / jnp.maximum(ws, 1e-15)
+            # clamp BEFORE use everywhere, exactly like the XLA twin —
+            # an all-clipped factor row must yield d=1e-15 on both
+            # implementations (round-4 review)
+            ws = jnp.maximum(jnp.sum(Wn, axis=1, keepdims=True), 1e-15)
+            Wn = Wn / ws
             w_out[:] = Wn
             d = ws[:, 0:1]                                     # (k, 1)
             d_out[:] = d

@@ -247,6 +247,11 @@ def fit_checkpointed(A, cfg: NMFConfig, path: str, *, every: int = 10,
     cfg.validate()
     if every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    if cfg.fused_vmem:
+        raise ValueError("fused_vmem runs the whole fit in one device "
+                         "program — incompatible with segmented "
+                         "checkpointing (drop the knob or the "
+                         "checkpoint_path)")
     if cfg.requires_irls():
         return _fit_irls_checkpointed(A, cfg, path, every=every,
                                       w_init=w_init, h_init=h_init, aux=aux,

@@ -163,3 +163,34 @@ def test_fused_vmem_size_gate_accounting():
     assert fused_vmem_bytes(1000, 2000, 10, False, 100) > b0
     assert fused_vmem_bytes(1000, 1000, 20, False, 100) > b0
     assert fused_vmem_bytes(1000, 1000, 10, True, 100) < b0
+
+
+def test_fused_vmem_rejects_checkpointing():
+    from rcppml_tpu.utils.checkpoint import fit_checkpointed
+    A = _planted()
+    with pytest.raises(ValueError, match="checkpoint"):
+        fit_checkpointed(A, rt.build_config(5, tol=0.0, fused_vmem=True,
+                                            sort_model=False), "/tmp/ck.npz")
+
+
+def test_fused_vmem_rejects_mask_zeros_direct_path():
+    # the public nmf() gateway catches mask='zeros' via the materialized
+    # mask array; the direct build_config path must reject it too
+    with pytest.raises(ValueError, match="CV/masks"):
+        rt.build_config(5, tol=0.0, fused_vmem=True,
+                        mask_zeros=True).validate()
+    with pytest.raises(ValueError, match="mask"):
+        rt.build_config(5, bf16_data=True, mask_zeros=True).validate()
+
+
+def test_fused_vmem_degenerate_rank_d_floor():
+    # k far above the data's effective rank: clipped-to-zero factor rows
+    # must produce d = 1e-15 (the clamp floor), never 0 or NaN
+    rs = np.random.RandomState(1)
+    u = np.abs(rs.normal(size=(80, 1))).astype(np.float32)
+    v = np.abs(rs.normal(size=(1, 60))).astype(np.float32)
+    A = (u @ v).astype(np.float32)
+    res = rt.nmf(A, 6, seed=3, maxit=60, tol=0.0, sort_model=False,
+                 fused_vmem=True)
+    assert np.all(res.d >= 1e-15) and np.all(np.isfinite(res.d))
+    assert np.all(np.isfinite(res.W)) and np.all(np.isfinite(res.H))
