@@ -140,6 +140,14 @@ _LAZY = {
     "tpu_info": (".utils.resources", None),
     "accelerator_available": (".utils.resources", "tpu_available"),
     "accelerator_info": (".utils.resources", "tpu_info"),
+    # literal-name compat aliases so reference scripts run unmodified
+    # (the last 4 NAMESPACE exports without same-name analogs; the
+    # accelerator here IS the backend, so "gpu" maps to the TPU path)
+    "gpu_available": (".utils.resources", "tpu_available"),
+    "gpu_info": (".utils.resources", "tpu_info"),
+    "st_read_gpu": (".io.spz", "st_read_device"),
+    "st_free_gpu": (".io.spz", "st_free_device"),
+    "st_free_device": (".io.spz", None),
     "set_verbosity": (".utils.logging", None),
     "get_verbosity": (".utils.logging", None),
     "LogLevel": (".utils.logging", None),

@@ -723,3 +723,17 @@ def st_read_device(path, *, transpose: bool = False, device=None):
     dense = np_.asarray(sp.todense() if hasattr(sp, "todense") else sp,
                         dtype=np_.float32)
     return jax.device_put(dense, device)
+
+
+def st_free_device(x) -> None:
+    """Release a device-resident array eagerly — the analog of the
+    reference's ``st_free_gpu`` (R/sp_gpu.R:118-126).  JAX frees device
+    buffers when the array is garbage-collected; this just makes the
+    release deterministic for HBM-tight pipelines.  No-op for anything
+    without a ``delete`` method (e.g. a numpy array)."""
+    delete = getattr(x, "delete", None)
+    if callable(delete):
+        try:
+            delete()
+        except RuntimeError:
+            pass                      # already deleted / donated — fine

@@ -63,3 +63,27 @@ def test_top_level_st_roundtrip(tmp_path):
     assert (B != A.astype(np.float32)).nnz == 0  # fp32 boundary cast
     info = rt.st_info(p)
     assert (info["m"], info["n"]) == (30, 20)
+
+
+def test_gpu_compat_aliases_complete_the_namespace():
+    """Every reference NAMESPACE export resolves under its literal name
+    (TPU-native analogs for the 4 GPU-specific ones) — a reference
+    script's imports run unmodified."""
+    import numpy as np
+    import scipy.sparse as sp
+    import rcppml_tpu as rt
+    assert rt.gpu_available() in (True, False)
+    info = rt.gpu_info()
+    assert isinstance(info, dict)
+    # st_read_gpu -> device-resident dense; st_free_gpu releases it
+    import tempfile, os
+    A = sp.random(30, 20, density=0.2, random_state=0, format="csc").astype(
+        np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.spz")
+        rt.st_write(A, p)
+        dev = rt.st_read_gpu(p)
+        np.testing.assert_allclose(np.asarray(dev), A.toarray(), atol=1e-6)
+        rt.st_free_gpu(dev)
+        rt.st_free_gpu(dev)                     # double-free is a no-op
+        rt.st_free_gpu(np.zeros(3))             # non-device input too
