@@ -209,7 +209,13 @@ def cholesky_clip_pallas(G, B, *, nonneg: bool = True,
 
 def _chol_factor_refs(k, G, s_scr, l_scr, lt_scr):
     """Factor G (k, k) value -> L into l_scr, L^T into lt_scr (ref-based,
-    statically unrolled; see _make_chol_kernel)."""
+    statically unrolled; see _make_chol_kernel).
+
+    RETAINED RECORD: this pair was the in-kernel exact-solve alternative
+    for the whole-fit ALS kernel — measured ~1.5 us of Mosaic overhead
+    per unrolled substitution step (~150 us/solve at k=50), which is why
+    the promoted kernel (ops/pallas_kernels.py fused_als_vmem) inverts
+    the Gram with Newton-Schulz MXU matmuls instead."""
     rows = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, k), 1)
     s_scr[:, :] = G
