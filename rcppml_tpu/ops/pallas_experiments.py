@@ -30,13 +30,17 @@ def weighted_gram_pallas(F, w, A_blk, *, tc: int = 8, mt: int = 512):
     """G_j = F diag(w_j) F^T and b_j = F (w_j * a_j) without materializing
     the (n, k, m) intermediate: accumulate over m-chunks in VMEM.
 
-    NOT DISPATCHED: measured 6.0 ms vs 1.75 ms for the bf16 blocked einsum
-    in ``linalg.weighted_gram_and_rhs`` (k=16, m=13714, n=512, v5e) — the
-    per-column (k, mt)x(mt, k) matmuls are too skinny to fill the MXU,
-    while the einsum batches all tc Grams into one big contraction.  Kept
-    as a correct (rel err ~1e-4 vs fp32) reference for k large enough to
-    tile the MXU, where the einsum's (n, k, m) bf16 intermediate becomes
-    the bottleneck.
+    NOT DISPATCHED — and the round-4 forced-fetch in-jit slope
+    re-measurement (BENCH_NOTES "fused_vmem promotion" explains the
+    method; the round-1 per-call numbers 6.0 vs 1.75 ms were both
+    tunnel-polluted) makes the verdict much starker: **0.117 ms** for
+    the production ``linalg.weighted_gram_and_rhs`` (KR-product one-big-
+    matmul path) vs **4.57 ms** for this kernel (k=16, m=13714, bc=512,
+    v5e).  The per-column (k, mt)x(mt, k) matmuls are too skinny to fill
+    the MXU, while the einsum batches all Grams into one contraction.
+    Kept as a correct (rel err ~1e-4 vs fp32) reference for k large
+    enough to tile the MXU, where the (n, k, m) bf16 intermediate
+    becomes the bottleneck.
 
     Layout note: the column chunk (tc) must live on the SUBLANE axis —
     Pallas TPU requires lane-dim block sizes to be multiples of 128 (or the
