@@ -116,12 +116,19 @@ def weighted_gram_pallas(F, w, A_blk, *, tc: int = 8, mt: int = 512):
 def _make_chol_kernel(k: int, bc: int, nonneg: bool, upper_bound: float):
     """Statically-unrolled LL^T factorization + two substitutions.
 
-    XLA's general triangular_solve costs ~300 us per ALS solve at k=50,
-    n=610 (latency-bound, sequential over k with full-array ops); here the
-    whole solve is ~3k short VPU steps with G pinned in VMEM.  All slices
-    are static 2-D (Pallas TPU rejects scalar/1-D VMEM ops); the
-    factorization stores L AND L^T so both substitutions are
-    broadcast-multiply + axis-0 reductions.
+    MOTIVATING PREMISE OVERTURNED (round-4 forced-fetch in-jit slope
+    re-measurement): XLA's cholesky_clip_batch solve actually runs
+    **8.8 us** per ALS solve at k=50, n=610 — the "~300 us
+    triangular_solve" reading that motivated this kernel was per-call
+    tunnel latency, not device time.  This kernel measures **55.4 us**
+    on the same shape (its ~3k short VPU steps each carry ~1.5 us of
+    Mosaic issue overhead), so the production XLA dispatch is right by
+    6x.  Kept as the measured record; the same overhead figure is why
+    the promoted whole-fit kernel (pallas_kernels.fused_als_vmem)
+    inverts its Gram with Newton-Schulz matmuls instead of in-kernel
+    substitution.  All slices are static 2-D (Pallas TPU rejects
+    scalar/1-D VMEM ops); the factorization stores L AND L^T so both
+    substitutions are broadcast-multiply + axis-0 reductions.
     """
     def kernel(g_ref, b_ref, out_ref, s_scr, l_scr, lt_scr, y_scr):
         rows = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
