@@ -24,6 +24,7 @@ def _planted(m=160, n=120, k=5, noise=0.0, seed=0):
     return np.maximum(A, 0.0).astype(np.float32)
 
 
+@pytest.mark.tpu_ok
 def test_fused_vmem_recovers_planted_rank():
     A = _planted()
     res = rt.nmf(A, 5, seed=7, maxit=200, tol=0.0, sort_model=False,
@@ -33,6 +34,7 @@ def test_fused_vmem_recovers_planted_rank():
     assert np.isfinite(rel) and rel < 0.05, rel
 
 
+@pytest.mark.tpu_ok
 def test_fused_vmem_matches_default_path_at_convergence():
     # different solver (Newton-Schulz inverse vs Cholesky), same ALS fixed
     # point: converged losses agree to ~1e-2 relative.  noise=0.3 keeps
@@ -73,6 +75,7 @@ def test_fused_vmem_deterministic():
     np.testing.assert_array_equal(r1.H, r2.H)
 
 
+@pytest.mark.tpu_ok
 def test_fused_vmem_bf16_combo_runs():
     A = _planted(noise=0.05, seed=2)
     res = rt.nmf(A, 5, seed=7, maxit=200, tol=0.0, sort_model=False,
@@ -183,6 +186,7 @@ def test_fused_vmem_rejects_mask_zeros_direct_path():
         rt.build_config(5, bf16_data=True, mask_zeros=True).validate()
 
 
+@pytest.mark.tpu_ok
 def test_fused_vmem_degenerate_rank_d_floor():
     # k far above the data's effective rank: clipped-to-zero factor rows
     # must produce d = 1e-15 (the clamp floor), never 0 or NaN
