@@ -167,6 +167,14 @@ def main():
         _, el = timed(nmf_fit, Ah, cfg, device_A=Ah)
         rec("nmf_mse_k64_hca10k_shape", el, ref_cpu=29.23, ref_gpu=0.88,
             iters=20)
+        # 13. CV NMF k=64 at the same 10K-cell shape (the largest CV row
+        # in the published table — gpu-acceleration.Rmd:105-133)
+        cfg = rt.build_config(64, seed=42, maxit=20, tol=0.0,
+                              test_fraction=0.1, cv_seed=1,
+                              sort_model=False, cv_patience=10**6)
+        _, el = timed(fit_cv_or_masked, Ah, cfg)
+        rec("nmf_cv_k64_hca10k_shape", el, ref_cpu=75.31, ref_gpu=2.39,
+            iters=20)
 
     print(json.dumps({"summary": results}), flush=True)
 
