@@ -1018,6 +1018,14 @@ std::vector<uint8_t> encode(uint32_t m, uint32_t n, const int64_t* p,
             uint32_t prev = 0, cur = 0;
             for (int64_t k = p[j]; k < p[j + 1]; ++k) {
                 uint32_t row = static_cast<uint32_t>(i[k]);
+                // same strict-monotonic guard as the v2 encoder: a
+                // duplicate/unsorted row wraps the u32 gap and writes a
+                // CRC-valid file that silently misdecodes (round-4 review)
+                if (row < prev || row >= m)
+                    throw std::runtime_error(
+                        "unsorted, duplicate, or out-of-range row indices "
+                        "in CSC input (call sum_duplicates/sort_indices "
+                        "first)");
                 uint32_t gap = row - prev;
                 prev = row + 1;
                 if (delta_on) {
@@ -1317,7 +1325,6 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
             uint32_t nchunks = (ncols + chunk_cols - 1) / chunk_cols;
             if (ncols == 0) nchunks = 0;
             descs.resize(nchunks);
-            (void)nrows;
             // chunks are independent: encode payloads in a work-stealing
             // pool (same pattern as spz_decode_mt), then one serial pass
             // concatenates streams and assigns offsets
@@ -1345,6 +1352,16 @@ int64_t spz_encode(uint32_t m, uint32_t n, const int64_t* p, const int32_t* i,
                         for (int64_t k = sp[d.col_start + j];
                              k < sp[d.col_start + j + 1]; ++k) {
                             uint32_t row = static_cast<uint32_t>(si[k]);
+                            // gap coding requires strictly increasing
+                            // rows per column; a duplicate/unsorted row
+                            // would wrap the u32 gap and encode a
+                            // CRC-valid file that misdecodes (round-4
+                            // review) — refuse loudly instead
+                            if (row < prev || row >= nrows)
+                                throw std::runtime_error(
+                                    "unsorted, duplicate, or out-of-range "
+                                    "row indices in CSC input (call "
+                                    "sum_duplicates/sort_indices first)");
                             gaps[gi++] = row - prev;
                             prev = row + 1;
                         }

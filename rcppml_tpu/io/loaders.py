@@ -269,13 +269,15 @@ class SpzLoader(DataLoader):
                            np.diff(p).astype(np.int32), x)
 
     def trace_sq(self) -> float:
-        """sum(A^2) straight off the value streams — no densification."""
+        """sum(A^2) straight off the value streams — no densification
+        and no per-chunk scipy construction (chunk_arrays; csc_matrix
+        validation is GIL-held pure-Python work — round-4 review)."""
         if self.version != 2:
             return super().trace_sq()
         total = 0.0
         for c in range(self.num_chunks(False)):
-            _, sub = self.reader.chunk(c, False)
-            total += float((np.asarray(sub.data, np.float64) ** 2).sum())
+            x = self.reader.chunk_arrays(c, False)[3]
+            total += float((x.astype(np.float64) ** 2).sum())
         return total
 
 

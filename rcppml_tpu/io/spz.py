@@ -88,6 +88,18 @@ def spz_info_bytes(data: bytes) -> dict:
             "has_transpose": bool(ht.value), "version": ver}
 
 
+def _canonical_csc(mat):
+    """CSC with sorted, DEDUPLICATED indices — gap coding requires
+    strictly increasing rows per column (a duplicate entry would wrap
+    the u32 gap; the native encoder also guards this).  Never mutates
+    the caller's matrix: tocsc() returns the same object when the input
+    is already CSC, so canonicalization works on a copy."""
+    mat = mat.tocsc()
+    if not mat.has_canonical_format:
+        mat = mat.copy()
+        mat.sum_duplicates()          # sorts indices too
+    return mat
+
 def compress_to_spz_v1_bytes(mat, *, use_delta: bool = True,
                              use_vpred: bool = True) -> bytes:
     """Encode into the LEGACY v1 whole-matrix format (reference
@@ -98,8 +110,7 @@ def compress_to_spz_v1_bytes(mat, *, use_delta: bool = True,
     import scipy.sparse as sp
     if not sp.issparse(mat):
         mat = sp.csc_matrix(np.asarray(mat))
-    mat = mat.tocsc()
-    mat.sort_indices()
+    mat = _canonical_csc(mat)
     lib = _load_lib()
     m, n = mat.shape
     p = np.asarray(mat.indptr, dtype=np.int64)
@@ -154,8 +165,7 @@ def compress_to_spz_bytes(mat, *, value_type: str = "auto",
     import scipy.sparse as sp
     if not sp.issparse(mat):
         mat = sp.csc_matrix(np.asarray(mat))
-    mat = mat.tocsc()
-    mat.sort_indices()
+    mat = _canonical_csc(mat)
     x = np.asarray(mat.data, dtype=np.float32)
     if value_type == "auto":
         # reference auto classification (header_v2.hpp:535-550): smallest

@@ -263,10 +263,14 @@ def _ns_als_xla(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
 
     trata = jnp.sum(A * A, dtype=f32)
     A_mm = A.astype(jnp.bfloat16) if a_bf16 else A
+    # ridge BEFORE seeding, exactly like the kernel (same algorithm
+    # digit-for-digit is the oracle contract — round-4 review)
     G0 = mm(W_T0, W_T0.T)
-    gh0 = ns_refine(G0 + ridge_of(G0) * eye, seed_inverse(G0))
+    G0 = G0 + ridge_of(G0) * eye
+    gh0 = ns_refine(G0, seed_inverse(G0))
     Gw0 = mm(H0, H0.T)
-    gw0 = ns_refine(Gw0 + ridge_of(Gw0) * eye, seed_inverse(Gw0))
+    Gw0 = Gw0 + ridge_of(Gw0) * eye
+    gw0 = ns_refine(Gw0, seed_inverse(Gw0))
 
     def body(it, carry):
         W, H, d, gh, gw, hist = carry

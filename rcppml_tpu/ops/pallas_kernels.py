@@ -415,13 +415,19 @@ _FUSED_VMEM_LIMIT = 100 * 1024 * 1024
 
 def fused_vmem_bytes(m: int, n: int, k: int, a_bf16: bool,
                      maxit: int) -> int:
-    """Resident VMEM bytes of the whole-fit kernel: padded A + both
-    factor copies (in + out) + d + loss history + 2 k x k scratch."""
+    """Peak VMEM bytes of the whole-fit kernel: resident refs (padded A
+    + both factor copies + d + loss history + 2 k x k scratch) PLUS the
+    iteration body's live value temporaries — B/Bw and the clipped
+    factor values (~2 more k-by-dim fp32 arrays) and the bounded A span
+    loads (double-buffered _chunk_spans budget).  Counting only the
+    resident refs let short-wide shapes pass the gate and then fail
+    Mosaic allocation (round-4 review)."""
     mp = -(-m // _LANE) * _LANE
     np_ = -(-n // _LANE) * _LANE
     a_bytes = mp * np_ * (2 if a_bf16 else 4)
     factors = 2 * (k * mp + k * np_) * 4 + k * 4
-    return a_bytes + factors + maxit * 4 + 2 * k * k * 4
+    temporaries = 2 * (k * mp + k * np_) * 4 + 2 * 8 * 1024 * 1024
+    return (a_bytes + factors + temporaries + maxit * 4 + 2 * k * k * 4)
 
 
 def fused_vmem_fits(m: int, n: int, k: int, a_bf16: bool,

@@ -150,15 +150,18 @@ def test_huge_declared_sizes_v1():
     """v1 header lies: section sizes that overflow the buffer, nnz larger
     than the column counts support, zero-density models."""
     base = bytearray(compress_to_spz_v1_bytes(_matrix(seed=10)))
-    # v1 layout: nnz u64 @12, model_size u32 @40, struct_size @44,
-    # values_size @48, col_counts_size @52, struct_k_size @56, crc @60
+    # v1 layout (format/header.hpp; pinned by test_spz_v1_quant8.py
+    # V1_HEADER_FMT): nnz u64 @16, model_size u32 @42, struct_size @46,
+    # values_size @50, col_counts_size @54, struct_k_size @58, crc @62.
+    # (round-4 review: the original offsets 12/40/... landed in n and
+    # the prng seed, so these guards were never actually exercised)
     for off, fmt, val in [
-        (12, "<Q", 2 ** 63 - 1),
-        (40, "<I", 2 ** 32 - 1),
-        (44, "<I", 2 ** 32 - 1),
-        (48, "<I", 2 ** 32 - 1),
-        (52, "<I", 2 ** 32 - 1),
-        (56, "<I", 2 ** 32 - 1),
+        (16, "<Q", 2 ** 63 - 1),
+        (42, "<I", 2 ** 32 - 1),
+        (46, "<I", 2 ** 32 - 1),
+        (50, "<I", 2 ** 32 - 1),
+        (54, "<I", 2 ** 32 - 1),
+        (58, "<I", 2 ** 32 - 1),
     ]:
         buf = bytearray(base)
         struct.pack_into(fmt, buf, off, val)

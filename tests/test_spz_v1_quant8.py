@@ -237,3 +237,30 @@ def test_v1_truncated_overflow_section_is_an_error():
                      zlib.crc32(bytes(buf[72:])) & 0xFFFFFFFF)
     with pytest.raises(ValueError):
         decompress_spz_bytes(bytes(buf))
+
+
+def test_duplicate_entries_are_canonicalized_not_miscoded():
+    # scipy allows duplicate (row, col) entries; gap coding would wrap
+    # the u32 gap and write a CRC-valid file that misdecodes.  The
+    # Python layer canonicalizes (summing duplicates, like scipy's own
+    # semantics); the native encoders refuse non-canonical input.
+    import ctypes
+    from rcppml_tpu.io.spz import (_load_lib, compress_to_spz_bytes,
+                                   decompress_spz_bytes)
+    indptr = np.array([0, 3, 4], dtype=np.int64)
+    indices = np.array([1, 1, 4, 0], dtype=np.int32)   # dup row 1 in col 0
+    data = np.array([2.0, 3.0, 1.0, 5.0], dtype=np.float32)
+    A = scipy_sparse.csc_matrix((data, indices, indptr), shape=(6, 2))
+    for enc in (compress_to_spz_v1_bytes, compress_to_spz_bytes):
+        buf = enc(A)
+        B = decompress_spz_bytes(buf)
+        np.testing.assert_allclose(B.toarray(), A.toarray())  # summed dups
+    # the original matrix is not mutated by encoding
+    assert A.indptr[1] == 3 and A.data[0] == 2.0
+    # the native encoder itself refuses raw non-canonical arrays
+    lib = _load_lib()
+    pp = indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    ip = indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    xp = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.spz_encode_v1(6, 2, pp, ip, xp, 1, 1, None, 0)
+    assert rc < 0 and b"duplicate" in lib.spz_last_error()

@@ -115,18 +115,15 @@ def time_device_ops(loader, k: int):
     m, n = loader.shape
     cfg = rt.build_config(k, seed=1, maxit=1, sort_model=False)
     out = {}
+    from rcppml_tpu.models.nmf_chunked import _compact_sparse
     for transposed, rows_dim, fdim in ((False, m, m), (True, n, n)):
-        ch = loader.chunk_coo(0, transposed)
-        bucket = 1 << int(ch.nnz - 1).bit_length()
-        pad = bucket - ch.nnz
-        rows_a = np.pad(ch.rows, (0, pad))
-        if rows_dim < (1 << 16):
-            rows_a = rows_a.astype(np.uint16)
-        counts_a = np.append(ch.counts, np.int32(pad))
-        vals_a = np.pad(ch.vals, (0, pad)).astype(np.uint8)
-        d_rows = jax.device_put(rows_a)
-        d_counts = jax.device_put(counts_a)
-        d_vals = jax.device_put(vals_a)
+        # the REAL engine's wire format (uint16 values for the >255 tail,
+        # 4096 bucket floor) — not a re-implementation that could diverge
+        # from what the measured sweep actually ships (round-4 review)
+        ch = _compact_sparse(loader.chunk_coo(0, transposed), rows_dim)
+        d_rows = jax.device_put(ch.rows)
+        d_counts = jax.device_put(ch.counts)
+        d_vals = jax.device_put(ch.vals)
         F = jax.device_put(np.abs(np.random.RandomState(0)
                                   .rand(k, fdim)).astype(np.float32))
         X0 = jnp.zeros((k, ch.num_cols), np.float32)
