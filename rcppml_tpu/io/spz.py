@@ -100,6 +100,7 @@ def _canonical_csc(mat):
         mat.sum_duplicates()          # sorts indices too
     return mat
 
+
 def compress_to_spz_v1_bytes(mat, *, use_delta: bool = True,
                              use_vpred: bool = True) -> bytes:
     """Encode into the LEGACY v1 whole-matrix format (reference
