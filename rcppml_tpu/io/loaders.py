@@ -285,21 +285,29 @@ class CachingLoader(DataLoader):
     """In-RAM decoded-chunk cache wrapper (io/caching_loader.hpp:40)."""
 
     def __init__(self, inner: DataLoader, max_items: int = 64):
+        import threading
         self.inner = inner
         self.shape = inner.shape
         self.max_items = max_items
         self._cache = {}
+        # the Prefetcher runs up to depth concurrent workers; check/evict/
+        # insert must be atomic or two workers can race the same eviction
+        self._lock = threading.Lock()
 
     def num_chunks(self, transpose: bool = False) -> int:
         return self.inner.num_chunks(transpose)
 
     def chunk(self, idx: int, transpose: bool = False) -> Chunk:
         key = (idx, transpose)
-        if key not in self._cache:
-            if len(self._cache) >= self.max_items:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = self.inner.chunk(idx, transpose)
-        return self._cache[key]
+        with self._lock:
+            hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        val = self.inner.chunk(idx, transpose)
+        with self._lock:
+            if key not in self._cache and len(self._cache) >= self.max_items:
+                self._cache.pop(next(iter(self._cache)), None)
+            return self._cache.setdefault(key, val)
 
 
 class Prefetcher:

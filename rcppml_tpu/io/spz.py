@@ -143,6 +143,18 @@ def decompress_spz_bytes(data: bytes, transpose: bool = False):
         if not info["has_transpose"]:
             raise ValueError("no transpose stream in this .spz")
         m, n = n, m
+    # Trust boundary: header dims are untrusted until the payload decodes.
+    # Bound output allocations against the buffer size so a crafted tiny
+    # header (v1 allows nnz/n up to 2^32-1) cannot force multi-GB host
+    # allocations.  rANS at PROB_BITS=14 cannot sustain anywhere near
+    # 64 Ki symbols per payload byte across the gap+value streams, so the
+    # generous 65536x multiple never rejects a legitimate file.
+    out_bytes = (int(n) + 1) * 8 + int(nnz) * 8
+    if out_bytes > max(1 << 24, 65536 * len(data)):
+        raise ValueError(
+            f"spz header declares n={n}, nnz={nnz} "
+            f"({out_bytes / 1e6:.0f} MB decoded) from a {len(data)}-byte "
+            "buffer — implausible, refusing to allocate")
     p = np.zeros(n + 1, dtype=np.int64)
     i = np.zeros(nnz, dtype=np.int32)
     x = np.zeros(nnz, dtype=np.float32)
