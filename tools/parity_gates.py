@@ -181,27 +181,40 @@ def gate2():
     test_ok = bool(hist_ok and th.min() <= th[0]
                    and sweep_ok and planted_ok)
 
-    # CPU anchor derivation (documented; reference CPU can't run here):
-    # the reference PUBLISHED CV NMF k=16 on the pbmc3k 8000x500 subset at
-    # 4.04 s / 20 iters = 202 ms/iter on the 56-thread Xeon
-    # (vignettes/gpu-acceleration.Rmd:105-133).  Scaling that measured CV
-    # throughput by the per-iteration work model of the per-column-Gram CV
-    # solve (sum over columns of T_holdout*k^2 + CD sweeps ~ maxit*k^2):
-    #   pbmc subset : 500*(800*256+100*256)  + 8000*(50*256+25.6k) ~ 0.32 GF
-    #   movielens 50: 610*(387*2500+250k) + 3867*(61*2500+250k) ~ 2.3 GF
-    # -> ~7.3x the work -> ~1.47 s/iter -> ~0.68 iters/s CPU anchor.
-    cpu_anchor = 0.68
+    # CPU anchor: MEASURED via the reference-execution oracle
+    # (tools/measure_cpu_anchor.py).  The published 202 ms/iter CV rate
+    # (pbmc subset k=16, 56T Xeon, gpu-acceleration.Rmd:105-133) is
+    # cross-scaled to the gate-2 workload by the runtime ratio of the two
+    # workloads under reference semantics measured on THIS host (the
+    # absolute is published; the workload ratio is measured with real
+    # reference-semantics code, not a FLOP model).  Falls back to the
+    # r4 FLOP-model value only if the artifact is missing.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    anchor_path = os.path.join(repo, "CPU_ANCHOR.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anc = json.load(f)
+        cpu_anchor = anc["movielens_cv_anchor_iters_per_sec"]
+        anchor_desc = ("MEASURED: oracle CV runtime ratio "
+                       f"(ml/pbmc = {anc['host_movielens_cv_s_per_iter']}"
+                       f"/{round(anc['host_pbmc_cv_s'] / 20, 4)} s/iter on "
+                       "this host) x published 202 ms/iter -> "
+                       f"{cpu_anchor} iters/s; bar = 5x. ")
+    else:
+        cpu_anchor = 0.68
+        anchor_desc = ("FLOP-model fallback 0.68 iters/s (run "
+                       "tools/measure_cpu_anchor.py); bar = 5x. ")
     bar = 5.0 * cpu_anchor
     return _emit(2, "movielens_k50_cv_l1", ips >= bar and test_ok,
                  als_iters_per_sec=round(ips, 1),
                  required=round(bar, 2),
                  vs_cpu_anchor=round(ips / cpu_anchor, 1),
+                 anchor_measured=os.path.exists(anchor_path),
                  solver="cd", test_loss_min=round(float(th.min()), 5),
                  best_iter_by_k=best_iters,
                  planted_best_iter_by_k=planted,
                  test_behavior_ok=test_ok,
-                 anchor="published CPU CV 202 ms/iter (pbmc subset k=16) "
-                        "x7.3 FLOP scaling -> 0.68 iters/s; bar = 5x. "
+                 anchor=anchor_desc +
                         "best_iter: k-sweep shows capacity-driven onset "
                         "(k=50 overfits from iter 0 on 610 users); "
                         "planted-rank control at the same scale keeps "
@@ -380,7 +393,21 @@ def gate5():
         search = rt.nmf(A, "auto", k_init=2, max_k=20,
                         cv_seed=cv_seed, seed=42, maxit=100, refit=False)
         ks.append(int(search["k_optimal"]))
-    rank_ok = k_sweep == 5 and ks[0] == ks[1]
+    # reference-execution oracle: the ACTUAL reference exponential+golden
+    # search (native/oracle.cpp, rank_cv.hpp port) on the same data — the
+    # k='auto' decision must be IDENTICAL, not merely seed-stable
+    # (r4 verdict weak #4)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import oracle as ref_oracle
+    oracle_ks = []
+    for cv_seed in (1, 2):
+        o = ref_oracle.auto_rank(np.asarray(A, np.float64), k_init=2,
+                                 max_k=20, bracket_tol=2, seed=42,
+                                 cv_seed=cv_seed, test_fraction=0.1,
+                                 max_iter=100, tol=1e-4, cv_patience=5)
+        oracle_ks.append(int(o["k_optimal"]))
+    rank_ok = (k_sweep == 5 and ks[0] == ks[1] and ks == oracle_ks)
 
     # --- multi-modal 2-layer graph: two modalities sharing H, second
     # layer chained on the first (the fit must converge, finite losses) ---
@@ -419,11 +446,14 @@ def gate5():
                  rank_ok and graph_ok and stream_ok,
                  k_sweep_decision=int(k_sweep), k_truth=5,
                  k_auto_decisions=ks,
+                 k_auto_oracle_decisions=oracle_ks,
                  graph_layers_finite=bool(graph_ok),
                  sharded_streaming_matches=bool(stream_ok),
                  anchor="documented k-sweep argmin recipe recovers the "
                         "planted rank (3 cv-seed replicates); exponential "
-                        "k='auto' decision seed-stable; spz-streamed mesh "
+                        "k='auto' decision IDENTICAL to the reference-"
+                        "execution oracle's (rank_cv.hpp port run on the "
+                        "same data) for both cv seeds; spz-streamed mesh "
                         "fit == in-memory sharded fit (8-dev CPU mesh)")
 
 
