@@ -7,6 +7,8 @@ import pytest
 from rcppml_tpu.models.clustering import (align_factors, bipartite_match,
                                           bipartition, consensus_nmf, dclust)
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 def _two_blob_matrix(seed=0, m=30, n1=40, n2=50):
     rs = np.random.RandomState(seed)

@@ -12,6 +12,8 @@ from rcppml_tpu.models.nmf_cv import build_speckled_mask, cv_sweep
 from rcppml_tpu.models.rank_cv import find_optimal_rank
 from rcppml_tpu.utils.simulate import simulate_nmf
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def sim():

@@ -11,6 +11,8 @@ import scipy.sparse as sp
 
 import rcppml_tpu as rt
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 def _pos_data(m=50, n=35, seed=42):
     # test_cv_distributions.R:7-12

@@ -8,6 +8,8 @@ from rcppml_tpu.models.graph import (Add, Concat, Condition, FactorNet, Input,
                                      factor_input, factor_net, fit, nmf_layer)
 from rcppml_tpu.utils.simulate import simulate_nmf
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def modalities():
@@ -588,6 +590,7 @@ def test_per_layer_losses_differ(modalities):
     assert np.isfinite(res["L1"].loss) and np.isfinite(res["L2"].loss)
 
 
+@pytest.mark.skipif(bool(__import__("os").environ.get("RCPPML_TPU_TESTS")), reason="needs the 8-virtual-device CPU mesh")
 def test_graph_fit_on_mesh_matches_single(modalities):
     """Fused whole-graph outer ALS under GSPMD on an 8-virtual-device
     (rows, cols) mesh: uneven dims are zero-padded (exact for the
@@ -613,6 +616,7 @@ def test_graph_fit_on_mesh_matches_single(modalities):
     assert r_mesh["J"].W_blocks["rna"].shape == (40, 4)
 
 
+@pytest.mark.skipif(bool(__import__("os").environ.get("RCPPML_TPU_TESTS")), reason="needs the 8-virtual-device CPU mesh")
 def test_graph_mesh_rejects_host_loop_layers(modalities):
     """mesh= on a graph that must run the host loop (IRLS loss) raises
     instead of silently single-deviceing (the round-2 silent-drop class)."""

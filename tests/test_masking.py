@@ -9,6 +9,8 @@ import scipy.sparse as sp
 
 import rcppml_tpu as rt
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 def _planted(m=60, n=40, k=3, seed=42):
     rs = np.random.RandomState(seed)

@@ -6,6 +6,8 @@ import pytest
 import rcppml_tpu as rt
 from rcppml_tpu.models.project import evaluate, mse, nnls, predict
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 def test_nnls_exact_recovery():
     rs = np.random.RandomState(0)

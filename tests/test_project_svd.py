@@ -8,6 +8,8 @@ import pytest
 
 import rcppml_tpu as rt
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def iris_like():

@@ -7,6 +7,8 @@ import pytest
 import rcppml_tpu as rt
 from rcppml_tpu.utils.simulate import simulate_nmf
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def sim():

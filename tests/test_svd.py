@@ -11,6 +11,8 @@ from rcppml_tpu.models.svd import (deflation_svd, irlba_svd, krylov_svd,
 from rcppml_tpu.config import SVDConfig, FactorConfig
 import rcppml_tpu as rt
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def lowrank():

@@ -9,6 +9,8 @@ import scipy.sparse as sp
 
 import rcppml_tpu as rt
 
+pytestmark = pytest.mark.tpu_ok  # numerics-critical: runs on the real chip
+
 
 @pytest.fixture(scope="module")
 def lowrank():

@@ -175,7 +175,10 @@ def run_fit(path: str, k: int, sweeps: int):
     cfg = rt.build_config(k, seed=1, maxit=sweeps, tol=0.0,
                           sort_model=False)
     t0 = time.time()
-    res = nmf_chunked(loader, cfg, panel_cache=False,
+    # panel_cache=None: the auto-gate picks the wire-resident compact
+    # cache when it fits HBM (sweep 1 streams + pins ~5 GB of wire
+    # arrays; sweeps 2+ run with zero host decode / link upload)
+    res = nmf_chunked(loader, cfg, panel_cache=None,
                       on_iteration=lambda *a: stamps.append(time.time()))
     total = time.time() - t0
     sweep_walls = np.diff([t0] + stamps) if stamps else [total]
