@@ -40,6 +40,15 @@ def available_host_bytes() -> int:
     return 0
 
 
+# Known accelerator HBM sizes (GB) by device_kind substring — remote PJRT
+# clients (e.g. tunneled TPUs) often return no memory_stats, but the chip
+# is identified; a known kind beats "unknown".  Values are per-chip.
+_HBM_BY_KIND = (
+    ("v5 lite", 16), ("v5e", 16), ("v6 lite", 32), ("v6e", 32),
+    ("v5p", 95), ("v4", 32), ("v3", 16), ("v2", 8),
+)
+
+
 def device_hbm_bytes() -> int:
     """Per-device accelerator memory in bytes; 0 = unknown."""
     try:
@@ -49,7 +58,14 @@ def device_hbm_bytes() -> int:
         if stats:
             limit = stats.get("bytes_limit") or stats.get(
                 "bytes_reservable_limit") or 0
-            return int(limit)
+            if limit:
+                return int(limit)
+        kind = getattr(dev, "device_kind", "") or ""
+        kl = kind.lower()
+        if "tpu" in kl or "v5" in kl or "v6" in kl:
+            for sub, gb in _HBM_BY_KIND:
+                if sub in kl:
+                    return gb * 1024 ** 3
     except Exception:
         pass
     return 0
