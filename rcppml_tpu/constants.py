@@ -8,6 +8,14 @@ reference semantics.
 
 # Coordinate-descent NNLS (constants.hpp:64-76)
 CD_TOL = 1e-8          # per-sweep mean relative-change early-exit threshold
+# fp32 floor for the per-sweep exit: the reference's 1e-8 was chosen for
+# double-precision CD (constants.hpp:64); in fp32 the residual-tracked
+# coordinate changes bottom out at ~1e-7 relative, so 1e-8 NEVER fires and
+# every solve burns the full cd_maxit sweeps (measured: the entire IRLS
+# device-loop gap, BENCH_NOTES r5).  Clamping to ~4 ulp keeps the
+# criterion's meaning — "stop when changes reach numerical noise" — at
+# this precision.
+CD_TOL_F32_FLOOR = 5e-6
 CD_MAXIT = 100         # max CD sweeps per solve
 CD_ABS_TOL = 1e-15     # denominator guard in relative-change accumulation
 

@@ -127,6 +127,48 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
 
     G_base = linalg.gram(F) if sparse_zeros else None
 
+    # TPU field dtype: every (m, bc) intermediate the inner loop touches
+    # (mu, w, w*A) lives in bf16 — the loop is HBM-bound (measured
+    # 1.21 ms/inner-iter fp32 on pbmc3k k=16 == the byte model), and the
+    # weights are preconditioners: bf16's ~0.4% relative error moves the
+    # weighted-LS solution far less than irls_tol.  Gram/RHS accumulation
+    # stays fp32 on the MXU (weighted_gram_and_rhs contract), as do X,
+    # the CD solve, and the convergence test.  CPU keeps fp32 throughout.
+    on_tpu = jax.default_backend() != "cpu"
+    fdt = jnp.bfloat16 if on_tpu else dtype
+    F_f = F.astype(fdt)
+
+    # fused Pallas path: weight + weighted-Gram + RHS in one kernel — the
+    # (m, bc) mu/w/w*A fields never leave VMEM (weight math fp32 there).
+    # Covers the theta-free families, NB (theta operand), and GP (rides
+    # KL); robust blending and CV extra weights stay on the XLA path.
+    _power = {Loss.GAMMA: 2.0, Loss.INVGAUSS: 3.0,
+              Loss.TWEEDIE: float(cfg.tweedie_power)}
+    if active_loss == Loss.KL:
+        _fused_kind = "kl"
+    elif active_loss == Loss.NB:
+        _fused_kind = "nb"
+    elif active_loss in _power:
+        _fused_kind = "power"
+    else:
+        _fused_kind = None
+    # The hand-fused Pallas weighted-Gram kernel is OPT-IN
+    # (RCPPML_FUSED_WGRAM=1): measured on v5e pbmc3k k=16 it runs
+    # 0.24 ms/call vs 0.065 for the XLA path — XLA's own fusion of the
+    # bf16 weight pass into the KR matmul beats the hand-tiled kernel
+    # (297 small grid steps pay more overhead than the saved HBM trip).
+    # Kept as a measured experiment + for future shapes where the field
+    # traffic dominates grid overhead (see BENCH_NOTES r5 IRLS section).
+    import os as _os
+    from ..ops.solvers import _pallas_ok
+    use_fused_wgram = (_fused_kind is not None and on_tpu
+                       and use_kr and _pallas_ok(k)
+                       and bool(_os.environ.get("RCPPML_FUSED_WGRAM"))
+                       and cfg.robust_delta == 0 and extra_w is None
+                       and not (_fused_kind == "nb"
+                                and theta_row is None
+                                and theta_col is None))
+
     def solve_block(blk_idx):
         A_blk = lax.dynamic_slice_in_dim(A_pad, blk_idx * bc, bc, axis=1)
         if th_col_pad is not None:
@@ -136,24 +178,49 @@ def irls_solve_batch(A_data, F, cfg: NMFConfig, active_loss: Loss,
             theta = jnp.broadcast_to(theta_row[:, None], (m, bc))
         else:
             theta = jnp.zeros((m, bc), dtype)
+        theta_f = theta.astype(fdt)
 
         nz = A_blk != 0
+        A_f = A_blk.astype(fdt)          # hoisted: one cast per block
         # loop-invariant: slice the extra-weight panel ONCE per block —
         # XLA does not reliably hoist dynamic slices out of while loops
         w_extra = (lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
-                   if W_pad is not None else None)
+                   .astype(fdt) if W_pad is not None else None)
+
+        wg_ops = None
+        if use_fused_wgram:
+            from ..ops.pallas_kernels import wgram_pad_operands
+            th_row_blk = theta_row if (_fused_kind == "nb"
+                                       and theta_row is not None) else None
+            th_col_blk = (lax.dynamic_slice_in_dim(th_col_pad,
+                                                   blk_idx * bc, bc)
+                          if (_fused_kind == "nb"
+                              and th_col_pad is not None) else None)
+            # loop-invariant operands tile-aligned ONCE per block; only
+            # the tiny (k, bc) X is re-padded inside the loop
+            wg_ops = wgram_pad_operands(F, KR, A_f, th_row_blk, th_col_blk)
 
         def irls_iter(carry):
             X, active, itr = carry
-            mu = jnp.dot(F.T, X, precision=PREC)                    # (m, bc)
-            w = losses.compute_irls_weight(A_blk, mu, wcfg, theta)
-            if sparse_zeros:
-                w = jnp.where(nz, w, 1.0)
-            if w_extra is not None:
-                w = w * w_extra
-            # per-column weighted Gram + RHS (bf16-in/f32-accum on TPU;
-            # KR precomputed once per solve, see linalg.kr_product)
-            Gb, b = linalg.weighted_gram_and_rhs(F, w, A_blk, KR=KR)
+            if use_fused_wgram:
+                from ..ops.pallas_kernels import weighted_gram_rhs_padded
+                Gb, b = weighted_gram_rhs_padded(
+                    wg_ops, X, loss_kind=_fused_kind,
+                    power=_power.get(active_loss, 0.0),
+                    sparse_zeros=sparse_zeros,
+                    w_cap=losses._W_CAP)
+                Gb = Gb[:bc]
+            else:
+                mu = jnp.dot(F_f.T, X.astype(fdt), precision=PREC,
+                             preferred_element_type=fdt)            # (m, bc)
+                w = losses.compute_irls_weight(A_f, mu, wcfg, theta_f)
+                if sparse_zeros:
+                    w = jnp.where(nz, w, jnp.asarray(1.0, fdt))
+                if w_extra is not None:
+                    w = w * w_extra
+                # per-column weighted Gram + RHS (bf16-in/f32-accum on
+                # TPU; KR precomputed once per solve, linalg.kr_product).
+                Gb, b = linalg.weighted_gram_and_rhs(F, w, A_f, KR=KR)
             if fc.L2 > 0:
                 Gb = Gb + fc.L2 * jnp.eye(k, dtype=dtype)[None]
             if G_add is not None:

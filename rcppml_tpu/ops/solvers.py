@@ -133,6 +133,7 @@ def cd_nnls_batch(G: jax.Array, B: jax.Array, X: jax.Array | None = None, *,
     standard path applies L1 to B upstream and passes L1=0.
     """
     k, n = B.shape
+    cd_tol = _eff_cd_tol(cd_tol, B.dtype)
     if X is None or not warm_start:
         X0 = jnp.zeros((k, n), dtype=B.dtype)
         B_res = B
@@ -152,6 +153,14 @@ def _pallas_ok(k: int) -> bool:
     return pallas_available() and k <= 100
 
 
+def _eff_cd_tol(cd_tol: float, dtype) -> float:
+    """fp32-aware per-sweep exit threshold (constants.CD_TOL_F32_FLOOR)."""
+    import numpy as _np
+    if cd_tol > 0 and _np.dtype(dtype) == _np.float32:
+        return max(float(cd_tol), constants.CD_TOL_F32_FLOOR)
+    return cd_tol
+
+
 def cd_nnls_batch_traced(G, B_res, X0, L1, *, nonneg: bool, maxit: int,
                          cd_tol: float, upper_bound: float = 0.0):
     """In-trace variant for use inside a jitted fit loop (no re-jit).
@@ -160,6 +169,7 @@ def cd_nnls_batch_traced(G, B_res, X0, L1, *, nonneg: bool, maxit: int,
     On TPU this dispatches to the fused Pallas kernel (whole solve in one
     program, G in VMEM); elsewhere the lax implementation runs.
     """
+    cd_tol = _eff_cd_tol(cd_tol, B_res.dtype)
     if _pallas_ok(G.shape[0]):
         from .pallas_kernels import cd_nnls_pallas_shared
         return cd_nnls_pallas_shared(
@@ -270,6 +280,7 @@ def cd_nnls_batched_gram(Gb, B_res, X0, L1, *, nonneg: bool, maxit: int,
     freeze semantics as the shared-Gram solver.  TPU dispatches to the
     fused Pallas kernel with the per-column Grams tiled through VMEM.
     """
+    cd_tol = _eff_cd_tol(cd_tol, B_res.dtype)
     if _pallas_ok(Gb.shape[1]):
         from .pallas_kernels import cd_nnls_pallas_batched
         return cd_nnls_pallas_batched(
