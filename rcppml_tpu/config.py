@@ -275,15 +275,18 @@ class NMFConfig:
             if self.norm != Norm.L1:
                 blockers.append("norms other than L1")
             for side, fc in (("W", self.W), ("H", self.H)):
-                if (fc.L1 or fc.L2 or fc.L21 or fc.angular or fc.upper_bound
+                # L1/L2 are supported in-kernel (RHS shift / Gram
+                # diagonal, cholesky_clip.hpp:79-87 semantics)
+                if (fc.L21 or fc.angular or fc.upper_bound
                         or fc.graph_lambda or fc.target_lambda
                         or not fc.nonneg):
-                    blockers.append(f"penalties/bounds/targets on {side} "
-                                    "(and nonneg must stay on)")
+                    blockers.append(f"tier-2 penalties/bounds/targets on "
+                                    f"{side} (and nonneg must stay on)")
             if blockers:
                 raise ValueError(
-                    "fused_vmem supports the plain dense nonneg MSE fit "
-                    "only; unsupported here: " + "; ".join(blockers))
+                    "fused_vmem supports the dense nonneg MSE fit "
+                    "(optionally L1/L2-penalized); unsupported here: "
+                    + "; ".join(blockers))
 
 
 @dataclass(frozen=True)

@@ -229,9 +229,12 @@ def _fit_mse_seg(cfg: NMFConfig, A, state: FitState, aux, seg_end):
 # fused_vmem — whole-fit VMEM-resident fast path (opt-in)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16", "ns_steps"))
+@partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16", "ns_steps",
+                                   "l1_w", "l1_h", "l2_w", "l2_h"))
 def _ns_als_xla(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
-                a_bf16: bool = False, ns_steps: int = 7):
+                a_bf16: bool = False, ns_steps: int = 7,
+                l1_w: float = 0.0, l1_h: float = 0.0,
+                l2_w: float = 0.0, l2_h: float = 0.0):
     """Backend-portable twin of :func:`ops.pallas_kernels.fused_als_vmem`:
     the same Newton-Schulz ALS as a plain XLA loop (A in HBM).  Used as
     the ``fused_vmem`` implementation on non-TPU backends and as the
@@ -266,33 +269,34 @@ def _ns_als_xla(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
     # ridge BEFORE seeding, exactly like the kernel (same algorithm
     # digit-for-digit is the oracle contract — round-4 review)
     G0 = mm(W_T0, W_T0.T)
-    G0 = G0 + ridge_of(G0) * eye
+    G0 = G0 + (ridge_of(G0) + l2_h) * eye
     gh0 = ns_refine(G0, seed_inverse(G0))
     Gw0 = mm(H0, H0.T)
-    Gw0 = Gw0 + ridge_of(Gw0) * eye
+    Gw0 = Gw0 + (ridge_of(Gw0) + l2_w) * eye
     gw0 = ns_refine(Gw0, seed_inverse(Gw0))
 
     def body(it, carry):
         W, H, d, gh, gw, hist = carry
         G = mm(W, W.T)
-        G = G + ridge_of(G) * eye
+        G = G + (ridge_of(G) + l2_h) * eye
         Ginv = ns_refine(G, gh)
         B = jnp.dot(W.astype(A_mm.dtype) if a_bf16 else W, A_mm,
                     precision=None if a_bf16 else PH,
                     preferred_element_type=f32)
-        Hn = mm(Ginv, B)
+        Hn = mm(Ginv, B - l1_h if l1_h else B)
         if nonneg:
             Hn = jnp.maximum(Hn, 0.0)
         hs = jnp.maximum(jnp.sum(Hn, axis=1, keepdims=True), 1e-15)
         Hn = Hn / hs
         Gw = mm(Hn, Hn.T)
-        Gw = Gw + ridge_of(Gw) * eye
-        Gwinv = ns_refine(Gw, gw)
+        Gw = Gw + ridge_of(Gw) * eye      # loss uses the L2-free Gw
+        Gw_solve = Gw + l2_w * eye if l2_w else Gw
+        Gwinv = ns_refine(Gw_solve, gw)
         Bw = lax.dot_general(Hn.astype(A_mm.dtype) if a_bf16 else Hn, A_mm,
                              (((1,), (1,)), ((), ())),
                              precision=None if a_bf16 else PH,
                              preferred_element_type=f32)
-        Wn = mm(Gwinv, Bw)
+        Wn = mm(Gwinv, Bw - l1_w if l1_w else Bw)
         if nonneg:
             Wn = jnp.maximum(Wn, 0.0)
         ws = jnp.maximum(jnp.sum(Wn, axis=1, keepdims=True), 1e-15)
@@ -315,7 +319,9 @@ def _fit_fused_vmem(cfg: NMFConfig, A_dev, W_T0, H0) -> "NMFResult":
     tol=0 (fixed max_iter)."""
     from ..ops import pallas_kernels as pk
     m, n = A_dev.shape
-    kw = dict(maxit=cfg.max_iter, nonneg=True, a_bf16=cfg.bf16_data)
+    kw = dict(maxit=cfg.max_iter, nonneg=True, a_bf16=cfg.bf16_data,
+              l1_w=float(cfg.W.L1), l1_h=float(cfg.H.L1),
+              l2_w=float(cfg.W.L2), l2_h=float(cfg.H.L2))
     if pk.pallas_available():
         if not pk.fused_vmem_fits(m, n, cfg.rank, cfg.bf16_data,
                                   cfg.max_iter):

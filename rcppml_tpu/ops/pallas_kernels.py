@@ -292,7 +292,9 @@ def _chunk_spans(total: int, abytes_per_slice: int,
 def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
                                 nonneg: bool, ns_steps: int = 7,
                                 ridge_rel: float = 1e-6,
-                                a_bf16: bool = False):
+                                a_bf16: bool = False,
+                                l1_w: float = 0.0, l1_h: float = 0.0,
+                                l2_w: float = 0.0, l2_h: float = 0.0):
     f32 = jnp.float32
     abytes = 2 if a_bf16 else 4
     col_spans = _chunk_spans(np_, mp * abytes)      # for B = W @ A
@@ -337,10 +339,10 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
             return X
 
         G0 = gram(w0_ref[:])
-        G0 = G0 + ridge_of(G0) * eye
+        G0 = G0 + (ridge_of(G0) + l2_h) * eye
         ginv_h_scr[:] = ns_refine(G0, seed_inverse(G0))
         Gw0 = gram(h0_ref[:])
-        Gw0 = Gw0 + ridge_of(Gw0) * eye
+        Gw0 = Gw0 + (ridge_of(Gw0) + l2_w) * eye
         ginv_w_scr[:] = ns_refine(Gw0, seed_inverse(Gw0))
 
         def rhs_fwd(W):
@@ -370,11 +372,13 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
             # ---- H update (solve, clip, L1-row-normalize) ----
             W = w_out[:]
             G = gram(W)
-            G = G + ridge_of(G) * eye
+            # L2 -> Gram diagonal, L1 -> RHS shift: the cholesky-path
+            # feature semantics (cholesky_clip.hpp:79-87), VMEM-trivial
+            G = G + (ridge_of(G) + l2_h) * eye
             Ginv = ns_refine(G, ginv_h_scr[:])
             ginv_h_scr[:] = Ginv
             B = rhs_fwd(W)                                     # (k, np_)
-            Hn = mm(Ginv, B)
+            Hn = mm(Ginv, B - l1_h if l1_h else B)
             if nonneg:
                 Hn = jnp.maximum(Hn, 0.0)
             hs = jnp.sum(Hn, axis=1, keepdims=True)            # (k, 1)
@@ -382,11 +386,12 @@ def _make_fused_als_vmem_kernel(k: int, mp: int, np_: int, maxit: int,
             h_out[:] = Hn
             # ---- W update ----
             Gw = gram(Hn)
-            Gw = Gw + ridge_of(Gw) * eye
-            Gwinv = ns_refine(Gw, ginv_w_scr[:])
+            Gw = Gw + ridge_of(Gw) * eye      # loss uses the L2-free Gw
+            Gw_solve = Gw + l2_w * eye if l2_w else Gw
+            Gwinv = ns_refine(Gw_solve, ginv_w_scr[:])
             ginv_w_scr[:] = Gwinv
             Bw = rhs_trp(Hn)                                   # (k, mp)
-            Wn = mm(Gwinv, Bw)
+            Wn = mm(Gwinv, Bw - l1_w if l1_w else Bw)
             if nonneg:
                 Wn = jnp.maximum(Wn, 0.0)
             # clamp BEFORE use everywhere, exactly like the XLA twin —
@@ -436,9 +441,12 @@ def fused_vmem_fits(m: int, n: int, k: int, a_bf16: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "nonneg", "a_bf16",
-                                             "ns_steps"))
+                                             "ns_steps", "l1_w", "l1_h",
+                                             "l2_w", "l2_h"))
 def fused_als_vmem(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
-                   a_bf16: bool = False, ns_steps: int = 7):
+                   a_bf16: bool = False, ns_steps: int = 7,
+                   l1_w: float = 0.0, l1_h: float = 0.0,
+                   l2_w: float = 0.0, l2_h: float = 0.0):
     """Run an ENTIRE dense MSE ALS fit (fixed iteration count, L1 norm)
     in one Pallas program with A resident in VMEM.
 
@@ -457,7 +465,9 @@ def fused_als_vmem(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
     trata = jnp.sum(A * A, dtype=jnp.float32).reshape(1, 1)
 
     kernel = _make_fused_als_vmem_kernel(k, mp, np_, maxit, nonneg,
-                                         ns_steps=ns_steps, a_bf16=a_bf16)
+                                         ns_steps=ns_steps, a_bf16=a_bf16,
+                                         l1_w=l1_w, l1_h=l1_h,
+                                         l2_w=l2_w, l2_h=l2_h)
     W_T, H, d, hist = pl.pallas_call(
         kernel,
         grid=(1,),

@@ -87,7 +87,7 @@ def test_fused_vmem_bf16_combo_runs():
 
 @pytest.mark.parametrize("kw,frag", [
     (dict(tol=1e-4), "tol"),
-    (dict(tol=0.0, L1=(0.0, 0.1)), "penalties"),
+    (dict(tol=0.0, L21=(0.0, 0.1)), "tier-2 penalties"),
     (dict(tol=0.0, loss="kl"), "MSE"),
     (dict(tol=0.0, test_fraction=0.1, cv_seed=1), "CV"),
     (dict(tol=0.0, projective=True), "variants"),
@@ -112,6 +112,24 @@ def test_fused_vmem_rejects_streaming_and_mesh(tmp_path):
     with pytest.raises(ValueError, match="mesh"):
         fit_sharded(A, rt.build_config(5, tol=0.0, fused_vmem=True,
                                        sort_model=False), mesh)
+
+
+def test_fused_vmem_l1_l2_matches_standard():
+    """L1/L2-penalized fused_vmem (r5: RHS-shift / Gram-diagonal in the
+    kernel) tracks the standard cholesky path at NS-inverse tolerance."""
+    A = _planted()
+    kw = dict(seed=7, maxit=60, sort_model=False, L1=(0.0, 0.01),
+              L2=(0.05, 0.0))
+    ref = rt.nmf(A, 5, tol=0.0, solver="cholesky", **kw)
+    fus = rt.nmf(A, 5, tol=0.0, fused_vmem=True, **kw)
+    r_ref = (np.asarray(ref.W) * np.asarray(ref.d)) @ np.asarray(ref.H)
+    r_fus = (np.asarray(fus.W) * np.asarray(fus.d)) @ np.asarray(fus.H)
+    rel = np.abs(r_ref - r_fus).max() / np.abs(r_ref).max()
+    assert np.isfinite(rel) and rel < 0.05, rel
+    # the L1 penalty must actually bite: H sparser than unpenalized
+    fus0 = rt.nmf(A, 5, tol=0.0, fused_vmem=True, seed=7, maxit=60,
+                  sort_model=False)
+    assert (np.asarray(fus.H) == 0).mean() >= (np.asarray(fus0.H) == 0).mean()
 
 
 def test_fused_vmem_rejects_callbacks():
