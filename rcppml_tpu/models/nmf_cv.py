@@ -104,7 +104,10 @@ def masked_mse_solve_batch(A_data, F, train_w, cfg: NMFConfig, fc, X_warm,
     def solve_block(blk_idx):
         A_blk = lax.dynamic_slice_in_dim(A_pad, blk_idx * bc, bc, axis=1)
         w_blk = lax.dynamic_slice_in_dim(W_pad, blk_idx * bc, bc, axis=1)
-        Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk, KR=KR)
+        # masked MSE trains on 0/1 weights: fp32 Gram (reference precision;
+        # bf16 noise NaNs near-singular masked columns — r5 on-chip suite)
+        Gb, b = linalg.weighted_gram_and_rhs(F, w_blk, A_blk, KR=KR,
+                                             precise=True)
         Gb = Gb + (1e-15 + fc.L2) * eye[None]
         if G_add is not None:
             Gb = Gb + G_add[None]

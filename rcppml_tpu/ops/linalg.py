@@ -116,7 +116,8 @@ def kr_product(F: jax.Array) -> jax.Array:
 
 
 def weighted_gram_and_rhs(F: jax.Array, w: jax.Array, A_blk: jax.Array,
-                          KR: jax.Array | None = None):
+                          KR: jax.Array | None = None,
+                          precise: bool = False):
     """Per-column weighted Gram + RHS: G_j = F diag(w_j) F^T, b_j = F (w_j*a_j).
 
     F (k, m), w (m, bc), A_blk (m, bc) -> (Gb (bc, k, k), b (k, bc)).
@@ -133,7 +134,13 @@ def weighted_gram_and_rhs(F: jax.Array, w: jax.Array, A_blk: jax.Array,
     the budget the Gram batch is ONE large matmul (see kr_product);
     otherwise the blocked batched dot_general runs.
     """
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" or precise:
+        # ``precise``: fp32 even on TPU — the masked/NA MSE solves must
+        # match reference (fp32) precision; a bf16 Gram of a near-singular
+        # masked column carries ~1e-3 noise that exceeds the stabilizing
+        # ridge and NaNs the Cholesky (surfaced by the r5 on-chip suite).
+        w = w.astype(F.dtype)
+        A_blk = A_blk.astype(F.dtype)
         Fw = F[None, :, :] * w.T[:, None, :]
         Gb = jnp.einsum("jkm,lm->jkl", Fw, F, precision=PREC)
         b = jnp.dot(F, w * A_blk, precision=PREC)

@@ -81,9 +81,12 @@ def test_cd_batched_bit_parity(k):
             nonneg=True, maxit=100, cd_tol=1e-8))
     finally:
         S._pallas_ok = orig
+    # the direct kernel call must see the same EFFECTIVE tol the solver
+    # layer applies (fp32 floor, constants.CD_TOL_F32_FLOOR)
+    eff_tol = S._eff_cd_tol(1e-8, np.float32)
     pl_out = np.asarray(cd_nnls_pallas_batched(
         jnp.asarray(Gb), jnp.asarray(B_res), jnp.asarray(X0),
-        jnp.float32(0.1), jnp.float32(1e-8), nonneg=True, maxit=100))
+        jnp.float32(0.1), jnp.float32(eff_tol), nonneg=True, maxit=100))
     np.testing.assert_array_equal(pl_out, lax_out)
 
 
