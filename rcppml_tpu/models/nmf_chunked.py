@@ -916,7 +916,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             return (m, nc) if mesh is not None else None
 
         if use_irls and not is_cv and not has_mask:
-            tot = 0.0
+            tot_d = jnp.zeros((), jnp.float32)
             if is_zi:
                 zs_row = np.zeros((m,), np.float64)
                 zs_col = np.zeros((n,), np.float64)
@@ -936,15 +936,16 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     pl, sr, sc, cr, cc = _panel_irls_loss_zi(
                         cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
                         pi_b, r_b, valid_rc=_vrc(nc))
-                    tot += float(pl)
+                    tot_d = tot_d + pl
                     zs_row += np.asarray(sr)[:m]
                     zn_row += np.asarray(cr)[:m]
                     zs_col[cs:cs + nc] += np.asarray(sc)[:nc]
                     zn_col[cs:cs + nc] += np.asarray(cc)[:nc]
                 else:
-                    tot += float(_panel_irls_loss(
+                    tot_d = tot_d + _panel_irls_loss(
                         cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
-                        valid_rc=_vrc(nc)))
+                        valid_rc=_vrc(nc))
+            tot = float(tot_d)
             if is_zi:
                 # pi M-step (zi_em_step's update rule, once per sweep)
                 if zi_row:
@@ -968,7 +969,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             prev_loss = loss
 
         elif use_masked or use_irls:
-            tr_sse = tr_n = te_sse = te_n = 0.0
+            acc = jnp.zeros((4,), jnp.float32)
             for ch in _panels(False, prefetch=False):
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
@@ -985,8 +986,8 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, sparse_zeros=False,
                     valid_rc=_vrc(nc))
-                tr_sse += float(out[0]); tr_n += float(out[1])
-                te_sse += float(out[2]); te_n += float(out[3])
+                acc = acc + jnp.stack([out[0], out[1], out[2], out[3]])
+            tr_sse, tr_n, te_sse, te_n = [float(v) for v in np.asarray(acc)]
             loss = tr_sse / max(tr_n, 1.0)
             test_loss = te_sse / max(te_n, 1.0)
             hist.append(loss)
@@ -1015,12 +1016,16 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 stop = True
 
         else:
-            cross = 0.0
+            # accumulate the cross term ON DEVICE: float() per panel was a
+            # full tunnel round-trip x 137 panels — ~80%% of the cached
+            # flagship sweep wall (r5; one fetch per sweep instead)
+            cross_d = jnp.zeros((), jnp.float32)
             for ch in _panels(False, prefetch=False):
-                cross += float(_panel_cross_term(
+                cross_d = cross_d + _panel_cross_term(
                     W_T_l, d,
                     _warm_slice(H, ch.col_start, ch.num_cols, False),
-                    _put_panel(ch, False)))
+                    _put_panel(ch, False))
+            cross = float(cross_d)
             G_wt = linalg.gram(W_T)
             recon = float(jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w))
             loss = trAtA - 2.0 * cross + recon
