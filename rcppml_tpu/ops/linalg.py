@@ -187,15 +187,13 @@ def gathered_gram_downdate(F: jax.Array, idx: jax.Array, val: jax.Array):
     weighted path stays the default dispatch; this kernel is opt-in
     (``fit_cv_or_masked(use_downdate=True)``) for gather-cheap backends.
     """
+    # fp32 on every backend: this Gram feeds the same masked Cholesky
+    # as the (fp32) weighted path — bf16 noise exceeds the stabilizing
+    # ridge on near-singular masked columns and breaks downdate/weighted
+    # agreement (r5 on-chip suite)
     Fg = F[:, idx]                                    # (k, T, bc)
-    if jax.default_backend() == "cpu":
-        Fgv = Fg * val[None, :, :]
-        return jnp.einsum("itc,ltc->cil", Fgv, Fg, precision=PREC)
-    Fb = jnp.transpose(Fg, (2, 0, 1)).astype(jnp.bfloat16)   # (bc, k, T)
-    Fbv = Fb * jnp.transpose(val, (1, 0))[:, None, :].astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        Fbv, Fb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    Fgv = Fg * val[None, :, :]
+    return jnp.einsum("itc,ltc->cil", Fgv, Fg, precision=PREC)
 
 
 def cosine_rows(F: jax.Array) -> jax.Array:

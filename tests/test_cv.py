@@ -298,7 +298,10 @@ def test_downdate_solve_matches_weighted_solve():
     t_h = int((train == 0).sum(axis=0).max())
     idx, val = _excl_indices(jnp.asarray(train), t_h)
     G_feat = linalg.gram(jnp.asarray(F)) + 0.3 * jnp.eye(k)
-    B_full = jnp.asarray(F) @ jnp.asarray(train * A)
+    # HIGHEST precision like the product path (nmf_cv solve_side) — the
+    # default '@' is bf16 on TPU and was the whole observed difference
+    B_full = jnp.dot(jnp.asarray(F), jnp.asarray(train * A),
+                     precision=linalg.PREC)
     out = np.asarray(masked_downdate_solve_batch(
         B_full, jnp.asarray(F), G_feat, idx, val, cfg, cfg.H,
         jnp.asarray(Hprev)))
