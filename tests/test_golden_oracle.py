@@ -199,3 +199,21 @@ def test_auto_rank_decision_equivalence_small():
         assert mine["k_optimal"] == o["k_optimal"], (
             f"cv_seed={cv_seed}: ours={mine['k_optimal']} "
             f"oracle={o['k_optimal']}")
+
+
+def test_movielens_k50_factor_parity():
+    """The verdict's second golden workload: movielens k=50 CD fit — the
+    gate-2 data at production rank, factor-level vs the oracle."""
+    from rcppml_tpu import datasets
+    ml = datasets.movielens()
+    o = oracle.nmf_fit(ml, 50, seed=1, max_iter=10, tol=0.0,
+                       patience=10**6, solver_mode=0)
+    m = rt.nmf(ml, 50, seed=1, maxit=10, tol=0.0, sort_model=False,
+               solver="cd")
+    reco = (o["W"] * o["d"]) @ o["H"]
+    recm = (np.asarray(m.W, np.float64) * np.asarray(m.d, np.float64)) \
+        @ np.asarray(m.H, np.float64)
+    assert np.abs(reco - recm).max() / np.abs(reco).max() < 2e-2
+    lo = o["loss_history"]
+    lm = np.asarray(m.loss_history, np.float64)[:10]
+    assert np.all(np.abs(lo - lm) / lo < 5e-3)
