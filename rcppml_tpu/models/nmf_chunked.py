@@ -28,6 +28,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .. import rng as rng_mod
 from ..config import ZI, Dispersion, Loss, NMFConfig, Solver
@@ -314,6 +315,79 @@ def _panel_cross_term(W_T, d, H_panel, A_panel):
     """Panel contribution to the loss cross term: sum d_i <W_T A_panel, H>."""
     B = jnp.dot(W_T, A_panel, precision=PREC)          # (k, pc)
     return jnp.sum(d[:, None] * B * H_panel)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dims"))
+def _cached_sweep_mse(cfg: NMFConfig, dims, groups_f, groups_t,
+                      W_T, H, d, warm, trAtA):
+    """ONE-dispatch steady-state sweep for the plain MSE streaming fit.
+
+    When the wire-resident panel cache holds every panel of both sides,
+    the per-panel host loop costs ~450 serialized dispatch groups per
+    sweep over a remote tunnel (~70 ms each — the whole 32 s steady
+    flagship sweep).  This runs the full H-update, W-update, scaling and
+    Gram-trick loss as ONE jitted program: lax.scan over the stacked
+    compact panel groups, densify + solve per step, dynamic-update into
+    the factor buffer.  Same math as the host loop (same _panel_solve,
+    same loss algebra); the host syncs once per sweep.
+
+    ``groups_*``: tuples of dicts {rows (P, bucket), counts (P, NC+1),
+    vals (P, bucket), cs (P,)} — panels grouped by bucket/dtype, columns
+    padded to the side-wide NC (extra columns solve against all-zero
+    data and are overwritten or sliced away).
+    """
+    m, n, nc_f, nc_t = dims
+    k = W_T.shape[0]
+    f32 = jnp.float32
+
+    def side_update(G, F, prev, groups, rows_dim, nc, total, side):
+        buf = jnp.zeros((k, total + nc), f32)
+        prev_pad = jnp.zeros((k, total + nc), f32).at[:, :total].set(prev)
+        for g in groups:
+            def step(carry, xs):
+                rows, counts, vals, cs = xs
+                A_p = _coo_densify(rows, counts, vals, nrows=rows_dim,
+                                   ncols=nc)
+                Xw = lax.dynamic_slice(prev_pad, (0, cs), (k, nc))
+                X = _panel_solve(cfg, side, G, F, A_p, Xw, warm)
+                return lax.dynamic_update_slice(carry, X, (0, cs)), None
+            buf, _ = lax.scan(
+                step, buf, (g["rows"], g["counts"], g["vals"], g["cs"]))
+        return buf[:, :total]
+
+    # ---- H update ----
+    G = linalg.gram(W_T)
+    G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
+    G = feat.apply_l21(G, H, cfg.H.L21)
+    H_new = side_update(G, W_T, H, groups_f, m, nc_f, n, "H")
+    if cfg.H.angular > 0:
+        H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
+    H_new, d_new = linalg.extract_scaling(H_new, cfg.norm)
+
+    # ---- W update ----
+    G_w = linalg.gram(H_new)                      # saved for loss
+    G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
+    G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
+    W_new = side_update(G2, H_new, W_T, groups_t, n, nc_t, m, "W")
+    if cfg.W.angular > 0:
+        W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
+    W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
+
+    # ---- Gram-trick loss ----
+    H_pad = jnp.zeros((k, n + nc_f), f32).at[:, :n].set(H_new)
+    cross = jnp.zeros((), f32)
+    for g in groups_f:
+        def cstep(c, xs):
+            rows, counts, vals, cs = xs
+            A_p = _coo_densify(rows, counts, vals, nrows=m, ncols=nc_f)
+            H_panel = lax.dynamic_slice(H_pad, (0, cs), (k, nc_f))
+            return c + _panel_cross_term(W_new, d_new, H_panel, A_p), None
+        cross, _ = lax.scan(
+            cstep, cross, (g["rows"], g["counts"], g["vals"], g["cs"]))
+    G_wt = linalg.gram(W_new)
+    recon = jnp.sum((d_new[:, None] * d_new[None, :]) * G_wt * G_w)
+    loss = trAtA - 2.0 * cross + recon
+    return W_new, H_new, d_new, loss
 
 
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
@@ -785,6 +859,61 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         test_hist = []
         converged = False
         it_start = 0
+    # ---- single-dispatch cached-sweep fast path (plain MSE + wire cache) ----
+    _stacks_built: dict = {}
+
+    def _fast_ready() -> bool:
+        if (use_masked or use_irls or cfg.projective or mesh is not None
+                or graph_W is not None or graph_H is not None):
+            return False
+        for t in (False, True):
+            meta = _panel_meta[t]
+            if not meta:
+                return False
+            css = sorted(meta)
+            nc_max = max(meta.values())
+            for i, cs in enumerate(css):
+                e = _panel_cache.get((t, cs))
+                if e is None or not isinstance(e, tuple):
+                    return False
+                # only the LAST panel may be partial (its column padding
+                # then lies entirely beyond the real region)
+                if i < len(css) - 1 and meta[cs] != nc_max:
+                    return False
+        return True
+
+    def _wire_stacks():
+        if "g" in _stacks_built:
+            return _stacks_built["g"]
+        sides = []
+        dims = []
+        for t in (False, True):
+            meta = _panel_meta[t]
+            nc_max = int(max(meta.values()))
+            groups: dict = {}
+            for cs in sorted(meta):
+                rows_d, counts_d, vals_d, nc = _panel_cache[(t, cs)]
+                if nc < nc_max:   # pad counts to NC+1, bucket-pad stays last
+                    counts_d = jnp.concatenate([
+                        counts_d[:-1],
+                        jnp.zeros((nc_max - nc,), counts_d.dtype),
+                        counts_d[-1:]])
+                key = (rows_d.shape[0], str(rows_d.dtype), str(vals_d.dtype))
+                groups.setdefault(key, []).append(
+                    (cs, rows_d, counts_d, vals_d))
+            side = tuple(
+                {"rows": jnp.stack([r for _, r, _, _ in items]),
+                 "counts": jnp.stack([c for _, _, c, _ in items]),
+                 "vals": jnp.stack([v for _, _, _, v in items]),
+                 "cs": jnp.asarray([cs for cs, _, _, _ in items],
+                                   jnp.int32)}
+                for items in groups.values())
+            sides.append(side)
+            dims.append(nc_max)
+        _stacks_built["g"] = (sides[0], sides[1],
+                              (m, n, dims[0], dims[1]))
+        return _stacks_built["g"]
+
     done_sweeps = it_start
     for it in range(it_start, cfg.max_iter):
         if converged:
@@ -792,121 +921,129 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         warm = jnp.bool_(it > 0)
         stop = False
 
-        # ---- H-update over forward panels ----
-        G_add_H = G_add_W = None
-        if not use_masked and not use_irls:
-            G = linalg.gram(W_T)
-            G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
-            G = feat.apply_l21(G, H, cfg.H.L21)
-            G = feat.apply_graph_reg(G, graph_H, H, cfg.H.graph_lambda)
-        else:
-            # L21 rides the per-column Grams as the shared tier-2 k x k
-            # term, exactly like the in-memory masked/IRLS paths (graph
-            # reg is rejected above on these paths)
-            G_add_H = feat.tier2_gram_addition(H, cfg.H)
-            G_add_W = feat.tier2_gram_addition(W_T, cfg.W)
-        H_parts = {}
-        W_T_f = _pad_f(W_T, m_pad)
-        for ch in _panels(False):
-            if it == 0 and not _chunk_finite(ch):
-                # streamed panels (e.g. .spz) bypass the in-memory NaN
-                # auto-mask, so a corrupt/NaN file must fail loudly here
-                # instead of producing NaN factors (round-2 review #3)
-                raise ValueError(
-                    f"non-finite values in columns "
-                    f"{ch.col_start}..{ch.col_start + ch.num_cols}; "
-                    "streaming cannot auto-mask NaN/Inf — clean the data "
-                    "or fit in-memory with mask=")
-            A_panel = _put_panel(ch, False)
-            X_warm = _warm_slice(H, ch.col_start, ch.num_cols, False)
-            if cfg.projective:
-                H_parts[ch.col_start] = _unpad_x(jnp.dot(
-                    W_T_f * d[:, None], A_panel, precision=PREC),
-                    ch.num_cols)
-            elif use_irls:
-                th_row = (_pad1(nb_vec, m_pad)
-                          if (is_nb and not per_col) else None)
-                th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
-                    nb_vec, ch.col_start, ch.num_cols),
-                    ch.num_cols + _pad_cols(ch.num_cols, False))
-                    if (is_nb and per_col) else None)
-                if is_zi and it > 0:
-                    # solves see the soft-imputed panel (in-memory: the
-                    # iter>=1 solves read state.A_imp)
-                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
-                    A_panel = _panel_zi_impute(W_T_f, d, X_warm, A_panel,
-                                               pi_b, r_b)
-                H_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
-                    cfgs, "H", W_T_f, A_panel, X_warm, warm, th_row, th_col,
-                    seed_pair, jnp.uint32(ch.col_start),
-                    _mask_panel(ch.col_start, ch.num_cols, False),
-                    G_add_H,
-                    active_loss=active_loss, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=False),
-                    ch.num_cols)
-            elif use_masked:
-                H_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
-                    cfgs, "H", W_T_f, A_panel, X_warm, warm, seed_pair,
-                    jnp.uint32(ch.col_start),
-                    _mask_panel(ch.col_start, ch.num_cols, False),
-                    G_add_H, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=False),
-                    ch.num_cols)
-            else:
-                H_parts[ch.col_start] = _unpad_x(
-                    _panel_solve(cfg, "H", G, W_T_f, A_panel, X_warm, warm),
-                    ch.num_cols)
-        H = jnp.concatenate([H_parts[cs] for cs in sorted(H_parts)], axis=1)
-        if cfg.H.angular > 0:
-            H = feat.apply_angular_posthoc(H, cfg.H.angular)
-        H, d = linalg.extract_scaling(H, cfg.norm)
+        _fast_loss = None
+        if _fast_ready():
+            _gf, _gt, _sdims = _wire_stacks()
+            W_T, H, d, _fast_loss = _cached_sweep_mse(
+                cfgs, _sdims, _gf, _gt, W_T, H, d, warm,
+                jnp.float32(trAtA))
 
-        # ---- W-update over transpose panels ----
-        G_w = linalg.gram(H)                             # saved for loss
-        if not use_masked and not use_irls:
-            G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
-            G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
-            G2 = feat.apply_graph_reg(G2, graph_W, W_T, cfg.W.graph_lambda)
-        W_parts = {}
-        H_f = _pad_f(H, n_pad)
-        for ch in _panels(True):
-            At_panel = _put_panel(ch, True)  # (n, pc) cols of A^T
-            X_warm = _warm_slice(W_T, ch.col_start, ch.num_cols, True)
-            if use_irls:
-                th_row = (_pad1(nb_vec, n_pad)
-                          if (is_nb and per_col) else None)
-                th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
-                    nb_vec, ch.col_start, ch.num_cols),
-                    ch.num_cols + _pad_cols(ch.num_cols, True))
-                    if (is_nb and not per_col) else None)
-                if is_zi and it > 0:
-                    pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, True)
-                    At_panel = _panel_zi_impute(H_f, d, X_warm, At_panel,
-                                                pi_b, r_b)
-                W_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
-                    cfgs, "W", H_f, At_panel, X_warm, warm, th_row, th_col,
-                    seed_pair, jnp.uint32(ch.col_start),
-                    _mask_panel(ch.col_start, ch.num_cols, True),
-                    G_add_W,
-                    active_loss=active_loss, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=True),
-                    ch.num_cols)
-            elif use_masked:
-                W_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
-                    cfgs, "W", H_f, At_panel, X_warm, warm, seed_pair,
-                    jnp.uint32(ch.col_start),
-                    _mask_panel(ch.col_start, ch.num_cols, True),
-                    G_add_W, inv_prob=inv_prob,
-                    mask_zeros=cfg.mask_zeros, transposed=True),
-                    ch.num_cols)
+        if _fast_loss is None:
+            # ---- H-update over forward panels ----
+            G_add_H = G_add_W = None
+            if not use_masked and not use_irls:
+                G = linalg.gram(W_T)
+                G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
+                G = feat.apply_l21(G, H, cfg.H.L21)
+                G = feat.apply_graph_reg(G, graph_H, H, cfg.H.graph_lambda)
             else:
-                W_parts[ch.col_start] = _unpad_x(
-                    _panel_solve(cfg, "W", G2, H_f, At_panel, X_warm, warm),
-                    ch.num_cols)
-        W_T = jnp.concatenate([W_parts[cs] for cs in sorted(W_parts)], axis=1)
-        if cfg.W.angular > 0:
-            W_T = feat.apply_angular_posthoc(W_T, cfg.W.angular)
-        W_T, d = linalg.extract_scaling(W_T, cfg.norm)
+                # L21 rides the per-column Grams as the shared tier-2 k x k
+                # term, exactly like the in-memory masked/IRLS paths (graph
+                # reg is rejected above on these paths)
+                G_add_H = feat.tier2_gram_addition(H, cfg.H)
+                G_add_W = feat.tier2_gram_addition(W_T, cfg.W)
+            H_parts = {}
+            W_T_f = _pad_f(W_T, m_pad)
+            for ch in _panels(False):
+                if it == 0 and not _chunk_finite(ch):
+                    # streamed panels (e.g. .spz) bypass the in-memory NaN
+                    # auto-mask, so a corrupt/NaN file must fail loudly here
+                    # instead of producing NaN factors (round-2 review #3)
+                    raise ValueError(
+                        f"non-finite values in columns "
+                        f"{ch.col_start}..{ch.col_start + ch.num_cols}; "
+                        "streaming cannot auto-mask NaN/Inf — clean the data "
+                        "or fit in-memory with mask=")
+                A_panel = _put_panel(ch, False)
+                X_warm = _warm_slice(H, ch.col_start, ch.num_cols, False)
+                if cfg.projective:
+                    H_parts[ch.col_start] = _unpad_x(jnp.dot(
+                        W_T_f * d[:, None], A_panel, precision=PREC),
+                        ch.num_cols)
+                elif use_irls:
+                    th_row = (_pad1(nb_vec, m_pad)
+                              if (is_nb and not per_col) else None)
+                    th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
+                        nb_vec, ch.col_start, ch.num_cols),
+                        ch.num_cols + _pad_cols(ch.num_cols, False))
+                        if (is_nb and per_col) else None)
+                    if is_zi and it > 0:
+                        # solves see the soft-imputed panel (in-memory: the
+                        # iter>=1 solves read state.A_imp)
+                        pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, False)
+                        A_panel = _panel_zi_impute(W_T_f, d, X_warm, A_panel,
+                                                   pi_b, r_b)
+                    H_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
+                        cfgs, "H", W_T_f, A_panel, X_warm, warm, th_row, th_col,
+                        seed_pair, jnp.uint32(ch.col_start),
+                        _mask_panel(ch.col_start, ch.num_cols, False),
+                        G_add_H,
+                        active_loss=active_loss, inv_prob=inv_prob,
+                        mask_zeros=cfg.mask_zeros, transposed=False),
+                        ch.num_cols)
+                elif use_masked:
+                    H_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
+                        cfgs, "H", W_T_f, A_panel, X_warm, warm, seed_pair,
+                        jnp.uint32(ch.col_start),
+                        _mask_panel(ch.col_start, ch.num_cols, False),
+                        G_add_H, inv_prob=inv_prob,
+                        mask_zeros=cfg.mask_zeros, transposed=False),
+                        ch.num_cols)
+                else:
+                    H_parts[ch.col_start] = _unpad_x(
+                        _panel_solve(cfg, "H", G, W_T_f, A_panel, X_warm, warm),
+                        ch.num_cols)
+            H = jnp.concatenate([H_parts[cs] for cs in sorted(H_parts)], axis=1)
+            if cfg.H.angular > 0:
+                H = feat.apply_angular_posthoc(H, cfg.H.angular)
+            H, d = linalg.extract_scaling(H, cfg.norm)
+
+            # ---- W-update over transpose panels ----
+            G_w = linalg.gram(H)                             # saved for loss
+            if not use_masked and not use_irls:
+                G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
+                G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
+                G2 = feat.apply_graph_reg(G2, graph_W, W_T, cfg.W.graph_lambda)
+            W_parts = {}
+            H_f = _pad_f(H, n_pad)
+            for ch in _panels(True):
+                At_panel = _put_panel(ch, True)  # (n, pc) cols of A^T
+                X_warm = _warm_slice(W_T, ch.col_start, ch.num_cols, True)
+                if use_irls:
+                    th_row = (_pad1(nb_vec, n_pad)
+                              if (is_nb and per_col) else None)
+                    th_col = (_pad1(jax.lax.dynamic_slice_in_dim(
+                        nb_vec, ch.col_start, ch.num_cols),
+                        ch.num_cols + _pad_cols(ch.num_cols, True))
+                        if (is_nb and not per_col) else None)
+                    if is_zi and it > 0:
+                        pi_b, r_b = _zi_bcast(ch.col_start, ch.num_cols, True)
+                        At_panel = _panel_zi_impute(H_f, d, X_warm, At_panel,
+                                                    pi_b, r_b)
+                    W_parts[ch.col_start] = _unpad_x(_panel_solve_irls(
+                        cfgs, "W", H_f, At_panel, X_warm, warm, th_row, th_col,
+                        seed_pair, jnp.uint32(ch.col_start),
+                        _mask_panel(ch.col_start, ch.num_cols, True),
+                        G_add_W,
+                        active_loss=active_loss, inv_prob=inv_prob,
+                        mask_zeros=cfg.mask_zeros, transposed=True),
+                        ch.num_cols)
+                elif use_masked:
+                    W_parts[ch.col_start] = _unpad_x(_panel_solve_cv(
+                        cfgs, "W", H_f, At_panel, X_warm, warm, seed_pair,
+                        jnp.uint32(ch.col_start),
+                        _mask_panel(ch.col_start, ch.num_cols, True),
+                        G_add_W, inv_prob=inv_prob,
+                        mask_zeros=cfg.mask_zeros, transposed=True),
+                        ch.num_cols)
+                else:
+                    W_parts[ch.col_start] = _unpad_x(
+                        _panel_solve(cfg, "W", G2, H_f, At_panel, X_warm, warm),
+                        ch.num_cols)
+            W_T = jnp.concatenate([W_parts[cs] for cs in sorted(W_parts)], axis=1)
+            if cfg.W.angular > 0:
+                W_T = feat.apply_angular_posthoc(W_T, cfg.W.angular)
+            W_T, d = linalg.extract_scaling(W_T, cfg.norm)
 
         # ---- loss ----
         W_T_l = _pad_f(W_T, m_pad) if mesh is not None else W_T
@@ -1016,19 +1153,23 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 stop = True
 
         else:
-            # accumulate the cross term ON DEVICE: float() per panel was a
-            # full tunnel round-trip x 137 panels — ~80%% of the cached
-            # flagship sweep wall (r5; one fetch per sweep instead)
-            cross_d = jnp.zeros((), jnp.float32)
-            for ch in _panels(False, prefetch=False):
-                cross_d = cross_d + _panel_cross_term(
-                    W_T_l, d,
-                    _warm_slice(H, ch.col_start, ch.num_cols, False),
-                    _put_panel(ch, False))
-            cross = float(cross_d)
-            G_wt = linalg.gram(W_T)
-            recon = float(jnp.sum((d[:, None] * d[None, :]) * G_wt * G_w))
-            loss = trAtA - 2.0 * cross + recon
+            if _fast_loss is not None:
+                # the cached sweep computed the Gram-trick loss in-jit
+                loss = float(_fast_loss)
+            else:
+                # accumulate the cross term ON DEVICE: float() per panel
+                # was a full tunnel round-trip x 137 panels (r5)
+                cross_d = jnp.zeros((), jnp.float32)
+                for ch in _panels(False, prefetch=False):
+                    cross_d = cross_d + _panel_cross_term(
+                        W_T_l, d,
+                        _warm_slice(H, ch.col_start, ch.num_cols, False),
+                        _put_panel(ch, False))
+                cross = float(cross_d)
+                G_wt = linalg.gram(W_T)
+                recon = float(jnp.sum((d[:, None] * d[None, :])
+                                      * G_wt * G_w))
+                loss = trAtA - 2.0 * cross + recon
             hist.append(loss)
 
             rel = abs(prev_loss - loss) / (abs(prev_loss) + 1e-15)
