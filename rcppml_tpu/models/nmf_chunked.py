@@ -863,6 +863,8 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     _stacks_built: dict = {}
 
     def _fast_ready() -> bool:
+        if "g" in _stacks_built:
+            return True        # stacks supersede the per-panel entries
         if (use_masked or use_irls or cfg.projective or mesh is not None
                 or graph_W is not None or graph_H is not None):
             return False
@@ -912,6 +914,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             dims.append(nc_max)
         _stacks_built["g"] = (sides[0], sides[1],
                               (m, n, dims[0], dims[1]))
+        # the stacks ARE the cache now — free the per-panel wire entries
+        # (stacking copied them; keeping both doubles the HBM footprint
+        # and OOMs the 469M-nnz flagship)
+        for t in (False, True):
+            for cs in list(_panel_meta[t]):
+                _panel_cache.pop((t, cs), None)
         return _stacks_built["g"]
 
     done_sweeps = it_start
