@@ -903,23 +903,29 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 key = (rows_d.shape[0], str(rows_d.dtype), str(vals_d.dtype))
                 groups.setdefault(key, []).append(
                     (cs, rows_d, counts_d, vals_d))
-            side = tuple(
-                {"rows": jnp.stack([r for _, r, _, _ in items]),
-                 "counts": jnp.stack([c for _, _, c, _ in items]),
-                 "vals": jnp.stack([v for _, _, _, v in items]),
-                 "cs": jnp.asarray([cs for cs, _, _, _ in items],
-                                   jnp.int32)}
-                for items in groups.values())
-            sides.append(side)
+            side = []
+            for key in list(groups):
+                items = groups.pop(key)   # drop the dict's refs too
+                # stack ONE group at a time and free its per-panel source
+                # buffers immediately: stacking copies, and holding both
+                # the full per-panel set and the full stacked set at once
+                # OOMs the 469M-nnz flagship (peak = cache + largest
+                # group instead of 2x cache)
+                g = {"rows": jnp.stack([r for _, r, _, _ in items]),
+                     "counts": jnp.stack([c for _, _, c, _ in items]),
+                     "vals": jnp.stack([v for _, _, _, v in items]),
+                     "cs": jnp.asarray([cs for cs, _, _, _ in items],
+                                       jnp.int32)}
+                jax.block_until_ready(g["rows"])
+                for cs, _, _, _ in items:
+                    _panel_cache.pop((t, cs), None)
+                del items
+                side.append(g)
+            groups.clear()
+            sides.append(tuple(side))
             dims.append(nc_max)
         _stacks_built["g"] = (sides[0], sides[1],
                               (m, n, dims[0], dims[1]))
-        # the stacks ARE the cache now — free the per-panel wire entries
-        # (stacking copied them; keeping both doubles the HBM footprint
-        # and OOMs the 469M-nnz flagship)
-        for t in (False, True):
-            for cs in list(_panel_meta[t]):
-                _panel_cache.pop((t, cs), None)
         return _stacks_built["g"]
 
     done_sweeps = it_start
