@@ -61,6 +61,43 @@ def _coo_densify(rows, counts, vals, *, nrows: int, ncols: int):
         vals.astype(jnp.float32), mode="drop")
 
 
+@partial(jax.jit, static_argnames=("nrows", "ncols"))
+def _coo_densify_T(rows, counts, vals, *, nrows: int, ncols: int):
+    """TRANSPOSED dense panel (ncols, nrows) from the compact triples.
+
+    The expanded (col, row) scatter indices of canonical CSC are globally
+    SORTED in this layout (cols nondecreasing; rows sorted within each
+    column), which XLA's TPU scatter exploits: measured 187 vs 305 ms on
+    a 24M-nnz flagship transpose panel.  Padding entries expand to
+    col == ncols — out of bounds, dropped.  Consumers contract over the
+    trailing (nrows) axis, so no transpose copy is ever materialized."""
+    bucket = rows.shape[0]
+    cols = jnp.repeat(jnp.arange(ncols + 1, dtype=jnp.int32), counts,
+                      total_repeat_length=bucket)
+    Z = jnp.zeros((ncols, nrows), jnp.float32)
+    return Z.at[cols, rows.astype(jnp.int32)].add(
+        vals.astype(jnp.float32), mode="drop", indices_are_sorted=True)
+
+
+def _solve_from_B(cfg: NMFConfig, side: str, G, B, X_warm, warm):
+    """The feature + solve tail of :func:`_panel_solve`, for callers that
+    computed B = F @ A_panel themselves (e.g. from a transposed panel)."""
+    fc = cfg.H if side == "H" else cfg.W
+    if fc.L1 > 0:
+        B = B - fc.L1
+    if cfg.solver == Solver.CHOLESKY:
+        X = solvers.cholesky_clip_batch(G, B, nonneg=fc.nonneg)
+    else:
+        X0 = X_warm * warm.astype(X_warm.dtype)
+        B_res = B - jnp.dot(G, X0, precision=PREC)
+        X = solvers.cd_nnls_batch_traced(G, B_res, X0, 0.0, nonneg=fc.nonneg,
+                                         maxit=cfg.cd_max_iter,
+                                         cd_tol=cfg.cd_tol)
+    if fc.upper_bound > 0:
+        X = feat.apply_upper_bound(X, fc.upper_bound)
+    return X
+
+
 class _CompactChunk:
     """Wire-ready sparse panel: padded/bucketed arrays with compact
     dtypes, produced OFF the consumer's critical path (in the Prefetcher
@@ -324,69 +361,68 @@ def _cached_sweep_mse(cfg: NMFConfig, dims, groups_f, groups_t,
 
     When the wire-resident panel cache holds every panel of both sides,
     the per-panel host loop costs ~450 serialized dispatch groups per
-    sweep over a remote tunnel (~70 ms each — the whole 32 s steady
-    flagship sweep).  This runs the full H-update, W-update, scaling and
-    Gram-trick loss as ONE jitted program: lax.scan over the stacked
-    compact panel groups, densify + solve per step, dynamic-update into
-    the factor buffer.  Same math as the host loop (same _panel_solve,
-    same loss algebra); the host syncs once per sweep.
+    sweep over a remote tunnel — the whole steady flagship sweep.  This
+    runs the full H-update, W-update, scaling and loss as ONE jitted
+    program: lax.scan over the stacked compact panel groups, transposed
+    sorted-scatter densify (see _coo_densify_T) + direct B GEMM + solve
+    per step.  The loss is the saved-matrix Gram trick
+    (fit_cpu.hpp:1710-1753): B_w accumulates during the W scan, so the
+    forward panels are NOT re-densified a third time.
 
     ``groups_*``: tuples of dicts {rows (P, bucket), counts (P, NC+1),
     vals (P, bucket), cs (P,)} — panels grouped by bucket/dtype, columns
     padded to the side-wide NC (extra columns solve against all-zero
-    data and are overwritten or sliced away).
+    data and land beyond the real region).
     """
     m, n, nc_f, nc_t = dims
     k = W_T.shape[0]
     f32 = jnp.float32
 
-    def side_update(G, F, prev, groups, rows_dim, nc, total, side):
+    def side_update(G, F, prev, groups, rows_dim, nc, total, side,
+                    collect_b: bool):
         buf = jnp.zeros((k, total + nc), f32)
+        b_buf = jnp.zeros((k, total + nc), f32) if collect_b else None
         prev_pad = jnp.zeros((k, total + nc), f32).at[:, :total].set(prev)
         for g in groups:
             def step(carry, xs):
+                buf, b_buf = carry
                 rows, counts, vals, cs = xs
-                A_p = _coo_densify(rows, counts, vals, nrows=rows_dim,
-                                   ncols=nc)
+                A_pT = _coo_densify_T(rows, counts, vals, nrows=rows_dim,
+                                      ncols=nc)                 # (nc, rows)
+                B = lax.dot_general(F, A_pT, (((1,), (1,)), ((), ())),
+                                    precision=PREC)             # (k, nc)
                 Xw = lax.dynamic_slice(prev_pad, (0, cs), (k, nc))
-                X = _panel_solve(cfg, side, G, F, A_p, Xw, warm)
-                return lax.dynamic_update_slice(carry, X, (0, cs)), None
-            buf, _ = lax.scan(
-                step, buf, (g["rows"], g["counts"], g["vals"], g["cs"]))
-        return buf[:, :total]
+                X = _solve_from_B(cfg, side, G, B, Xw, warm)
+                buf = lax.dynamic_update_slice(buf, X, (0, cs))
+                if b_buf is not None:
+                    b_buf = lax.dynamic_update_slice(b_buf, B, (0, cs))
+                return (buf, b_buf), None
+            (buf, b_buf), _ = lax.scan(
+                step, (buf, b_buf),
+                (g["rows"], g["counts"], g["vals"], g["cs"]))
+        return buf[:, :total], (b_buf[:, :total] if collect_b else None)
 
     # ---- H update ----
     G = linalg.gram(W_T)
     G, _ = feat.apply_l1_l2(G, jnp.zeros(()), 0.0, cfg.H.L2)
     G = feat.apply_l21(G, H, cfg.H.L21)
-    H_new = side_update(G, W_T, H, groups_f, m, nc_f, n, "H")
+    H_new, _ = side_update(G, W_T, H, groups_f, m, nc_f, n, "H", False)
     if cfg.H.angular > 0:
         H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
     H_new, d_new = linalg.extract_scaling(H_new, cfg.norm)
 
-    # ---- W update ----
+    # ---- W update (B_w collected for the saved-matrix loss) ----
     G_w = linalg.gram(H_new)                      # saved for loss
     G2, _ = feat.apply_l1_l2(G_w, jnp.zeros(()), 0.0, cfg.W.L2)
     G2 = feat.apply_l21(G2, W_T, cfg.W.L21)
-    W_new = side_update(G2, H_new, W_T, groups_t, n, nc_t, m, "W")
+    W_new, B_w = side_update(G2, H_new, W_T, groups_t, n, nc_t, m, "W",
+                             True)
     if cfg.W.angular > 0:
         W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
     W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
 
-    # ---- Gram-trick loss ----
-    H_pad = jnp.zeros((k, n + nc_f), f32).at[:, :n].set(H_new)
-    cross = jnp.zeros((), f32)
-    for g in groups_f:
-        def cstep(c, xs):
-            rows, counts, vals, cs = xs
-            A_p = _coo_densify(rows, counts, vals, nrows=m, ncols=nc_f)
-            H_panel = lax.dynamic_slice(H_pad, (0, cs), (k, nc_f))
-            return c + _panel_cross_term(W_new, d_new, H_panel, A_p), None
-        cross, _ = lax.scan(
-            cstep, cross, (g["rows"], g["counts"], g["vals"], g["cs"]))
-    G_wt = linalg.gram(W_new)
-    recon = jnp.sum((d_new[:, None] * d_new[None, :]) * G_wt * G_w)
-    loss = trAtA - 2.0 * cross + recon
+    # ---- saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753) ----
+    loss = linalg.mse_loss_from_saved(trAtA, W_new, d_new, B_w, G_w)
     return W_new, H_new, d_new, loss
 
 
