@@ -65,18 +65,23 @@ def _coo_densify(rows, counts, vals, *, nrows: int, ncols: int):
 def _coo_densify_T(rows, counts, vals, *, nrows: int, ncols: int):
     """TRANSPOSED dense panel (ncols, nrows) from the compact triples.
 
-    The expanded (col, row) scatter indices of canonical CSC are globally
-    SORTED in this layout (cols nondecreasing; rows sorted within each
-    column), which XLA's TPU scatter exploits: measured 187 vs 305 ms on
-    a 24M-nnz flagship transpose panel.  Padding entries expand to
-    col == ncols — out of bounds, dropped.  Consumers contract over the
-    trailing (nrows) axis, so no transpose copy is ever materialized."""
+    Consumers contract over the trailing (nrows) axis, so no transpose
+    copy is ever materialized.  Padding entries expand to col == ncols —
+    out of bounds, dropped.
+
+    indices_are_sorted is deliberately NOT set: although the expanded
+    (col, row) indices of canonical CSC are lexicographically sorted (a
+    synthetic same-shape benchmark measured 187 vs 305 ms with the
+    promise), the TPU lowering SILENTLY DROPPED ~40%% of the entries of a
+    real smoke-file chunk with the flag on while the flag-off scatter
+    was exact — a data-dependent miscompile we refuse to ship against.
+    See BENCH_NOTES r5."""
     bucket = rows.shape[0]
     cols = jnp.repeat(jnp.arange(ncols + 1, dtype=jnp.int32), counts,
                       total_repeat_length=bucket)
     Z = jnp.zeros((ncols, nrows), jnp.float32)
     return Z.at[cols, rows.astype(jnp.int32)].add(
-        vals.astype(jnp.float32), mode="drop", indices_are_sorted=True)
+        vals.astype(jnp.float32), mode="drop")
 
 
 def _solve_from_B(cfg: NMFConfig, side: str, G, B, X_warm, warm):
