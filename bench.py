@@ -255,8 +255,11 @@ def _flagship():
     and its artifact embedded here; re-run with
     ``python tools/flagship_streaming.py --gen --fit``."""
     import glob
-    arts = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "FLAGSHIP_r0*.json")))
+    import re as _re
+    arts = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "FLAGSHIP_r*.json")),
+        key=lambda p_: int((_re.search(r"_r(\d+)", p_) or [0, 0])[1]))
     try:
         with open(arts[-1]) as f:
             return json.load(f)

@@ -315,8 +315,9 @@ def _ns_als_xla(A, W_T0, H0, *, maxit: int, nonneg: bool = True,
 def _fit_fused_vmem(cfg: NMFConfig, A_dev, W_T0, H0) -> "NMFResult":
     """Driver for the opt-in ``fused_vmem`` path: Pallas whole-fit kernel
     on TPU when A fits in VMEM, the XLA twin elsewhere.  cfg.validate()
-    has already constrained this to the plain dense nonneg MSE fit with
-    tol=0 (fixed max_iter)."""
+    has already constrained this to the dense nonneg MSE fit with tol=0
+    (fixed max_iter); L1/L2 are supported in-kernel (r5), tier-2
+    features are not."""
     from ..ops import pallas_kernels as pk
     m, n = A_dev.shape
     kw = dict(maxit=cfg.max_iter, nonneg=True, a_bf16=cfg.bf16_data,

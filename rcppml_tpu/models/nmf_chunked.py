@@ -152,21 +152,8 @@ def _panel_solve(cfg: NMFConfig, side: str, G, F, A_panel, X_warm, warm):
     ``side``: 'H' or 'W' selects the FactorConfig.  G already includes L2
     and tier-2 terms.  Returns the solved panel (k, panel_cols).
     """
-    fc = cfg.H if side == "H" else cfg.W
     B = jnp.dot(F, A_panel, precision=PREC)
-    if fc.L1 > 0:
-        B = B - fc.L1
-    if cfg.solver == Solver.CHOLESKY:
-        X = solvers.cholesky_clip_batch(G, B, nonneg=fc.nonneg)
-    else:
-        X0 = X_warm * warm.astype(X_warm.dtype)
-        B_res = B - jnp.dot(G, X0, precision=PREC)
-        X = solvers.cd_nnls_batch_traced(G, B_res, X0, 0.0, nonneg=fc.nonneg,
-                                         maxit=cfg.cd_max_iter,
-                                         cd_tol=cfg.cd_tol)
-    if fc.upper_bound > 0:
-        X = feat.apply_upper_bound(X, fc.upper_bound)
-    return X
+    return _solve_from_B(cfg, side, G, B, X_warm, warm)
 
 
 def _panel_train_w(seed_pair, row0, col0, rows, cols, inv_prob: int,
@@ -1108,7 +1095,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             return (m, nc) if mesh is not None else None
 
         if use_irls and not is_cv and not has_mask:
-            tot_d = jnp.zeros((), jnp.float32)
+            tot_parts = []       # per-panel device scalars; f64 host sum
             if is_zi:
                 zs_row = np.zeros((m,), np.float64)
                 zs_col = np.zeros((n,), np.float64)
@@ -1128,16 +1115,17 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     pl, sr, sc, cr, cc = _panel_irls_loss_zi(
                         cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
                         pi_b, r_b, valid_rc=_vrc(nc))
-                    tot_d = tot_d + pl
+                    tot_parts.append(pl)
                     zs_row += np.asarray(sr)[:m]
                     zn_row += np.asarray(cr)[:m]
                     zs_col[cs:cs + nc] += np.asarray(sc)[:nc]
                     zn_col[cs:cs + nc] += np.asarray(cc)[:nc]
                 else:
-                    tot_d = tot_d + _panel_irls_loss(
+                    tot_parts.append(_panel_irls_loss(
                         cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
-                        valid_rc=_vrc(nc))
-            tot = float(tot_d)
+                        valid_rc=_vrc(nc)))
+            tot = float(np.asarray(jnp.stack(tot_parts),
+                                   np.float64).sum()) if tot_parts else 0.0
             if is_zi:
                 # pi M-step (zi_em_step's update rule, once per sweep)
                 if zi_row:
@@ -1161,8 +1149,8 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             prev_loss = loss
 
         elif use_masked or use_irls:
-            acc = jnp.zeros((4,), jnp.float32)
-            for ch in _panels(False, prefetch=False):
+            acc_parts = []       # per-panel (4,) device vectors; ONE
+            for ch in _panels(False, prefetch=False):  # fetch, f64 host sum
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
                           if (is_nb and not per_col) else None)
@@ -1178,8 +1166,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     inv_prob=inv_prob,
                     mask_zeros=cfg.mask_zeros, sparse_zeros=False,
                     valid_rc=_vrc(nc))
-                acc = acc + jnp.stack([out[0], out[1], out[2], out[3]])
-            tr_sse, tr_n, te_sse, te_n = [float(v) for v in np.asarray(acc)]
+                acc_parts.append(jnp.stack([out[0], out[1],
+                                            out[2], out[3]]))
+            # single device fetch; float64 host sum keeps the entry COUNTS
+            # exact and the SSE accumulation below fp32 drift (r5 review)
+            acc = np.asarray(jnp.stack(acc_parts), np.float64).sum(axis=0)
+            tr_sse, tr_n, te_sse, te_n = [float(v) for v in acc]
             loss = tr_sse / max(tr_n, 1.0)
             test_loss = te_sse / max(te_n, 1.0)
             hist.append(loss)

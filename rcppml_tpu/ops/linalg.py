@@ -134,15 +134,25 @@ def weighted_gram_and_rhs(F: jax.Array, w: jax.Array, A_blk: jax.Array,
     the budget the Gram batch is ONE large matmul (see kr_product);
     otherwise the blocked batched dot_general runs.
     """
-    if jax.default_backend() == "cpu" or precise:
-        # ``precise``: fp32 even on TPU — the masked/NA MSE solves must
-        # match reference (fp32) precision; a bf16 Gram of a near-singular
-        # masked column carries ~1e-3 noise that exceeds the stabilizing
-        # ridge and NaNs the Cholesky (surfaced by the r5 on-chip suite).
-        w = w.astype(F.dtype)
-        A_blk = A_blk.astype(F.dtype)
+    if jax.default_backend() == "cpu":
         Fw = F[None, :, :] * w.T[:, None, :]
         Gb = jnp.einsum("jkm,lm->jkl", Fw, F, precision=PREC)
+        b = jnp.dot(F, w * A_blk, precision=PREC)
+        return Gb, b
+    if precise:
+        # ``precise``: fp32 on TPU — the masked/NA MSE solves must match
+        # reference (fp32) precision; a bf16 Gram of a near-singular
+        # masked column carries ~1e-3 noise that exceeds the stabilizing
+        # ridge and NaNs the Cholesky (surfaced by the r5 on-chip suite).
+        # Formulated through an fp32 KR operand so no (bc, k, m)
+        # intermediate exists — the caller's block sizing assumes none
+        # (r5 self-review #1).
+        k, m = F.shape
+        w = w.astype(F.dtype)
+        A_blk = A_blk.astype(F.dtype)
+        KR32 = (F[:, None, :] * F[None, :, :]).reshape(k * k, m)
+        G_flat = jnp.dot(KR32, w, precision=PREC)
+        Gb = jnp.transpose(G_flat.reshape(k, k, -1), (2, 0, 1))
         b = jnp.dot(F, w * A_blk, precision=PREC)
         return Gb, b
     k, m = F.shape

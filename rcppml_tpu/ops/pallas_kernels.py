@@ -585,9 +585,10 @@ def weighted_gram_rhs_pallas(F, KR, X, A, theta_row=None, theta_col=None, *,
     A (m, bc) bf16 -> (Gb (bc, k, k) f32, b (k, bc) f32).
 
     Semantics == losses.compute_irls_weight + linalg.weighted_gram_and_rhs
-    for loss_kind in {"kl", "power", "nb"} (GP rides KL by design,
-    fit_cpu.hpp:569-575), with the weight math in fp32 VMEM (the XLA path
-    rounds w to bf16 in HBM).
+    for loss_kind in {"kl", "power", "nb"}.  GP never reaches this kernel
+    directly: the IRLS fit substitutes active_loss=KL for GP before the
+    solve (fit_cpu.hpp:569-575), so GP workloads dispatch as "kl" here.
+    Weight math runs in fp32 VMEM (the XLA path rounds w to bf16 in HBM).
 
     This wrapper pads every operand; hot loops should pre-pad once with
     :func:`wgram_pad_operands` and call :func:`weighted_gram_rhs_padded`
