@@ -208,7 +208,10 @@ def _panel_valid(shape, valid_rc):
     if valid_rc is None:
         return None
     vr, vc = valid_rc
-    if (vr, vc) == shape:
+    # extents may be traced (the fused cached sweep passes per-panel
+    # widths from inside a scan); only short-circuit on static ints
+    if isinstance(vr, (int, np.integer)) and isinstance(vc, (int, np.integer)) \
+            and (int(vr), int(vc)) == shape:
         return None
     return ((jnp.arange(shape[0]) < vr)[:, None]
             & (jnp.arange(shape[1]) < vc)[None, :])
@@ -416,6 +419,85 @@ def _cached_sweep_mse(cfg: NMFConfig, dims, groups_f, groups_t,
     # ---- saved-matrix Gram-trick loss (fit_cpu.hpp:1710-1753) ----
     loss = linalg.mse_loss_from_saved(trAtA, W_new, d_new, B_w, G_w)
     return W_new, H_new, d_new, loss
+
+
+@partial(jax.jit, static_argnames=("cfg", "dims", "inv_prob",
+                                   "mask_zeros"))
+def _cached_sweep_cv(cfg: NMFConfig, dims, groups_f, groups_t,
+                     W_T, H, d, warm, seed_pair, *, inv_prob: int,
+                     mask_zeros: bool):
+    """Single-dispatch steady-state sweep for the STREAMING SPECKLED-CV
+    fit (no user mask, no IRLS) — the CV analog of _cached_sweep_mse.
+
+    Per-panel holdout masks are derived in-jit from the traced hash
+    (identical entries to the host loop's _panel_solve_cv calls); the
+    per-panel (train_sse, n_train, test_sse, n_test) quartets are
+    returned as one (P, 4) array so the host fetches ONCE per sweep and
+    sums in float64 (exact counts).
+    """
+    m, n, nc_f, nc_t = dims
+    k = W_T.shape[0]
+    f32 = jnp.float32
+
+    def side_update(F, prev, groups, rows_dim, nc, total, side, transposed,
+                    G_add):
+        buf = jnp.zeros((k, total + nc), f32)
+        prev_pad = jnp.zeros((k, total + nc), f32).at[:, :total].set(prev)
+        for g in groups:
+            def step(carry, xs):
+                rows, counts, vals, cs = xs
+                A_p = _coo_densify(rows, counts, vals, nrows=rows_dim,
+                                   ncols=nc)
+                Xw = lax.dynamic_slice(prev_pad, (0, cs), (k, nc))
+                X = _panel_solve_cv(cfg, side, F, A_p, Xw, warm, seed_pair,
+                                    cs.astype(jnp.uint32), None, G_add,
+                                    inv_prob=inv_prob,
+                                    mask_zeros=mask_zeros,
+                                    transposed=transposed)
+                return lax.dynamic_update_slice(carry, X, (0, cs)), None
+            buf, _ = lax.scan(
+                step, buf, (g["rows"], g["counts"], g["vals"], g["cs"]))
+        return buf[:, :total]
+
+    # ---- H update ----
+    H_new = side_update(W_T, H, groups_f, m, nc_f, n, "H", False,
+                        feat.tier2_gram_addition(H, cfg.H))
+    if cfg.H.angular > 0:
+        H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
+    H_new, d_new = linalg.extract_scaling(H_new, cfg.norm)
+
+    # ---- W update ----
+    W_new = side_update(H_new, W_T, groups_t, n, nc_t, m, "W", True,
+                        feat.tier2_gram_addition(W_T, cfg.W))
+    if cfg.W.angular > 0:
+        W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
+    W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
+
+    # ---- per-panel CV losses over the forward panels ----
+    H_pad = jnp.zeros((k, n + nc_f), f32).at[:, :n].set(H_new)
+    parts = []
+    for g in groups_f:
+        def lstep(carry, xs):
+            rows, counts, vals, cs = xs
+            A_p = _coo_densify(rows, counts, vals, nrows=m, ncols=nc_f)
+            H_panel = lax.dynamic_slice(H_pad, (0, cs), (k, nc_f))
+            # the LAST panel is column-padded to nc_f: its pad columns
+            # must leave the holdout accounting (the speckled hash knows
+            # nothing about padding)
+            vc = jnp.minimum(jnp.int32(nc_f), jnp.int32(n) - cs)
+            # __wrapped__: the jitted wrapper declares valid_rc static
+            # (host callers pass ints); in-scan vc is traced
+            out = _panel_cv_losses.__wrapped__(
+                cfg, W_new, d_new, H_panel, A_p,
+                seed_pair, cs.astype(jnp.uint32), None, None, None,
+                inv_prob=inv_prob, mask_zeros=mask_zeros,
+                sparse_zeros=False, valid_rc=(jnp.int32(m), vc))
+            return carry, jnp.stack(out)
+        _, ys = lax.scan(lstep, jnp.zeros((), f32),
+                         (g["rows"], g["counts"], g["vals"], g["cs"]))
+        parts.append(ys)
+    acc = jnp.concatenate(parts, axis=0)          # (P, 4)
+    return W_new, H_new, d_new, acc
 
 
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
@@ -893,7 +975,7 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     def _fast_ready() -> bool:
         if "g" in _stacks_built:
             return True        # stacks supersede the per-panel entries
-        if (use_masked or use_irls or cfg.projective or mesh is not None
+        if (has_mask or use_irls or cfg.projective or mesh is not None
                 or graph_W is not None or graph_H is not None):
             return False
         for t in (False, True):
@@ -964,11 +1046,18 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
         stop = False
 
         _fast_loss = None
+        _fast_cv_acc = None
         if _fast_ready():
             _gf, _gt, _sdims = _wire_stacks()
-            W_T, H, d, _fast_loss = _cached_sweep_mse(
-                cfgs, _sdims, _gf, _gt, W_T, H, d, warm,
-                jnp.float32(trAtA))
+            if is_cv:
+                W_T, H, d, _fast_cv_acc = _cached_sweep_cv(
+                    cfgs, _sdims, _gf, _gt, W_T, H, d, warm, seed_pair,
+                    inv_prob=inv_prob, mask_zeros=cfg.mask_zeros)
+                _fast_loss = _fast_cv_acc      # marks the sweep as done
+            else:
+                W_T, H, d, _fast_loss = _cached_sweep_mse(
+                    cfgs, _sdims, _gf, _gt, W_T, H, d, warm,
+                    jnp.float32(trAtA))
 
         if _fast_loss is None:
             # ---- H-update over forward panels ----
@@ -1149,8 +1238,10 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
             prev_loss = loss
 
         elif use_masked or use_irls:
-            acc_parts = []       # per-panel (4,) device vectors; ONE
-            for ch in _panels(False, prefetch=False):  # fetch, f64 host sum
+            acc_parts = ([] if _fast_cv_acc is None
+                         else [_fast_cv_acc])   # fused sweep: already (P, 4)
+            for ch in ([] if _fast_cv_acc is not None
+                       else _panels(False, prefetch=False)):
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
                           if (is_nb and not per_col) else None)
@@ -1170,7 +1261,10 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                                             out[2], out[3]]))
             # single device fetch; float64 host sum keeps the entry COUNTS
             # exact and the SSE accumulation below fp32 drift (r5 review)
-            acc = np.asarray(jnp.stack(acc_parts), np.float64).sum(axis=0)
+            acc = (np.asarray(_fast_cv_acc, np.float64).sum(axis=0)
+                   if _fast_cv_acc is not None
+                   else np.asarray(jnp.stack(acc_parts),
+                                   np.float64).sum(axis=0))
             tr_sse, tr_n, te_sse, te_n = [float(v) for v in acc]
             loss = tr_sse / max(tr_n, 1.0)
             test_loss = te_sse / max(te_n, 1.0)
