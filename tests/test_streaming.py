@@ -394,3 +394,44 @@ def test_sparse_panels_irls_and_cv_paths():
         r_s = nmf_chunked(InMemoryLoader(A, chunk_cols=32), cfg,
                           sparse_panels=True, panel_cache=False)
         assert np.array_equal(r_d.W, r_s.W), kw
+
+
+def test_wire_cache_fused_sweep_matches_per_panel():
+    """The single-dispatch cached sweep (r5) must reproduce the per-panel
+    streaming path: plain MSE, L1+CD, and L2 configs."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(0)
+    A = sp.random(300, 500, density=0.05, random_state=rs, format="csc",
+                  dtype=np.float32)
+    for kw in (dict(), dict(L1=(0.0, 0.05), solver="cd"),
+               dict(L2=(0.1, 0.0))):
+        cfg = rt.build_config(6, seed=3, maxit=6, tol=0.0,
+                              sort_model=False, **kw)
+        rn = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache=False)
+        rw = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache="wire")
+        assert np.abs(np.asarray(rn.W) - np.asarray(rw.W)).max() < 1e-5
+        assert abs(rn.train_loss - rw.train_loss) <= \
+            1e-5 * abs(rn.train_loss)
+
+
+def test_wire_cache_fused_cv_sweep_matches_per_panel():
+    """CV variant: identical holdout accounting (incl. the pad columns of
+    the last panel) and identical factors, both mask_zeros modes."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(0)
+    A = sp.random(300, 500, density=0.05, random_state=rs, format="csc",
+                  dtype=np.float32)
+    for mz in (False, True):
+        cfg = rt.build_config(6, seed=3, maxit=6, tol=0.0,
+                              sort_model=False, test_fraction=0.1,
+                              cv_seed=7, cv_patience=10**6, mask_zeros=mz)
+        rn = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache=False)
+        rw = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache="wire")
+        assert np.abs(np.asarray(rn.W) - np.asarray(rw.W)).max() < 1e-5
+        assert abs(rn.test_loss - rw.test_loss) <= \
+            1e-5 * max(abs(rn.test_loss), 1e-9)
+        assert rn.best_iter == rw.best_iter
