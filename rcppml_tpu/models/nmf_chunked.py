@@ -500,6 +500,84 @@ def _cached_sweep_cv(cfg: NMFConfig, dims, groups_f, groups_t,
     return W_new, H_new, d_new, acc
 
 
+@partial(jax.jit, static_argnames=("cfg", "dims", "active_loss",
+                                   "is_nb", "per_col"))
+def _cached_sweep_irls(cfg: NMFConfig, dims, groups_f, groups_t,
+                       W_T, H, d, warm, nb_vec, *, active_loss: Loss,
+                       is_nb: bool, per_col: bool):
+    """Single-dispatch steady-state sweep for the plain streaming IRLS
+    fit (fixed dispersion, no CV/mask/ZI) — completes the r5 fused-sweep
+    family (_cached_sweep_mse / _cached_sweep_cv).  Returns per-panel NLL
+    contributions as a (P,) array: ONE host fetch per sweep, f64 sum."""
+    m, n, nc_f, nc_t = dims
+    k = W_T.shape[0]
+    f32 = jnp.float32
+    nb_pad_n = (jnp.zeros((n + nc_f,), f32).at[:n].set(nb_vec)
+                if (is_nb and per_col) else None)
+    nb_pad_m = (jnp.zeros((m + nc_t,), f32).at[:m].set(nb_vec)
+                if (is_nb and not per_col) else None)
+
+    def side_update(F, prev, groups, rows_dim, nc, total, side, transposed):
+        buf = jnp.zeros((k, total + nc), f32)
+        prev_pad = jnp.zeros((k, total + nc), f32).at[:, :total].set(prev)
+        G_add = feat.tier2_gram_addition(prev,
+                                         cfg.H if side == "H" else cfg.W)
+        for g in groups:
+            def step(carry, xs):
+                rows, counts, vals, cs = xs
+                A_p = _coo_densify(rows, counts, vals, nrows=rows_dim,
+                                   ncols=nc)
+                Xw = lax.dynamic_slice(prev_pad, (0, cs), (k, nc))
+                # theta roles swap on the W side (fit_cpu.hpp:821-833)
+                if side == "H":
+                    th_row = nb_vec if (is_nb and not per_col) else None
+                    th_col = (lax.dynamic_slice(nb_pad_n, (cs,), (nc,))
+                              if (is_nb and per_col) else None)
+                else:
+                    th_row = nb_vec if (is_nb and per_col) else None
+                    th_col = (lax.dynamic_slice(nb_pad_m, (cs,), (nc,))
+                              if (is_nb and not per_col) else None)
+                X = _panel_solve_irls(cfg, side, F, A_p, Xw, warm,
+                                      th_row, th_col, None,
+                                      cs.astype(jnp.uint32), None, G_add,
+                                      active_loss=active_loss,
+                                      inv_prob=0, mask_zeros=False,
+                                      transposed=transposed)
+                return lax.dynamic_update_slice(carry, X, (0, cs)), None
+            buf, _ = lax.scan(
+                step, buf, (g["rows"], g["counts"], g["vals"], g["cs"]))
+        return buf[:, :total]
+
+    H_new = side_update(W_T, H, groups_f, m, nc_f, n, "H", False)
+    if cfg.H.angular > 0:
+        H_new = feat.apply_angular_posthoc(H_new, cfg.H.angular)
+    H_new, d_new = linalg.extract_scaling(H_new, cfg.norm)
+    W_new = side_update(H_new, W_T, groups_t, n, nc_t, m, "W", True)
+    if cfg.W.angular > 0:
+        W_new = feat.apply_angular_posthoc(W_new, cfg.W.angular)
+    W_new, d_new = linalg.extract_scaling(W_new, cfg.norm)
+
+    H_pad = jnp.zeros((k, n + nc_f), f32).at[:, :n].set(H_new)
+    parts = []
+    for g in groups_f:
+        def lstep(carry, xs):
+            rows, counts, vals, cs = xs
+            A_p = _coo_densify(rows, counts, vals, nrows=m, ncols=nc_f)
+            H_panel = lax.dynamic_slice(H_pad, (0, cs), (k, nc_f))
+            th_row = nb_vec if (is_nb and not per_col) else None
+            th_col = (lax.dynamic_slice(nb_pad_n, (cs,), (nc_f,))
+                      if (is_nb and per_col) else None)
+            vc = jnp.minimum(jnp.int32(nc_f), jnp.int32(n) - cs)
+            pl = _panel_irls_loss.__wrapped__(
+                cfg, W_new, d_new, H_panel, A_p, th_row, th_col,
+                valid_rc=(jnp.int32(m), vc))
+            return carry, pl
+        _, ys = lax.scan(lstep, jnp.zeros((), f32),
+                         (g["rows"], g["counts"], g["vals"], g["cs"]))
+        parts.append(ys)
+    return W_new, H_new, d_new, jnp.concatenate(parts, axis=0)
+
+
 def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                 w_init=None, h_init=None, mask=None, graph_W=None,
                 graph_H=None, mesh=None, on_iteration=None,
@@ -975,8 +1053,12 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
     def _fast_ready() -> bool:
         if "g" in _stacks_built:
             return True        # stacks supersede the per-panel entries
-        if (has_mask or use_irls or cfg.projective or mesh is not None
+        if (has_mask or cfg.projective or mesh is not None
                 or graph_W is not None or graph_H is not None):
+            return False
+        if use_irls and (is_zi or is_cv):
+            # ZI needs per-panel imputation state; CV+IRLS keeps the
+            # per-panel loop (bounded exclusion)
             return False
         for t in (False, True):
             meta = _panel_meta[t]
@@ -1047,9 +1129,16 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         _fast_loss = None
         _fast_cv_acc = None
+        _fast_irls_parts = None
         if _fast_ready():
             _gf, _gt, _sdims = _wire_stacks()
-            if is_cv:
+            if use_irls:
+                W_T, H, d, _fast_irls_parts = _cached_sweep_irls(
+                    cfgs, _sdims, _gf, _gt, W_T, H, d, warm, nb_vec,
+                    active_loss=active_loss, is_nb=is_nb,
+                    per_col=per_col)
+                _fast_loss = _fast_irls_parts  # marks the sweep as done
+            elif is_cv:
                 W_T, H, d, _fast_cv_acc = _cached_sweep_cv(
                     cfgs, _sdims, _gf, _gt, W_T, H, d, warm, seed_pair,
                     inv_prob=inv_prob, mask_zeros=cfg.mask_zeros)
@@ -1185,12 +1274,15 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
 
         if use_irls and not is_cv and not has_mask:
             tot_parts = []       # per-panel device scalars; f64 host sum
-            if is_zi:
+            if _fast_irls_parts is not None:
+                tot = float(np.asarray(_fast_irls_parts, np.float64).sum())
+            elif is_zi:
                 zs_row = np.zeros((m,), np.float64)
                 zs_col = np.zeros((n,), np.float64)
                 zn_row = np.zeros((m,), np.float64)
                 zn_col = np.zeros((n,), np.float64)
-            for ch in _panels(False, prefetch=False):
+            for ch in ([] if _fast_irls_parts is not None
+                       else _panels(False, prefetch=False)):
                 cs, nc = ch.col_start, ch.num_cols
                 th_row = (_pad1(nb_vec, m_pad)
                           if (is_nb and not per_col) else None)
@@ -1213,8 +1305,10 @@ def nmf_chunked(loader: Union[DataLoader, str], cfg: NMFConfig, *,
                     tot_parts.append(_panel_irls_loss(
                         cfgs, W_T_l, d, H_panel, A_panel, th_row, th_col,
                         valid_rc=_vrc(nc)))
-            tot = float(np.asarray(jnp.stack(tot_parts),
-                                   np.float64).sum()) if tot_parts else 0.0
+            if _fast_irls_parts is None:
+                tot = float(np.asarray(jnp.stack(tot_parts),
+                                       np.float64).sum()) if tot_parts \
+                    else 0.0
             if is_zi:
                 # pi M-step (zi_em_step's update rule, once per sweep)
                 if zi_row:

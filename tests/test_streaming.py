@@ -435,3 +435,23 @@ def test_wire_cache_fused_cv_sweep_matches_per_panel():
         assert abs(rn.test_loss - rw.test_loss) <= \
             1e-5 * max(abs(rn.test_loss), 1e-9)
         assert rn.best_iter == rw.best_iter
+
+
+def test_wire_cache_fused_irls_sweep_matches_per_panel():
+    """Plain streaming IRLS (fixed dispersion) fused sweep == per-panel
+    path for KL and NB."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(0)
+    d_ = (rs.poisson(1.2, (300, 500))
+          * (rs.rand(300, 500) < 0.2)).astype(np.float32)
+    A = sp.csc_matrix(d_)
+    for kw in (dict(loss="kl"), dict(loss="nb", dispersion="per_row")):
+        cfg = rt.build_config(6, seed=3, maxit=5, tol=0.0,
+                              sort_model=False, **kw)
+        rn = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache=False)
+        rw = nmf_chunked(InMemoryLoader(A, chunk_cols=97), cfg,
+                         panel_cache="wire")
+        assert np.abs(np.asarray(rn.W) - np.asarray(rw.W)).max() < 1e-5
+        assert abs(rn.train_loss - rw.train_loss) <= \
+            1e-5 * abs(rn.train_loss)
