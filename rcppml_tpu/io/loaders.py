@@ -189,6 +189,15 @@ class SpzLoader(DataLoader):
             with open(path_or_bytes, "rb") as f:
                 data = f.read()
         self.version = spz_mod.spz_version_bytes(data)
+        # whole-file CRC check ONCE at open (the per-chunk reads cannot be
+        # individually checksummed — the format carries one footer CRC);
+        # catches corrupt files up front instead of silently misdecoding
+        # panels mid-fit (r5 fuzz campaign finding)
+        if self.version in (2, 3):
+            lib = spz_mod._load_lib()
+            if lib.spz_verify(spz_mod._as_buf(data), len(data)):
+                raise ValueError(
+                    f"corrupt .spz: {spz_mod._err(lib)}")
         if self.version == 2:
             self.reader = spz_mod.SpzChunkReader(data)
             info = self.reader.info

@@ -191,3 +191,45 @@ def test_all_zero_and_random_garbage():
     # valid magic + every version number
     for ver in range(0, 9):
         _expect_no_crash(b"SPRZ" + struct.pack("<H", ver) + b"\x00" * 300)
+
+
+def test_no_silent_misdecode_under_byte_flips():
+    """r5: the footer CRC is now VERIFIED on read (the reference writes it
+    but never checks — 25% of payload flips silently misdecoded).  Any
+    flipped byte must either decode to the exact original (flip in the
+    8 unused footer metadata bytes) or raise ValueError."""
+    import numpy as np
+    import scipy.sparse as sp
+    from rcppml_tpu.io import spz
+    rs = np.random.RandomState(0)
+    A = sp.random(80, 60, density=0.15, random_state=rs, format="csc",
+                  dtype=np.float32)
+    A.data[:] = np.round(A.data * 50)
+    base = spz.compress_to_spz_bytes(A, with_transpose=True)
+    ref = spz.decompress_spz_bytes(base)
+    arr = np.frombuffer(base, np.uint8).copy()
+    positions = rs.choice(len(arr), 300, replace=False)
+    for pos in positions:
+        m = arr.copy()
+        m[pos] ^= 0xFF
+        try:
+            out = spz.decompress_spz_bytes(m.tobytes())
+        except ValueError:
+            continue
+        assert (out != ref).nnz == 0 and np.array_equal(
+            out.indptr, ref.indptr), f"silent misdecode at byte {pos}"
+
+
+def test_spz_loader_rejects_corrupt_file(tmp_path):
+    import numpy as np
+    import scipy.sparse as sp
+    import pytest as _pt
+    from rcppml_tpu.io import spz
+    from rcppml_tpu.io.loaders import SpzLoader
+    rs = np.random.RandomState(1)
+    A = sp.random(60, 50, density=0.2, random_state=rs, format="csc",
+                  dtype=np.float32)
+    b = bytearray(spz.compress_to_spz_bytes(A, with_transpose=True))
+    b[len(b) // 3] ^= 0x55
+    with _pt.raises(ValueError, match="CRC32|corrupt"):
+        SpzLoader(bytes(b))
